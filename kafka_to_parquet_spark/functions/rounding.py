@@ -1,0 +1,63 @@
+"""Cross-engine numeric determinism helpers.
+
+Why this exists: the oracle comparison hashes values, and plain
+``round(sum(x), 2)`` is not engine-stable — Spark and DuckDB sum
+doubles in different orders (Δ ≈ 1e-5 at sf0.1) and implement
+half-case rounding differently, so any result whose true value sits
+near a rounding boundary can legitimately flip by one ulp of the
+rounded grid. Two constructions remove the hazard entirely:
+
+1. **Integer-scaled sums** for fixed-decimal inputs (money is 2dp,
+   price×(1−disc) is 4dp): ``sum(round(x·10^p)) / 10^p``. The inner
+   round yields exact integers (products of cents are integers), the
+   sum of integers is exact in double up to 2^53, and the final
+   division is a single identical FP op — both engines produce the
+   *bit-identical* double. Averages: divide by ``10^p · count``.
+
+2. **Floor-form rounding** for ratios of integers (Jaccard,
+   type-token ratio): both engines compute the identical quotient
+   double, but their round() implementations can still diverge on
+   exact half values via decimal-string paths; ``floor(x·10^p + 0.5)
+   / 10^p`` is deterministic on the double value itself.
+
+Every helper has a Spark (Column) and a DuckDB (SQL-string) form that
+perform the same IEEE operations in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec_sum(col: Column, p: int = 2) -> Column:
+    """Exact engine-stable sum of a p-decimal column (Spark side)."""
+    s = 10**p
+    return F.sum(F.round(col * s, 0)) / float(s)
+
+
+def dec_sum_sql(x: str, p: int = 2) -> str:
+    s = 10**p
+    return f"sum(round(({x}) * {s})) / {float(s)}"
+
+
+def dec_avg(col: Column, p: int = 2) -> Column:
+    """Exact engine-stable average of a p-decimal column (Spark side)."""
+    s = 10**p
+    return F.sum(F.round(col * s, 0)) / (float(s) * F.count(F.lit(1)))
+
+
+def dec_avg_sql(x: str, p: int = 2) -> str:
+    s = 10**p
+    return f"sum(round(({x}) * {s})) / ({float(s)} * count(*))"
+
+
+def floor_round(col: Column, p: int) -> Column:
+    """Deterministic rounding on the double value (Spark side)."""
+    s = float(10**p)
+    return F.floor(col * s + F.lit(0.5)) / s
+
+
+def floor_round_sql(x: str, p: int) -> str:
+    s = float(10**p)
+    return f"floor(({x}) * {s} + 0.5) / {s}"

@@ -1,0 +1,189 @@
+"""Text-analysis functions over ``documents`` (north-star extension:
+tokenization, quality scoring, language-ID heuristic, rolling-hash
+fingerprinting — SURVEY §2.11 X4 plus the training-data-pipeline ops).
+
+All token work uses one canonical tokenizer expression (lowercase,
+split on whitespace, drop empties) kept JVM-side via higher-order
+functions — no Python in the path. At 100 TB these are embarrassingly
+parallel per-row maps (no shuffle except the final aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+# Small function-word list used for stopword-ratio and the language-ID
+# heuristic (the synthetic corpus is English-like word salad).
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+def tokens_col(text: Column) -> Column:
+    """Canonical tokenizer: lowercase, whitespace split, drop empties."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+# DuckDB mirror of tokens_col.
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "q_text_tokens",
+    oracle=f"""
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4a: token counting — tokenize → explode → count, top-50 words
+    (deterministic via the word tiebreak). The explode fans out ~tokens
+    rows but the groupBy does map-side partial aggregation, so the
+    shuffle carries |vocab| rows, not |tokens|."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT)                        AS n_docs,
+       CAST(sum(n_chars) AS DOUBLE) / count(*)         AS avg_chars,
+       CAST(sum(len({_TOKENS_SQL})) AS DOUBLE) / count(*) AS avg_tokens,
+       CAST(min(n_chars) AS BIGINT)                    AS min_chars,
+       CAST(max(n_chars) AS BIGINT)                    AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4b: corpus length statistics per language label."""
+    d = load(spark, sf_dir, "documents")
+    # Integer sums / count instead of avg(): exact in both engines →
+    # bit-identical quotients (engine avg() implementations may differ).
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(F.size(tokens_col(F.col("text")))).cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER)                AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+       {floor_round_sql('CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)', 6)} AS ttr,
+       {floor_round_sql(f'CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS DOUBLE)'
+                        ' / len(toks)', 6)}      AS stop_ratio,
+       {floor_round_sql('least(CAST(len(toks) AS DOUBLE) / 50, 1.0)'
+                        ' * (0.5 + 0.5 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))',
+                        6)}                      AS quality_score
+FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, type-token ratio, stopword ratio,
+    and a composite score (length saturation × lexical diversity) — the
+    standard cheap pre-filters of a training-data pipeline. Pure
+    higher-order functions; one pass, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks").cast("double")
+    nu = F.size(F.array_distinct("toks")).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    nstop = F.size(F.filter(F.col("toks"), lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    )
+    return base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        floor_round(nu / n, 6).alias("ttr"),
+        floor_round(nstop / n, 6).alias("stop_ratio"),
+        floor_round(F.least(n / 50, F.lit(1.0)) * (0.5 + 0.5 * nu / n), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+SELECT doc_id,
+       lang,
+       CASE WHEN CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS DOUBLE)
+                 / len(toks) >= 0.02
+            THEN 'en' ELSE 'und' END AS lang_pred
+FROM (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents)
+""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: function-word (stopword) frequency
+    scoring — the classic n-gram/profile approach reduced to one
+    profile, since the synthetic corpus is English-like for every lang
+    label. Real multi-language ID = one such score per language profile
+    + argmax, same plan shape (a wider projection); the declared query
+    keeps the structure honest and oracle-checkable."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = d.select("doc_id", "lang", toks.alias("toks"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(F.col("toks"), lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    ) / F.size("toks")
+    return base.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.02, "en").otherwise("und").alias("lang_pred"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, CAST(length(text) AS INTEGER) + 1),
+                          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007
+       ) AS fp
+FROM documents
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash over the
+    character stream (base 31, mod 1e9+7) — the building block of
+    shingle/Rabin-Karp near-dup schemes. Expressed with sequence +
+    aggregate higher-order functions: stays JVM-side, per-row map, no
+    shuffle. (At petabyte scale the same fold over a binary column
+    would move to a vectorized pandas_udf; the declared query keeps the
+    oracle-checkable HOF form.)"""
+    d = load(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),"
+        " (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"
+    )
+    return d.select("doc_id", fp.alias("fp"))

@@ -1,0 +1,79 @@
+"""Vector (embedding) expression helpers + the array-function family
+query. Shared by llm.similarity / llm.dedup.
+
+Design: dot product, norm and cosine over ``array<float>`` columns are
+built from higher-order functions (zip_with + aggregate) — pure JVM
+expressions, no UDF, so they vectorize inside whole-stage codegen and
+the DuckDB oracle can mirror them term-for-term. Floats are upcast to
+double *before* any arithmetic so both engines fold the identical
+double sequence (left-to-right) — bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Spark SQL expression: dot product of two float-array columns in
+    double precision (sequential left fold — matches the oracle)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+
+
+def norm_expr(a: str) -> str:
+    return f"sqrt({dot_expr(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
+
+
+def duck_dot(a: str, b: str) -> str:
+    """DuckDB mirror of dot_expr — same fold order, same precision."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, CAST(len({a}) AS INTEGER) + 1),"
+        f" i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE))),"
+        " (s, v) -> s + v)"
+    )
+
+
+def duck_cosine(a: str, b: str) -> str:
+    return f"({duck_dot(a, b)} / (sqrt({duck_dot(a, a)}) * sqrt({duck_dot(b, b)})))"
+
+
+@query(
+    "q_array_funcs",
+    oracle=f"""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER)                       AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6)                AS e0,
+       round({duck_dot('embedding[1:8]', 'embedding[1:8]')}, 6) AS sq8,
+       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS first3,
+       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS emax
+FROM embeddings
+""",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over embeddings: size / element_at / slice /
+    transform / aggregate (HOF dot product) / array_max."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+        F.round(
+            F.expr(dot_expr("slice(embedding, 1, 8)", "slice(embedding, 1, 8)")), 6
+        ).alias("sq8"),
+        F.expr("transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 6))").alias(
+            "first3"
+        ),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("emax"),
+    )

@@ -1,0 +1,251 @@
+"""Deduplication family over ``documents`` / ``embeddings``.
+
+Five operators, each a different recall/cost point:
+
+- q_dedup_exact      — sha256 hash group-by (exact, cheapest)
+- q_dedup_ngram_jaccard — word-3-gram shingle Jaccard within blocking
+  keys (exact similarity inside blocks)
+- q_dedup_simhash    — 32-bit SimHash fingerprints (near-dup candidate
+  generation by Hamming-close fingerprints)
+- q_dedup_minhash_lsh — MLlib MinHashLSH approxSimilarityJoin
+  (sub-quadratic candidate pairs; rows-only check)
+- q_dedup_embedding  — embedding-cosine near-dup within label blocks
+
+The 100 TB shapes: exact dedup shuffles |docs| hashes once; Jaccard /
+cosine pairwise work is confined to blocking buckets (here
+(lang, source) / label — in production a MinHash band or LSH bucket),
+so cost is Σ bucket² not N².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
+from kafka_to_parquet_spark.functions.text import tokens_col, _TOKENS_SQL
+from kafka_to_parquet_spark.functions.vectors import cosine_expr, duck_cosine
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+EMBED_NEAR_TAU = 0.15  # synthetic gaussian embeddings: no true near-dups; tau keeps a demo tail
+
+SIMHASH_BITS = 32
+
+NGRAM_JACCARD_TAU = 0.1  # pairs below this aren't near-dups (corpus jaccard ≈ 0 off-diagonal)
+MINHASH_DIST_TAU = 0.5  # approxSimilarityJoin keeps Jaccard distance < 0.5
+
+
+def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, sh): distinct word-3-gram shingles per
+    document — the shared candidate representation for the ngram and
+    MinHash near-dup operators."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", "source", tokens_col(F.col("text")).alias("toks"))
+        .withColumn(
+            "sh",
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN array_distinct("
+                " transform(sequence(1, size(toks) - 2),"
+                "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',"
+                "              element_at(toks, i + 2))))"
+                " ELSE CAST(array() AS array<string>) END"
+            ),
+        )
+        .drop("toks")
+        .filter(F.size("sh") > 0)
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT sha256(text)              AS fp,
+       CAST(min(doc_id) AS BIGINT) AS keeper,
+       CAST(count(*) AS BIGINT)  AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup as a hash group-by — sha2(text) → keep min
+    doc_id. Hashing first means the shuffle carries 32-byte digests,
+    not document bodies; this is the form that survives 100 TB (the
+    naive dropDuplicates(["text"]) would shuffle full texts)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+_SHINGLES_SQL = f"""
+SELECT doc_id, lang, source,
+       list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, CAST(len(toks) AS INTEGER) - 1),
+                                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+            ELSE [] END) AS sh
+FROM (SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks FROM documents)
+"""
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL})
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       {floor_round_sql('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)'
+                        ' / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))', 6)}
+         AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND {floor_round_sql('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)'
+                       ' / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))', 6)}
+      >= {NGRAM_JACCARD_TAU}
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3a: word-3-gram Jaccard near-dup pairs inside (lang, source)
+    blocking buckets, keeping pairs with jaccard ≥ 0.1 (the corpus's
+    off-diagonal jaccard is ~0, so survivors are true near-dups). The
+    self-join equi-keys on the block → the quadratic part is
+    bucket-local; output is near-dup pairs only, not the full pair
+    matrix."""
+    base = shingled_documents(spark, sf_dir)
+    a = base.alias("a")
+    b = base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    union = F.size("a.sh") + F.size("b.sh") - F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    jac = floor_round(inter / union, 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= NGRAM_JACCARD_TAU)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token FROM documents
+),
+bits AS (
+  SELECT doc_id, k,
+         ((strpos('0123456789abcdef', substr(md5(token), CAST(k // 4 AS INTEGER) + 1, 1)) - 1)
+          >> CAST(k % 4 AS INTEGER)) & 1 AS bit
+  FROM toks CROSS JOIN range({SIMHASH_BITS}) r(k)
+),
+sig AS (
+  SELECT doc_id, k, sum(2 * bit - 1) AS s FROM bits GROUP BY doc_id, k
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM sig
+GROUP BY doc_id
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b: 32-bit SimHash — per distinct token take md5's first 8 hex
+    chars as 32 bits; fingerprint bit k is the majority vote over
+    tokens. Near-dups then reduce to Hamming-close fingerprints
+    (bucketable by fingerprint bands — same LSH trick as MinHash).
+    Pure built-ins: explode tokens × 32 bit positions, two hash aggs;
+    everything stays in whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("token")
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("k"),
+        F.substring(F.md5("token"), 1, 8).alias("hex8"),
+    ).select(
+        "doc_id",
+        "k",
+        F.expr(
+            "shiftright(instr('0123456789abcdef', substring(hex8, CAST(k div 4 AS INT) + 1, 1)) - 1,"
+            " CAST(k % 4 AS INT)) & 1"
+        ).alias("bit"),
+    )
+    sig = bits.groupBy("doc_id", "k").agg(F.sum(2 * F.col("bit") - 1).alias("s"))
+    return sig.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+@query("q_dedup_minhash_lsh")  # rows-only: LSH banding isn't SQL-expressible
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3c: MinHash + LSH near-dup candidates via MLlib — 3-gram
+    shingles → sparse binary vector (HashingTF) → MinHashLSH(5 tables,
+    fixed seed) → approxSimilarityJoin under Jaccard distance < 0.5.
+    Shingle features (not unigrams) are what keep this sub-quadratic
+    on a same-vocabulary corpus: unigram sets are mutually similar
+    corpus-wide, so every pair would collide in some band; 3-gram
+    Jaccard is ~0 off-diagonal, so band collisions — and the candidate
+    pair set — stay ~linear. Deterministic given the fixed seed;
+    checked rows-only plus invariants in tests/test_llm.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    base = shingled_documents(spark, sf_dir)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(base)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, MINHASH_DIST_TAU, distCol="jaccard_dist")
+    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        F.round("jaccard_dist", 4).alias("jaccard_dist"),
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+SELECT a.vec_id AS vec_a,
+       b.vec_id AS vec_b,
+       round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {EMBED_NEAR_TAU}
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3d: embedding-cosine near-dup pairs inside label blocks (the
+    blocking key stands in for an LSH/IVF bucket at scale — see
+    similarity.py for the bucketed form). HOF cosine in double
+    precision, identical fold order to the oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.expr(cosine_expr("a.embedding", "b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= EMBED_NEAR_TAU)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""Multimodal columns (X5 + north-star): media as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas code.
+
+The container has no image/audio libraries, so the *decode* step is a
+deterministic fake (documented stub, ``decode_image_stub`` raises for
+real formats) — but every Spark-side piece is real and tested: the
+binary column, the metadata struct, the ``mapInPandas`` batch
+iterator, the explicit output schema, and the partition-parallel
+execution. Swapping the fake for PIL/ffmpeg changes only the inner
+function body.
+
+Scale notes: media bytes ride along as column values (parquet binary),
+so partition sizing is governed by ``spark.sql.files.maxPartitionBytes``;
+feature extraction is a per-row map — no shuffle; the Arrow batch size
+(``spark.sql.execution.arrow.maxRecordsPerBatch``) bounds executor
+memory per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.functions.vectors import duck_dot, norm_expr
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+
+def decode_image_stub(data: bytes) -> dict:
+    """Placeholder for a real image decoder (PIL/libvips). The test
+    container ships no imaging libraries, so real decoding is
+    explicitly unimplemented; the deterministic fake below stands in
+    for pipeline plumbing tests."""
+    raise NotImplementedError(
+        "real image decoding requires an imaging library not present in this "
+        "environment; use fake_decode_features (deterministic) for plumbing tests"
+    )
+
+
+def fake_decode_features(data: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for decode + feature-extract: pretend the
+    byte length encodes image dimensions and the first 16 bytes are a
+    pixel sample. Pure function of the bytes → oracle-expressible."""
+    n = len(data)
+    width = 16 + n % 64
+    height = 16 + (n * 7) % 64
+    mean16 = sum(data[:16]) / 16.0 if n >= 16 else 0.0
+    return width, height, mean16
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-shaped as a multimodal table: an opaque binary
+    payload plus a typed metadata struct — the schema a real
+    image/audio corpus would have."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media_bytes"),
+        F.struct(
+            F.lit("fake/utf8").alias("mime"),
+            F.length("text").alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(16 + length(text) % 64 AS INTEGER)        AS width,
+       CAST(16 + (length(text) * 7) % 64 AS INTEGER)  AS height,
+       round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 17), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             (a, b) -> a + b) / 16.0, 4)              AS mean16
+FROM documents
+""",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5a: decode/feature-extract over a binary media column via
+    mapInPandas — Arrow batches in, typed feature rows out. The decode
+    itself is the deterministic fake (see module docstring), which is
+    what makes this UDF path oracle-checkable: the oracle recomputes
+    the same features from the text the bytes encode."""
+    media = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["media_bytes"].map(fake_decode_features)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": feats.map(lambda t: t[0]),
+                    "height": feats.map(lambda t: t[1]),
+                    "mean16": feats.map(lambda t: round(t[2], 4)),
+                }
+            )
+
+    return media.mapInPandas(
+        extract, schema="doc_id long, width int, height int, mean16 double"
+    )
+
+
+@query(
+    "q_multimodal_join",
+    oracle=f"""
+SELECT d.doc_id,
+       d.lang,
+       CAST(length(d.text) AS INTEGER)        AS text_len,
+       e.label,
+       CAST(len(e.embedding) AS INTEGER)      AS dim,
+       round(sqrt({duck_dot('e.embedding', 'e.embedding')}), 6) AS vec_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5b: multimodal join — text meta + embedding vector travel
+    through a key join; the array column is carried, not exploded, so
+    the shuffle moves each vector exactly once."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("text_len"),
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.expr(norm_expr("embedding")), 6).alias("vec_norm"),
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over the ``embeddings`` table (X2).
+
+Two operators:
+
+- q_sim_topk — exact brute-force cosine top-k for a small broadcast
+  query set: BroadcastNestedLoopJoin of |Q| query vectors against the
+  corpus, O(|Q|·N) with no shuffle of the corpus; the per-query top-k
+  comes from a window over (query, rounded cosine). This is the
+  correctness baseline.
+- q_sim_ivf — the scale path: IVF-style partitioning. Deterministic
+  centroids (every 500th vector), every vector assigned to its
+  nearest centroid, and queries probe only their own cell — the
+  pairwise work drops from N² to Σ cell². Fully deterministic, so it
+  is oracle-checkable end to end.
+
+Both rank by cosine rounded to 6 dp with vec_id tiebreak so ordering
+is stable across engines (raw double ties would be engine-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.functions.vectors import cosine_expr, duck_cosine
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+N_QUERIES = 10  # query set: vec_id < 10
+TOP_K = 5
+CENTROID_MOD = 500  # centroids: vec_id % 500 == 0
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS c_id,
+         round({duck_cosine('q.qe', 'e.embedding')}, 6) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, c_id, cos, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+      FROM pairs)
+WHERE rn <= {TOP_K}
+""",
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2a: brute-force cosine top-k, broadcast query set."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", F.round(F.expr(cosine_expr("qe", "ce")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cos", "rank")
+    )
+
+
+@query(
+    "q_sim_ivf",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cente
+  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         round({duck_cosine('e.embedding', 'c.cente')}, 6) AS cs
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, embedding, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe, cent_id AS qc
+      FROM assign WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.q_id, a.vec_id AS c_id,
+         round({duck_cosine('q.qe', 'a.embedding')}, 6) AS cos
+  FROM q JOIN assign a ON a.cent_id = q.qc AND a.vec_id <> q.q_id
+)
+SELECT q_id, c_id, cos, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+      FROM pairs)
+WHERE rn <= {TOP_K}
+""",
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b: IVF-partitioned ANN. Assignment = nearest deterministic
+    centroid (broadcast centroid set, no shuffle of the corpus);
+    probe = equi-join on cell id — the N² cross join becomes a
+    hash-partitioned cell-local search. Recall < 1 by construction
+    (single-probe IVF); the oracle implements the identical algorithm
+    so correctness is exact."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.round(F.expr(cosine_expr("embedding", "cente")), 6).alias("cs"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("cent_id").alias("qc")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(assign, (assign.cent_id == F.col("qc")) & (assign.vec_id != F.col("q_id")))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(F.expr(cosine_expr("qe", "embedding")), 6).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cos", "rank")
+    )

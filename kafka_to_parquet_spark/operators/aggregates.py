@@ -1,0 +1,225 @@
+"""Aggregations (SURVEY §2.4, all (E) — the reference's only
+"aggregation" is its physical count-batcher, S4).
+
+Every group-by here compiles to partial (map-side) + final hash
+aggregation — the shuffle carries one row per (partition, group), not
+per input row, which is what makes these viable at 100 TB. Float
+outputs are rounded in-query (identically in the oracle SQL) so the
+comparison is stable under summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.functions.rounding import (
+    dec_avg,
+    dec_avg_sql,
+    dec_sum,
+    dec_sum_sql,
+)
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+@query(
+    "q_agg_groupby",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)            AS sum_qty,
+       {dec_sum_sql('l_extendedprice', 2)}  AS sum_base_price,
+       {dec_sum_sql(_DISC_PRICE, 4)}        AS sum_disc_price,
+       {dec_sum_sql(_CHARGE, 4)}            AS sum_charge,
+       sum(l_quantity) / count(*)           AS avg_qty,
+       {dec_avg_sql('l_extendedprice', 2)}  AS avg_price,
+       {dec_avg_sql('l_discount', 2)}       AS avg_disc,
+       CAST(count(*) AS BIGINT)             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 / flagship (TPC-H Q1 shape): scan → pushed filter → 8-agg
+    hash group-by on two low-cardinality keys. The full batch
+    lifecycle in one plan; the filter and the 7-column projection reach
+    the parquet scan (PushedFilters/ReadSchema). Money aggregates use
+    the integer-scaled engine-stable forms (functions.rounding)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dec_sum(disc_price, 4).alias("sum_disc_price"),
+            dec_sum(charge, 4).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            dec_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            dec_avg(F.col("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT)  AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT)  AS n_supps,
+       CAST(count(*) AS BIGINT)                   AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2a: exact count-distinct — Catalyst plans expand + two-phase
+    agg. Exact distinct shuffles every (group, value) pair once; for
+    100 TB cardinality estimation use the approx variant below."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL sketch values differ per engine
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2b: approximate count-distinct (HyperLogLog++, rsd 5%).
+    Constant state per group regardless of cardinality — the 100 TB
+    answer to distinct counting. No oracle: DuckDB's approx sketch
+    yields different estimates by construction; a unit test bounds the
+    error vs the exact count instead."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.05).alias("n_parts_approx"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)  AS sum_qty,
+       CAST(count(*) AS BIGINT)   AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: rollup (hierarchical grouping sets): (flag,status), (flag),
+    () — subtotal rows carry NULL keys in both engines. Planned as a
+    single Expand + hash agg, one pass over the data."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+SELECT o_orderstatus,
+       o_orderpriority,
+       {dec_sum_sql('o_totalprice', 2)} AS sum_price,
+       CAST(count(*) AS BIGINT)         AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3b: cube — all 4 grouping sets in one Expand+agg pass."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        dec_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_global",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT)           AS n_rows,
+       {dec_sum_sql('l_extendedprice', 2)} AS total_price,
+       {dec_avg_sql('l_discount', 2)}      AS avg_disc,
+       round(min(l_extendedprice), 2)      AS min_price,
+       round(max(l_extendedprice), 2)      AS max_price,
+       CAST(min(l_shipdate) AS DATE)       AS first_ship_d,
+       CAST(max(l_shipdate) AS DATE)       AS last_ship_d
+FROM lineitem
+""",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: keyless aggregation — partial aggs reduce each partition to
+    one row; the final agg sees |partitions| rows. min/max on doubles
+    and timestamps are order-insensitive → exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dec_sum(F.col("l_extendedprice"), 2).alias("total_price"),
+        dec_avg(F.col("l_discount"), 2).alias("avg_disc"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.to_date(F.min("l_shipdate")).alias("first_ship_d"),
+        F.to_date(F.max("l_shipdate")).alias("last_ship_d"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+SELECT c_mktsegment,
+       list_sort(list(DISTINCT c_nationkey))     AS nations,
+       CAST(count(*) AS BIGINT)                  AS n_cust
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: collect_set (bounded groups only — nationkey has ≤25 values,
+    so per-group state is bounded; never collect unbounded columns at
+    scale). sort_array makes the set order-canonical for comparison."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+        F.count("*").alias("n_cust"),
+    )
+
+
+@query(
+    "q_agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_O,
+       round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: pivot with an explicit value list (no extra pass to discover
+    values — required form at scale) = one hash agg with conditional
+    sums."""
+    li = load(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+    )

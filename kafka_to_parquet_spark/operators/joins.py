@@ -1,0 +1,199 @@
+"""Joins (SURVEY §2.3, all (E) — the reference has exactly one input
+stream and no join anywhere in main.rs).
+
+Scale strategy per join:
+- equi joins on keys: let Catalyst/AQE pick broadcast-hash vs
+  sort-merge from stats; dimensions (region/nation/part/supplier at
+  TPC-H ratios) stay broadcastable even at SF100k;
+- explicit F.broadcast for the known-small side (J4) — skips the
+  shuffle of the 100 TB fact side entirely;
+- non-equi range join (J5) against a tiny derived bucket table:
+  broadcast-nested-loop against ~10 rows is O(n·10), not O(n²);
+- cross join (J7) only dim×dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.functions.rounding import (
+    dec_avg,
+    dec_avg_sql,
+    dec_sum,
+    dec_sum_sql,
+)
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+
+@query(
+    "q_join_inner",
+    oracle=f"""
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT)         AS n_orders,
+       {dec_sum_sql('o_totalprice', 2)} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: equi inner join fact→dim + aggregate. Shuffles hash on the
+    join key; AQE coalesces post-shuffle partitions. At scale the
+    customer side is the candidate broadcast side."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_orders"), dec_sum(F.col("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+       coalesce(cn.n_cust, 0)               AS n_cust,
+       coalesce(sn.n_supp, 0)               AS n_supp
+FROM (SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY c_nationkey) cn
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_supp
+      FROM supplier GROUP BY s_nationkey) sn
+ON cn.nationkey = sn.nationkey
+""",
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: full outer join of two pre-aggregated sides (left/right are
+    the same primitive with one side's nulls). Pre-aggregating before
+    the join is the scale move: the join input is |keys|, not |rows|."""
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = cn.join(sn, "nationkey", "full_outer")
+    return j.select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "q_join_semi_anti",
+    oracle="""
+SELECT c_custkey, c_name, 'has_orders' AS tag
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, 'no_orders' AS tag
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-semi (EXISTS) and left-anti (NOT EXISTS) — neither
+    duplicates nor widens the left side, so they're the cheap way to
+    express filtering joins at scale (no fanout, right side reduced to
+    its distinct keys)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.lit("has_orders").alias("tag"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.lit("no_orders").alias("tag"))
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT)                                  AS n_items,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)}    AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type IN ('ECONOMY', 'PROMO')
+GROUP BY p_brand
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: explicit broadcast of the filtered dimension — the fact side
+    never shuffles; the filter on part is applied before broadcast so
+    only matching part rows ship to executors. This is the canonical
+    100 TB star-join shape."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type").isin("ECONOMY", "PROMO"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle=f"""
+SELECT b.bucket_id,
+       CAST(count(*) AS BIGINT)          AS n_parts,
+       {dec_avg_sql('p_retailprice', 2)} AS avg_price
+FROM part p
+JOIN (SELECT CAST(i AS BIGINT) AS bucket_id,
+             CAST(i * 200 AS DOUBLE) AS lo,
+             CAST((i + 1) * 200 AS DOUBLE) AS hi
+      FROM range(10) t(i)) b
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.bucket_id
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: non-equi (range) theta join. The bucket side is 10 rows →
+    Spark plans BroadcastNestedLoopJoin: each part row scans 10
+    buckets, O(n·b) with no shuffle of the big side. (For
+    big×big range joins the scale pattern is bucketize-the-range-key +
+    equi-join on bucket + residual filter — documented here as the
+    growth path.)"""
+    p = load(spark, sf_dir, "part")
+    buckets = spark.range(10).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 200).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 200).cast("double").alias("hi"),
+    )
+    return (
+        p.join(
+            F.broadcast(buckets),
+            (p.p_retailprice >= buckets.lo) & (p.p_retailprice < buckets.hi),
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("n_parts"),
+            dec_avg(F.col("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: cross join, dim×dim only (5×25). Explicit crossJoin so the
+    intent is visible; anything non-dim-sized belongs behind a
+    blocking/bucketing scheme instead (see llm.dedup)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)

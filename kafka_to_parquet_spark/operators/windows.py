@@ -1,0 +1,147 @@
+"""Window functions (SURVEY §2.5, all (E)).
+
+Every window spec here has a deterministic total order (unique-key
+tiebreaks) so results are engine-independent. Scale note: a window
+shuffles once on its partition keys and sorts within partitions;
+partition keys are chosen with bounded group sizes (suppkey, user_id,
+mktsegment) — no single giant partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       row_number() OVER w AS rn,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ranking family over one shared window spec (single shuffle +
+    sort serves all four functions)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+SELECT event_id,
+       user_id,
+       "value",
+       lag("value")  OVER w                  AS prev_value,
+       lead("value") OVER w                  AS next_value,
+       first_value(event_id) OVER w          AS first_event,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: analytic family — lag/lead/first + inter-event gap (the
+    sessionization building block; see streaming.windows for the
+    session_window form)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w).alias("first_event"),
+        gap.alias("gap_s"),
+    )
+
+
+@query(
+    "q_win_running",
+    oracle="""
+SELECT l_suppkey,
+       l_orderkey,
+       l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_qty,
+       sum(round(l_extendedprice * 100)) OVER (PARTITION BY l_suppkey
+                                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         / (100.0 * count(*) OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+         AS moving_avg_price
+FROM lineitem
+""",
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: frame-spec aggregates — running sum (unbounded preceding)
+    and 4-row moving average. The ROWS frame makes both engines
+    accumulate over the identical ordered row set."""
+    li = load(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_run = (
+        Window.partitionBy("l_suppkey").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_mov = Window.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-3, 0)
+    # Moving average in the engine-stable integer-cents form: exact sum
+    # over the frame / (100 · frame size) — bit-identical to the oracle.
+    moving_avg = F.sum(F.round(F.col("l_extendedprice") * 100, 0)).over(w_mov) / (
+        F.lit(100.0) * F.count(F.lit(1)).over(w_mov)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w_run), 2).alias("running_qty"),
+        moving_avg.alias("moving_avg_price"),
+    )
+
+
+@query(
+    "q_win_topk_group",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+WHERE rn <= 3
+""",
+)
+def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 applied: top-k per group — the standard pattern (row_number ≤
+    k). One shuffle on the group key; with AQE the rn filter prunes
+    early per partition."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

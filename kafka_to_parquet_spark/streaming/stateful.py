@@ -1,0 +1,101 @@
+"""Genuine Structured Streaming runs: watermarked window agg (T5) and
+streaming dedup (T6), executed with readStream → availableNow trigger →
+memory sink. The test container has no Kafka broker, so the stream is
+driven from a parquet file source over the same ``events`` rows; with a
+broker the identical plan hangs off sources.kafka.kafka_stream().
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+WATERMARK = "10 minutes"
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table. The file source needs a
+    directory; symlink the (read-only) parquet into a temp dir."""
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(ev_path).schema  # ts arrives as long (nanos)
+    d = tempfile.mkdtemp(prefix="ktps_stream_")
+    link = os.path.join(d, "events.parquet")
+    if os.path.isdir(ev_path):
+        os.symlink(ev_path, link, target_is_directory=True)
+        src = link
+    else:
+        os.symlink(ev_path, link)
+        src = d
+    sdf = spark.readStream.schema(schema).parquet(src)
+    return sdf.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+
+
+def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    a memory sink; return the sink table as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+@query("q_stream_watermark")  # rows-only: emission depends on watermark progression
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: watermark + tumbling window agg as a real streaming query.
+    ``withWatermark("ts", "10 minutes")`` bounds state: windows older
+    than (max event time − 10 min) are finalized and evicted, and
+    later-arriving rows for them are dropped — the property that keeps
+    state finite on an unbounded 100 TB/day stream. Update mode emits
+    every window touched per micro-batch; the driver's rows-only check
+    records output presence/shape, and tests/test_streaming.py asserts
+    the values against the batch-equivalent q_stream_tumbling."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "600 seconds"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").cast("long").alias("win_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "update")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM events
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: streaming dropDuplicates on event_id under a watermark —
+    state holds one key per id inside the watermark horizon, and each
+    id is emitted exactly once on first arrival. event_id is unique in
+    the fixture, so the streamed output must equal the full table —
+    which makes this streaming query oracle-checkable (a dropped or
+    duplicated row fails the hash)."""
+    ev = _stream_events(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", WATERMARK)
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(dedup, "append")
