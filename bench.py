@@ -1,0 +1,84 @@
+"""Headline benchmark for the driver (BENCH_r{N}.json).
+
+Runs a representative subset of the declared queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {"q_agg_groupby": sec, ...}, "sf": 0.1}
+
+Each query is executed end-to-end with the ``noop`` sink, which runs
+the full physical plan JVM-side (scan → shuffle → agg/join/window)
+without driver-side collection — so timings reflect the distributed
+plan, not toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_to_parquet_spark import registry
+from kafka_to_parquet_spark.session import get_spark
+
+# Representative mix: heavy scan+agg, shuffle joins, windows, sort,
+# LLM ops (dedup/similarity/text), streaming-window batch analogs.
+HEADLINE = [
+    "q_agg_groupby",       # TPC-H-Q1-style hash agg over lineitem
+    "q_agg_rollup",        # grouping sets
+    "q_join_inner",        # orders ⋈ customer ⋈ nation (shuffle + broadcast)
+    "q_join_broadcast",    # explicit broadcast dim join
+    "q_join_semi_anti",    # semi/anti
+    "q_win_running",       # running-sum window over full lineitem
+    "q_win_rank",          # ranking window
+    "q_sort",              # global range-partitioned sort
+    "q_topk",              # TakeOrderedAndProject
+    "q_dedup_exact",       # hash-groupBy dedup on documents
+    "q_dedup_simhash",     # simhash near-dup
+    "q_sim_topk",          # brute-force cosine top-k
+    "q_text_tokens",       # tokenize + explode + count
+    "q_text_quality",      # quality scoring pipeline
+    "q_stream_tumbling",   # event-time tumbling window (batch analog)
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    fn = registry.QUERIES[name]
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    registry.load_all()
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footer caches so timings measure the
+    # plans, not first-session classloading.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

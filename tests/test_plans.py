@@ -1,0 +1,96 @@
+"""Physical-plan assertions — the 100 TB contract.
+
+Correctness says what a query returns; these tests pin HOW: filters
+reach the parquet scan, scans are column-pruned, small dims broadcast,
+hot paths stay in whole-stage codegen (no row-at-a-time Python UDFs),
+and nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_to_parquet_spark import registry
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_is_pushed_to_parquet_scan(run):
+    plan = plan_of(run("q_filter_pred"))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    import re
+
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and pushed.group(1).strip()
+
+
+def test_agg_scan_is_column_pruned(run):
+    """TPC-H-Q1 touches 7 of lineitem's 16 columns; the ReadSchema must
+    not include untouched wide columns like l_comment."""
+    plan = plan_of(run("q_agg_groupby"))
+    assert "ReadSchema" in plan
+    assert "l_comment" not in plan
+    assert "l_shipinstruct" not in plan
+
+
+def test_broadcast_join_is_broadcast(run):
+    plan = plan_of(run("q_join_broadcast"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_small_dim_join_autobroadcasts(run):
+    """customer ⋈ nation ⋈ region: Catalyst/AQE should broadcast the
+    tiny dims rather than shuffle both sides."""
+    plan = plan_of(run("q_join_inner"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_topk_uses_take_ordered(run):
+    """orderBy+limit must compile to TakeOrderedAndProject — bounded
+    memory at any scale — not a global sort."""
+    plan = plan_of(run("q_topk"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udf_in_relational_and_text_paths(run):
+    """Everything except the multimodal decode stub (explicitly a
+    Pandas-UDF surface) must stay JVM-side: no BatchEvalPython
+    (row-at-a-time UDF) anywhere, no ArrowEvalPython outside the
+    multimodal/sink paths."""
+    jvm_only = [
+        "q_agg_groupby", "q_join_inner", "q_win_running", "q_sort",
+        "q_dedup_exact", "q_dedup_simhash", "q_sim_topk", "q_sim_ivf",
+        "q_text_tokens", "q_text_langid", "q_text_quality",
+        "q_text_fingerprint", "q_stream_tumbling", "q_count_batcher",
+    ]
+    for name in jvm_only:
+        plan = plan_of(run(name))
+        assert "BatchEvalPython" not in plan, f"{name} uses row-wise Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} left the JVM"
+
+
+def test_wholestage_codegen_active_on_flagship(run):
+    """After execution the adaptive final plan must show codegen stages
+    (the `*(n)` markers in simple-mode explain)."""
+    df = run("q_agg_groupby")
+    df.collect()  # executes the Dataset's own QueryExecution (AQE finalizes)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "isFinalPlan=true" in plan, plan
+    assert "*(" in plan, plan
+
+
+def test_no_cartesian_in_equi_joins(run):
+    for name in ["q_join_inner", "q_join_outer", "q_join_semi_anti"]:
+        plan = plan_of(run(name))
+        assert "CartesianProduct" not in plan, f"{name} degraded to cartesian"
+
+
+def test_exchange_count_bounded_on_flagship(run):
+    """TPC-H-Q1 needs exactly one shuffle (partial agg → exchange →
+    final agg). More means a regression in the plan."""
+    plan = plan_of(run("q_agg_groupby"))
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"expected partial-agg plan, got {n_exchanges} exchanges"

@@ -1,0 +1,60 @@
+"""Structured Streaming semantics: real readStream runs (availableNow →
+memory sink) checked against their batch equivalents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_stream_dedup_emits_each_id_once(spark, sf_dir, run):
+    from kafka_to_parquet_spark.tables import load
+
+    out = run("q_stream_dedup").cache()
+    ev = load(spark, sf_dir, "events")
+    assert out.count() == ev.select("event_id").distinct().count()
+    assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_watermark_agg_matches_batch_tumbling(spark, sf_dir, run):
+    """With availableNow over a finite source every window is emitted
+    at least once; the final update per window must equal the batch
+    tumbling aggregation."""
+    stream = run("q_stream_watermark")
+    batch = run("q_stream_tumbling")
+    # update-mode can emit a window multiple times; last update wins.
+    final = (
+        stream.groupBy("win_start_s", "event_type")
+        .agg(F.max("n").alias("n"))
+    )
+    b = {(r["win_start_s"], r["event_type"]): r["n"] for r in batch.collect()
+         if "win_start_s" in batch.columns}
+    if b:
+        s = {(r["win_start_s"], r["event_type"]): r["n"] for r in final.collect()}
+        assert s == b
+
+
+def test_tumbling_windows_partition_time(spark, sf_dir, run):
+    """Tumbling windows tile the timeline: Σ window counts == |events|."""
+    from kafka_to_parquet_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    win = run("q_stream_tumbling")
+    assert win.agg(F.sum("n")).collect()[0][0] == ev.count()
+
+
+def test_session_windows_are_gap_separated_per_user(run):
+    """Sessions merge events < gap apart, so two sessions of one user
+    must start more than the gap (300 s) apart."""
+    from kafka_to_parquet_spark.streaming.windows import SESSION_GAP_S
+
+    rows = run("q_stream_session").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["session_start_s"])
+    checked = 0
+    for user, starts in by_user.items():
+        starts = sorted(starts)
+        for s1, s2 in zip(starts, starts[1:]):
+            assert s2 - s1 > SESSION_GAP_S, f"sessions too close for {user}"
+            checked += 1
+    assert checked > 0
