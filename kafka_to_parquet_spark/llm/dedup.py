@@ -164,34 +164,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars as 32 bits; fingerprint bit k is the majority vote over
     tokens. Near-dups then reduce to Hamming-close fingerprints
     (bucketable by fingerprint bands — same LSH trick as MinHash).
-    Pure built-ins: explode tokens × 32 bit positions, two hash aggs;
-    everything stays in whole-stage codegen."""
+
+    Plan shape: ONE explode (doc × distinct tokens), the token hash
+    decoded to a 32-bit int once (`conv`), then a single hash
+    aggregation computing all 32 bit-sums as independent aggregates —
+    no 32× row blow-up, no second shuffle, fully whole-stage-codegen.
+    At 100 TB this shuffles one 33-column partial-agg row per (doc ×
+    token-bit-width), i.e. partial aggregation collapses each doc to
+    one row map-side.
+
+    Bit numbering matches the oracle's nibble form: bit k is bit
+    (k % 4) of hex digit (k div 4), i.e. bit (4*(7 - k div 4) + k % 4)
+    of the integer value of the first 8 md5 hex chars.
+    """
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("token")
-    )
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("k"),
-        F.substring(F.md5("token"), 1, 8).alias("hex8"),
-    ).select(
-        "doc_id",
-        "k",
-        F.expr(
-            "shiftright(instr('0123456789abcdef', substring(hex8, CAST(k div 4 AS INT) + 1, 1)) - 1,"
-            " CAST(k % 4 AS INT)) & 1"
-        ).alias("bit"),
-    )
-    sig = bits.groupBy("doc_id", "k").agg(F.sum(2 * F.col("bit") - 1).alias("s"))
-    return sig.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    ).select("doc_id", F.expr("CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)").alias("h"))
+    bit_sums = [
+        F.sum(F.expr(f"shiftright(h, {4 * (7 - k // 4) + k % 4}) & 1")).alias(f"s{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    sig = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    fingerprint = None
+    for k in range(SIMHASH_BITS):
+        term = F.when(2 * F.col(f"s{k}") > F.col("n"), F.lit(1 << k)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sig.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
 @query("q_dedup_minhash_lsh")  # rows-only: LSH banding isn't SQL-expressible
