@@ -31,6 +31,11 @@ from kafka_to_parquet_spark.session import get_spark
 HEADLINE = [
     "q_agg_groupby",       # TPC-H-Q1-style hash agg over lineitem
     "q_agg_rollup",        # grouping sets
+    "q_tpch_q3",           # join + agg + top-k composite
+    "q_tpch_q5",           # 6-table join, broadcast dims
+    "q_tpch_q6",           # pushdown-heavy filter agg
+    "q_join_asof",         # union+window as-of join
+    "q_agg_salted",        # two-phase skew-safe agg
     "q_join_inner",        # orders ⋈ customer ⋈ nation (shuffle + broadcast)
     "q_join_broadcast",    # explicit broadcast dim join
     "q_join_semi_anti",    # semi/anti

@@ -45,6 +45,7 @@ def load_all() -> None:
     # Imports are inside the function to avoid circular imports at
     # package-import time; each module body calls @query(...).
     from kafka_to_parquet_spark.operators import aggregates  # noqa: F401
+    from kafka_to_parquet_spark.operators import composite  # noqa: F401
     from kafka_to_parquet_spark.operators import joins  # noqa: F401
     from kafka_to_parquet_spark.operators import relational  # noqa: F401
     from kafka_to_parquet_spark.operators import windows  # noqa: F401

@@ -88,6 +88,45 @@ def test_no_cartesian_in_equi_joins(run):
         assert "CartesianProduct" not in plan, f"{name} degraded to cartesian"
 
 
+def test_q3_is_takeordered_with_broadcast_cust(run):
+    """Q3 pattern: top-10 must be TakeOrderedAndProject (not a global
+    sort) and the filtered customer dim must broadcast."""
+    plan = plan_of(run("q_tpch_q3"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_single_big_shuffle(run):
+    """Q5 joins 6 tables; every dim is broadcast so the only
+    SortMergeJoin/shuffled join allowed is orders⋈lineitem."""
+    plan = plan_of(run("q_tpch_q5"))
+    n_smj = plan.count("SortMergeJoin")
+    n_shj = plan.count("ShuffledHashJoin")
+    assert n_smj + n_shj <= 1, f"{n_smj} SMJ + {n_shj} SHJ — dims not broadcast"
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q6_pushes_all_predicates(run):
+    plan = plan_of(run("q_tpch_q6"))
+    import re
+
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed
+    txt = pushed.group(1)
+    assert "l_shipdate" in txt and "l_discount" in txt and "l_quantity" in txt
+
+
+def test_asof_is_single_shuffle_window(run):
+    """The as-of join must be the union+window formulation: exactly one
+    hash exchange on user_id, no join operator at all."""
+    import re
+
+    plan = plan_of(run("q_join_asof"))
+    assert "Join" not in plan, "asof degraded to a join"
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 1, f"{n_ex} exchanges"
+
+
 def test_exchange_count_bounded_on_flagship(run):
     """TPC-H-Q1 needs exactly one shuffle (partial agg → exchange →
     final agg). More means a regression in the plan."""
