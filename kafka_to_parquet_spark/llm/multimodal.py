@@ -105,6 +105,85 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(32 AS INTEGER) AS out_w,
+       CAST(32 AS INTEGER) AS out_h,
+       CAST(16 + length(text) % 64 AS INTEGER) / 32.0       AS scale_x,
+       CAST(16 + (length(text) * 7) % 64 AS INTEGER) / 32.0 AS scale_y,
+       CAST(length(text) % 251 AS INTEGER) AS thumb_checksum
+FROM documents
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5c: resize as an Arrow-batched Pandas transform — decode (fake)
+    → target 32×32 → per-image scale factors + a deterministic thumb
+    checksum standing in for resampled pixels. A real implementation
+    swaps only the inner function for PIL's ``Image.resize``; the
+    Spark plumbing (mapInPandas, explicit schema, no shuffle) is the
+    part under test."""
+    media = media_table(spark, sf_dir)
+    target = 32
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["media_bytes"].map(fake_decode_features)
+            n = pdf["media_bytes"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": target,
+                    "out_h": target,
+                    "scale_x": feats.map(lambda t: t[0] / target),  # /32 is exact in binary
+                    "scale_y": feats.map(lambda t: t[1] / target),
+                    "thumb_checksum": (n % 251).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        resize,
+        schema="doc_id long, out_w int, out_h int, scale_x double, scale_y double, thumb_checksum int",
+    )
+
+
+@query(
+    "q_multimodal_framesample",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) // 256 AS INTEGER) AS n_frames,
+       list_transform(range(0, CAST(length(text) // 256 AS BIGINT), 4),
+                      k -> CAST(ascii(substr(text, CAST(k * 256 + 1 AS INTEGER), 1)) AS INTEGER))
+         AS sampled
+FROM documents
+WHERE length(text) >= 256
+""",
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5d: frame sampling over a "video" binary column — treat each
+    256-byte block as a frame, keep every 4th frame's first byte as
+    its (fake) decoded sample. Mirrors ffmpeg-style stride sampling:
+    per-row map, output is an array column whose length is
+    n_frames/stride — no shuffle, memory bounded by the Arrow batch."""
+    media = media_table(spark, sf_dir)
+    frame, stride = 256, 4
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames = (pdf["media_bytes"].map(len) // frame).astype("int32")
+            sampled = [
+                [data[k * frame] for k in range(0, nf, stride)]
+                for data, nf in zip(pdf["media_bytes"], n_frames)
+            ]
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_frames": n_frames, "sampled": sampled}
+            )
+            yield out[out["n_frames"] > 0]
+
+    return media.mapInPandas(sample, schema="doc_id long, n_frames int, sampled array<int>")
+
+
+@query(
     "q_multimodal_join",
     oracle=f"""
 SELECT d.doc_id,
