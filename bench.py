@@ -67,9 +67,15 @@ def main() -> None:
 
     registry.load_all()
     spark = get_spark("bench")
-    # Warm the JVM + parquet footer caches so timings measure the
-    # plans, not first-session classloading.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    # Warm-up: run every headline plan once at the smallest scale
+    # factor so JVM JIT + whole-stage-codegen compilation happen before
+    # the timed runs — timings then measure plan execution (the thing
+    # that scales), not first-run classloading.
+    for name in HEADLINE:
+        try:
+            run_one(spark, name, "/root/testdata/sf0.001")
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
