@@ -46,6 +46,7 @@ def load_all() -> None:
     # package-import time; each module body calls @query(...).
     from kafka_to_parquet_spark.operators import aggregates  # noqa: F401
     from kafka_to_parquet_spark.operators import composite  # noqa: F401
+    from kafka_to_parquet_spark.operators import statistics  # noqa: F401
     from kafka_to_parquet_spark.operators import joins  # noqa: F401
     from kafka_to_parquet_spark.operators import relational  # noqa: F401
     from kafka_to_parquet_spark.operators import windows  # noqa: F401
