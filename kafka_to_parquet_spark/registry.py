@@ -53,6 +53,7 @@ def load_all() -> None:
     from kafka_to_parquet_spark.functions import scalar  # noqa: F401
     from kafka_to_parquet_spark.functions import text  # noqa: F401
     from kafka_to_parquet_spark.functions import vectors  # noqa: F401
+    from kafka_to_parquet_spark.functions import udfs  # noqa: F401
     from kafka_to_parquet_spark.sources import kafka_analog  # noqa: F401
     from kafka_to_parquet_spark.sources import generator  # noqa: F401
     from kafka_to_parquet_spark.sinks import parquet_batch  # noqa: F401
