@@ -39,22 +39,33 @@ MINHASH_DIST_TAU = 0.5  # approxSimilarityJoin keeps Jaccard distance < 0.5
 def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, source, sh): distinct word-3-gram shingles per
     document — the shared candidate representation for the ngram and
-    MinHash near-dup operators."""
+    MinHash near-dup operators.
+
+    The result is persisted: every consumer is a self-join (2-4 plan
+    subtrees over the same shingles), and without a materialization
+    boundary each subtree re-runs scan+tokenize+shingle. This is the
+    local[*] analog of checkpointing the shingle table before a
+    100 TB self-join — you never recompute the expensive derivation
+    per join side."""
     d = load(spark, sf_dir, "documents")
+    # Filter on the token count, NOT on size(sh) > 0 (equivalent for
+    # ≥3 tokens): a filter referencing the derived ``sh`` column gets
+    # pushed below the projection by Catalyst with the whole
+    # tokenize+shingle expression re-inlined into the Filter — the
+    # pipeline then runs several times per row (observed 4-8× slower).
     return (
         d.select("doc_id", "lang", "source", tokens_col(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
         .withColumn(
             "sh",
             F.expr(
-                "CASE WHEN size(toks) >= 3 THEN array_distinct("
-                " transform(sequence(1, size(toks) - 2),"
+                "array_distinct(transform(sequence(1, size(toks) - 2),"
                 "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',"
                 "              element_at(toks, i + 2))))"
-                " ELSE CAST(array() AS array<string>) END"
             ),
         )
         .drop("toks")
-        .filter(F.size("sh") > 0)
+        .persist()
     )
 
 
@@ -115,25 +126,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join equi-keys on the block → the quadratic part is
     bucket-local; output is near-dup pairs only, not the full pair
     matrix."""
+    # Inverted-index similarity join (the PPJoin-family shape): explode
+    # shingles and equi-join on (block, shingle), so the only pairs
+    # that ever materialize are those sharing ≥1 shingle — and a pair
+    # with jaccard ≥ τ > 0 always shares one. The naive form (block
+    # self-join carrying both shingle *arrays*, then array_intersect)
+    # copies ~KB-wide rows through the shuffle for every candidate
+    # pair; here the shuffle moves one narrow row per (doc, shingle)
+    # and one count per overlapping pair. At 100 TB the quadratic term
+    # is bounded per (block, shingle) posting list, not per block.
     base = shingled_documents(spark, sf_dir)
-    a = base.alias("a")
-    b = base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    union = F.size("a.sh") + F.size("b.sh") - F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    jac = floor_round(inter / union, 6)
-    return (
-        a.join(
-            b,
+    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = base.select("doc_id", "lang", "source", F.explode("sh").alias("s"))
+    common = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(jac >= NGRAM_JACCARD_TAU)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    inter = F.col("n_common").cast("double")
+    union = F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+    return (
+        common.join(F.broadcast(sizes.alias("na")), F.col("doc_a") == F.col("na.doc_id"))
+        .join(F.broadcast(sizes.alias("nb")), F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", floor_round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_TAU)
     )
 
 
@@ -239,12 +262,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.alias("a")
     b = e.alias("b")
     cos = F.expr(cosine_expr("a.embedding", "b.embedding"))
+    # Project the raw cosine once, then filter on the column — the
+    # filter-first form would evaluate the 64-dim fold twice per pair.
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(cos >= EMBED_NEAR_TAU)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos"),
+            cos.alias("cos_raw"),
         )
+        .filter(F.col("cos_raw") >= EMBED_NEAR_TAU)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
     )

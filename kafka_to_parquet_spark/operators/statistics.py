@@ -150,7 +150,8 @@ def q_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", "lang", "source", F.substring("text", 1, 40).alias("head"))
     a, b = t.alias("a"), t.alias("b")
-    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    # Project the DP distance once, then filter the column (filter-first
+    # would run the O(len²) DP twice per pair).
     return (
         a.join(
             b,
@@ -158,10 +159,10 @@ def q_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(dist <= 20)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            dist.cast("int").alias("edit_dist"),
+            F.levenshtein(F.col("a.head"), F.col("b.head")).cast("int").alias("edit_dist"),
         )
+        .filter(F.col("edit_dist") <= 20)
     )
