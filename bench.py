@@ -45,7 +45,14 @@ HEADLINE = [
     "q_topk",              # TakeOrderedAndProject
     "q_dedup_exact",       # hash-groupBy dedup on documents
     "q_dedup_simhash",     # simhash near-dup
+    "q_dedup_ngram_jaccard",  # inverted-index similarity join
+    "q_dedup_minhash_lsh", # MLlib MinHash LSH candidate pairs
+    "q_dedup_embedding",   # label-blocked cosine near-dup
     "q_sim_topk",          # brute-force cosine top-k
+    "q_sim_ivf",           # IVF-bucketed ANN
+    "q_udf_pandas_cosine", # Arrow pandas-UDF path
+    "q_agg_stats",         # exact-moment corr/covar
+    "q_agg_percentile",    # exact per-group percentiles
     "q_text_tokens",       # tokenize + explode + count
     "q_text_quality",      # quality scoring pipeline
     "q_stream_tumbling",   # event-time tumbling window (batch analog)

@@ -258,12 +258,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key stands in for an LSH/IVF bucket at scale — see
     similarity.py for the bucketed form). HOF cosine in double
     precision, identical fold order to the oracle."""
+    from kafka_to_parquet_spark.functions.vectors import dot_expr, norm_expr
+
     e = load(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = F.expr(cosine_expr("a.embedding", "b.embedding"))
-    # Project the raw cosine once, then filter on the column — the
-    # filter-first form would evaluate the 64-dim fold twice per pair.
+    # Precompute each vector's norm ONCE (N folds), so the pairwise
+    # stage does a single dot fold per pair instead of three — the
+    # cosine dot/(na·nb) is the identical IEEE expression the oracle
+    # evaluates, just with the norm subterms hoisted out of the pair
+    # loop. Also: project the raw cosine once, then filter the column
+    # (filter-first would run the fold twice per pair).
+    en = e.select("vec_id", "label", "embedding", F.expr(norm_expr("embedding")).alias("nrm"))
+    a = en.alias("a")
+    b = en.alias("b")
+    cos = F.expr(dot_expr("a.embedding", "b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

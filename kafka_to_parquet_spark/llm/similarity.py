@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_to_parquet_spark.functions.vectors import cosine_expr, duck_cosine
+from kafka_to_parquet_spark.functions.vectors import cosine_expr, dot_expr, duck_cosine, norm_expr
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
@@ -50,14 +50,28 @@ WHERE rn <= {TOP_K}
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2a: brute-force cosine top-k, broadcast query set."""
     e = load(spark, sf_dir, "embeddings")
+    # Norms hoisted: one fold per vector up front, one dot fold per
+    # pair — dot/(qn·cn) is the identical IEEE expression to the
+    # oracle's inline cosine, with the norm subterms precomputed.
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(norm_expr("embedding")).alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(norm_expr("embedding")).alias("cn"),
     )
     pairs = (
         F.broadcast(q)
-        .crossJoin(e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")))
+        .crossJoin(c)
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", F.round(F.expr(cosine_expr("qe", "ce")), 6).alias("cos"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(F.expr(dot_expr("qe", "ce")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
