@@ -160,6 +160,75 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish subword segmentation: alpha runs, digit runs, and single
+# punctuation marks — the pre-tokenization regex GPT-style BPE vocabs
+# apply before merges. Same RE2/Java-compatible pattern both engines.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "q_text_bpe_tokens",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS INTEGER) AS n_bpe,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS INTEGER)
+         AS n_bpe_uniq,
+       CAST(len(list_filter(regexp_extract_all(lower(text), '{BPE_PATTERN}'),
+                            t -> regexp_matches(t, '^[0-9]+$'))) AS INTEGER) AS n_digit_runs
+FROM documents
+""",
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4c: BPE-ish token counting — the subword pre-tokenization pass
+    of a training-data pipeline (whitespace tokens are q_text_tokens).
+    The regex is passed as a Column literal, not through a SQL string
+    (Spark SQL literals eat backslash escapes). Per-row map, no
+    shuffle; count columns are what a token-budget planner consumes."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)
+    base = d.select("doc_id", toks.alias("bt"))
+    return base.select(
+        "doc_id",
+        F.size("bt").alias("n_bpe"),
+        F.size(F.array_distinct("bt")).alias("n_bpe_uniq"),
+        F.size(F.filter("bt", lambda t: t.rlike("^[0-9]+$"))).alias("n_digit_runs"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             count(*)     OVER (PARTITION BY lang)                 AS n_lang
+      FROM documents)
+WHERE rn <= CAST(ceil(0.1 * n_lang) AS BIGINT)
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 10% sample per language — deterministic (doc_id
+    order) so it is reproducible run-to-run AND oracle-checkable, which
+    a random TABLESAMPLE is not. One window shuffle partitioned by the
+    stratum key; per-stratum state is a counter. The training-data use:
+    balanced subsampling before expensive per-doc scoring."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    wc = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.1 * F.col("n_lang")).cast("long"))
+        .select("doc_id", "lang")
+    )
+
+
 @query(
     "q_text_fingerprint",
     oracle="""

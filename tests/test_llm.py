@@ -101,6 +101,31 @@ def test_quality_scores_bounded(run):
         assert 0.0 <= r["quality_score"] <= 1.0
 
 
+def test_bpe_tokens_superset_of_whitespace(spark, sf_dir, run):
+    """BPE-ish segmentation splits punctuation off words, so the
+    subword count is >= the whitespace token count for every doc."""
+    from kafka_to_parquet_spark.functions.text import tokens_col
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_ws")
+    )
+    joined = run("q_text_bpe_tokens").join(d, "doc_id")
+    assert joined.filter(F.col("n_bpe") < F.col("n_ws")).count() == 0
+
+
+def test_stratified_sample_fraction(spark, sf_dir, run):
+    """Each stratum keeps exactly ceil(0.1 * n) docs."""
+    import math
+
+    d = load(spark, sf_dir, "documents")
+    totals = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    sampled = {
+        r["lang"]: r["count"] for r in run("q_sample_stratified").groupBy("lang").count().collect()
+    }
+    for lang, n in totals.items():
+        assert sampled.get(lang, 0) == math.ceil(0.1 * n), lang
+
+
 def test_multimodal_plumbing(run):
     """Binary payload column + typed metadata survive the pipeline;
     stubbed decode emits deterministic features with stable schema."""
