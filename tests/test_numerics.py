@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the cross-engine numeric
+determinism helpers — the foundation every money-sum oracle comparison
+rests on — plus sketch-accuracy bounds for the approximate aggregates.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+# 2-decimal money values up to 10M, list sizes up to 500: covers the
+# fixture range with headroom. Exactness requires sum(|x|·100) < 2^53.
+money = st.decimals(
+    min_value=Decimal("-10000000.00"),
+    max_value=Decimal("10000000.00"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(money, min_size=1, max_size=500))
+def test_dec_sum_is_exact(xs):
+    """sum(round(x·100))/100 equals the exact decimal sum for any
+    2-decimal inputs — independent of accumulation order."""
+    scaled = [round(float(x) * 100) for x in xs]
+    got = sum(scaled) / 100.0
+    want = sum(xs)  # exact Decimal arithmetic
+    assert Decimal(repr(got)) == want or abs(Decimal(repr(got)) - want) == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(money, min_size=1, max_size=500))
+def test_dec_sum_order_invariant(xs):
+    """The scaled-integer sum is bit-identical under any permutation —
+    the property that makes Spark partition order irrelevant."""
+    scaled = [round(float(x) * 100) for x in xs]
+    fwd = 0.0
+    for v in scaled:
+        fwd += float(v)
+    rev = 0.0
+    for v in reversed(scaled):
+        rev += float(v)
+    assert fwd == rev
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_floor_round_is_deterministic_on_doubles(x):
+    """floor-form rounding is a pure function of the double value (no
+    decimal-string path), and lands on the p-grid."""
+    import math
+
+    p = 4
+    s = float(10**p)
+    r = math.floor(x * s + 0.5) / s
+    assert r == math.floor(x * s + 0.5) / s
+    assert abs(r - x) <= 0.5 / s + abs(x) * 1e-15
+
+
+def test_dec_sum_spark_matches_python(spark):
+    """End-to-end: Spark's dec_sum over a shuffled 32-partition
+    DataFrame equals the exact Decimal sum."""
+    from kafka_to_parquet_spark.functions.rounding import dec_sum
+
+    vals = [(-1) ** i * (i * 7919 % 1000000) / 100.0 for i in range(10000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(32)
+    got = df.agg(dec_sum(F.col("x"), 2).alias("s")).collect()[0]["s"]
+    want = float(sum(Decimal(repr(v)) for v in vals))
+    assert got == want
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir, run):
+    """HLL++ with rsd=0.05 must land within ~3 sigma of exact."""
+    from kafka_to_parquet_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    approx = run("q_agg_approx_distinct").collect()[0]["n_parts_approx"]
+    assert abs(approx - exact) / exact < 0.15
