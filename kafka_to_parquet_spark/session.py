@@ -38,6 +38,7 @@ def get_spark(app_name: str = "kafka_to_parquet_spark", cpus: int | None = None)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/ktps_warehouse")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
     )
     spark = builder.getOrCreate()

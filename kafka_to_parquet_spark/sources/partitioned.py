@@ -1,0 +1,63 @@
+"""Partitioned-layout source: hive-style partitioned parquet + pruning.
+
+At 100 TB the single biggest scan lever is never reading most of the
+data: a date/tenant-partitioned layout turns a time-range predicate
+into directory pruning (PartitionFilters in the scan node), before any
+row is read. The fixture tables arrive unpartitioned, so this module
+materializes a date-partitioned copy of ``events`` once per (session,
+sf) into a temp dir — the layout ``partitionBy("event_date")`` that a
+production ingest job would write — and the declared query reads it
+back through a partition predicate.
+
+tests/test_plans.py asserts the plan shows non-empty PartitionFilters
+and that the pruned scan reads only the matching directories.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+_CACHE: dict[tuple[int, str], str] = {}
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once) and return the date-partitioned events layout:
+    ``.../event_date=YYYY-MM-DD/part-*.parquet``."""
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(), f"ktps_part_events_{abs(hash(sf_dir)) % 10**8}"
+        )
+        ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+        _CACHE[key] = out
+    return _CACHE[key]
+
+
+@query(
+    "q_partition_pruning",
+    oracle="""
+SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-03'
+""",
+)
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of the date-partitioned layout under a date predicate: the
+    filter binds to the partition column, so Spark prunes whole
+    directories (PartitionFilters) — I/O is proportional to the days
+    selected, not the table size. The oracle recomputes from the
+    unpartitioned source, proving the partitioned copy is lossless and
+    the pruning correct."""
+    path = partitioned_events_path(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return df.filter(
+        F.col("event_date").between(F.lit("2024-01-02"), F.lit("2024-01-03"))
+    ).select("event_id", "user_id", "event_type", "event_date")

@@ -79,6 +79,58 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_custom_state",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT)           AS n,
+       sum(round("value" * 100)) / 100.0  AS sum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: arbitrary stateful processing — a per-user running
+    (count, scaled-sum) accumulator via ``applyInPandasWithState``,
+    the PySpark surface for custom streaming operators (the
+    flatMapGroupsWithState analog). Each micro-batch updates the
+    per-key state struct and emits the running totals; the final
+    emission per key equals the batch aggregate, which makes this
+    oracle-checkable after a max-by-count reduction. State is one
+    (long, double) per user — bounded by |keys|, the property that
+    matters on an unbounded stream. Sums use the integer-scaled form
+    so the result is engine-exact (functions/rounding.py)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float((pdf["value"] * 100).round(0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "s": [s]})
+
+    running = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long, s double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(running, "update")
+    # Final state per key = the emission with the largest count.
+    final = emitted.groupBy("user_id").agg(F.max(F.struct("n", "s")).alias("m"))
+    return final.select(
+        "user_id",
+        F.col("m.n").alias("n"),
+        (F.col("m.s") / 100.0).alias("sum_value"),
+    )
+
+
+@query(
     "q_stream_dedup",
     oracle="""
 SELECT event_id, user_id, event_type

@@ -127,6 +127,67 @@ def test_asof_is_single_shuffle_window(run):
     assert n_ex == 1, f"{n_ex} exchanges"
 
 
+def test_partition_pruning_prunes_directories(run, spark, sf_dir):
+    """The date predicate must become PartitionFilters (directory
+    pruning), and the pruned scan must read only the 2 selected days of
+    the 30-day layout."""
+    import re
+
+    df = run("q_partition_pruning")
+    plan = plan_of(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    # layout sanity: the predicate selects 2 of the 30 day-directories
+    import glob
+    import os
+
+    from kafka_to_parquet_spark.sources.partitioned import partitioned_events_path
+
+    path = partitioned_events_path(spark, sf_dir)
+    all_days = glob.glob(os.path.join(path, "event_date=*"))
+    hit_days = [d for d in all_days if d.endswith(("2024-01-02", "2024-01-03"))]
+    assert len(all_days) == 30 and len(hit_days) == 2
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Co-located (bucketed) joins: both sides bucketed by the join key
+    into the same bucket count join WITHOUT any Exchange — the physical
+    property that makes repeated fact-fact joins affordable at 100 TB.
+    (Declared queries can't assume a writable warehouse, so the
+    capability is pinned here with a session-local warehouse.)"""
+    import re
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kafka_to_parquet_spark.tables import load
+
+    name_a = f"b_orders_{uuid.uuid4().hex[:8]}"
+    name_b = f"b_cust_{uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable(name_a)
+    load(spark, sf_dir, "customer").write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable(name_b)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        j = spark.table(name_a).join(
+            spark.table(name_b),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = plan_of(j)
+        n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_ex == 0, f"bucketed join still shuffles:\n{plan}"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {name_a}")
+        spark.sql(f"DROP TABLE IF EXISTS {name_b}")
+
+
 def test_exchange_count_bounded_on_flagship(run):
     """TPC-H-Q1 needs exactly one shuffle (partial agg → exchange →
     final agg). More means a regression in the plan."""
