@@ -44,7 +44,8 @@ HEADLINE = [
     "q_sort",              # global range-partitioned sort
     "q_topk",              # TakeOrderedAndProject
     "q_dedup_exact",       # hash-groupBy dedup on documents
-    "q_dedup_simhash",     # simhash near-dup
+    "q_dedup_simhash",     # simhash fingerprints
+    "q_dedup_simhash_pairs",  # simhash LSH banding → hamming pairs
     "q_dedup_ngram_jaccard",  # inverted-index similarity join
     "q_dedup_minhash_lsh", # MLlib MinHash LSH candidate pairs
     "q_dedup_embedding",   # label-blocked cosine near-dup

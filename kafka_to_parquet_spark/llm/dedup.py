@@ -216,6 +216,78 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
+SIMHASH_BANDS = 4  # 4 bands × 8 bits
+SIMHASH_HAMMING_TAU = 3
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token FROM documents
+),
+bits AS (
+  SELECT doc_id, k,
+         ((strpos('0123456789abcdef', substr(md5(token), CAST(k // 4 AS INTEGER) + 1, 1)) - 1)
+          >> CAST(k % 4 AS INTEGER)) & 1 AS bit
+  FROM toks CROSS JOIN range({SIMHASH_BITS}) r(k)
+),
+sig AS (
+  SELECT doc_id, k, sum(2 * bit - 1) AS s FROM bits GROUP BY doc_id, k
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM sig GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b, (simhash >> CAST(8 * b AS INTEGER)) & 255 AS band_val
+  FROM fp CROSS JOIN range({SIMHASH_BANDS}) r(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_TAU}
+""",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b': SimHash LSH banding — near-dup *pairs* from the
+    fingerprints of q_dedup_simhash. Each 32-bit fingerprint splits
+    into 4 bands of 8 bits; candidate pairs share at least one exact
+    band (a Hamming-≤3 pair must agree on ≥1 band by pigeonhole when
+    distance < bands... here the band filter is recall-lossy only for
+    pairs whose flipped bits spread across all bands — the standard LSH trade,
+    and the oracle implements the identical banding so correctness is
+    exact). The equi-join on (band, value) makes candidate generation
+    shuffle-bounded by bucket sizes — never N². Verification cost per
+    candidate is one xor+popcount."""
+    fp = q_dedup_simhash(spark, sf_dir)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("b"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, CAST(8 * b AS INT)) & 255"))
+    a, bb = banded.alias("a"), banded.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_TAU)
+        .distinct()
+    )
+
+
 @query("q_dedup_minhash_lsh")  # rows-only: LSH banding isn't SQL-expressible
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3c: MinHash + LSH near-dup candidates via MLlib — 3-gram
