@@ -1,0 +1,106 @@
+"""Near-dup clustering: connected components over the SimHash-band
+near-dup pair graph — the step that turns pairwise matches into dedup
+groups (keep min doc_id per component, drop the rest).
+
+Spark side: Pregel-style iterative min-label propagation. Each round
+is fully distributed (join edges→labels, union, min-aggregate); the
+driver only checks a scalar convergence sum, and lineage is truncated
+per round with localCheckpoint so plans don't grow with iterations.
+Rounds needed = graph diameter (small for near-dup clusters); each
+round is one shuffle — the same shape GraphX/GraphFrames use, built
+from plain DataFrame ops.
+
+Oracle: DuckDB recursive CTE computing min reachable label — an
+independent fixpoint formulation, so agreement is strong evidence the
+iteration converges to the true components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.llm.dedup import q_dedup_simhash_pairs
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+_PAIRS_CTE = """
+toks AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS token
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, k,
+         ((strpos('0123456789abcdef', substr(md5(token), CAST(k // 4 AS INTEGER) + 1, 1)) - 1)
+          >> CAST(k % 4 AS INTEGER)) & 1 AS bit
+  FROM toks CROSS JOIN range(32) r(k)
+),
+sig AS (SELECT doc_id, k, sum(2 * bit - 1) AS s FROM bits GROUP BY doc_id, k),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM sig GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b, (simhash >> CAST(8 * b AS INTEGER)) & 255 AS band_val
+  FROM fp CROSS JOIN range(4) r(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+)
+"""
+
+
+@query(
+    "q_dedup_components",
+    oracle=f"""
+WITH RECURSIVE
+{_PAIRS_CTE},
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+)
+SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS component FROM reach GROUP BY n
+""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the near-dup graph: every document
+    labeled with the min doc_id of its component (singletons label
+    themselves). Iterative min-label propagation; see module
+    docstring for the scale analysis."""
+    pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(64):  # diameter bound; near-dup clusters are shallow
+        msgs = edges.join(labels, edges.doc_a == labels.doc_id).select(
+            F.col("doc_b").alias("doc_id"), "component"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -126,6 +126,23 @@ def test_stratified_sample_fraction(spark, sf_dir, run):
         assert sampled.get(lang, 0) == math.ceil(0.1 * n), lang
 
 
+def test_components_are_consistent(spark, sf_dir, run):
+    """Component labels: every doc labeled once, label ≤ doc_id (min
+    propagation), both endpoints of every near-dup edge share a label,
+    and each component's label is a member of the component."""
+    labels = run("q_dedup_components").cache()
+    d = load(spark, sf_dir, "documents")
+    assert labels.count() == d.count()
+    assert labels.filter(F.col("component") > F.col("doc_id")).count() == 0
+    edges = run("q_dedup_simhash_pairs").select("doc_a", "doc_b")
+    la = labels.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("component", "ca")
+    lb = labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("component", "cb")
+    mismatched = edges.join(la, "doc_a").join(lb, "doc_b").filter(F.col("ca") != F.col("cb"))
+    assert mismatched.count() == 0
+    roots = labels.select(F.col("component").alias("doc_id")).distinct()
+    assert roots.join(labels, "doc_id", "left_anti").count() == 0
+
+
 def test_multimodal_plumbing(run):
     """Binary payload column + typed metadata survive the pipeline;
     stubbed decode emits deterministic features with stable schema."""
