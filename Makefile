@@ -1,0 +1,27 @@
+SF_DIR ?= /root/testdata/sf0.01
+
+.PHONY: test verify verify-plain bench plans smoke
+
+test:
+	python -m pytest tests/ -x -q
+
+verify:
+	python tools/verify_oracle.py --sf $(SF_DIR) --rows-only-too
+
+verify-plain:  # driver-fidelity: bare SparkSession like the driver's
+	python tools/verify_oracle.py --sf $(SF_DIR) --rows-only-too --plain-session
+
+bench:
+	python bench.py
+
+plans:
+	python tools/plan_audit.py
+
+smoke:  # the driver's t1 check through the real contract surface
+	python -c "import sys; sys.path.insert(0, '.'); \
+	import __spark_entry__ as e; \
+	from pyspark.sql import SparkSession; \
+	s = SparkSession.builder.master('local[32]').getOrCreate(); \
+	print('entry rows:', e.entry(s).count()); \
+	q, o = e.queries(), e.oracle_sql(); \
+	print(len(q), 'queries,', len(o), 'oracles')"
