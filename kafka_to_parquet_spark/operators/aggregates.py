@@ -223,3 +223,61 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
         F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
     )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)   AS n_high_disc,
+       CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)    AS n_bulk,
+       sum(round(l_extendedprice * 100) * CAST(l_tax > 0.04 AS INTEGER)) / 100.0
+         AS taxed_price,
+       CAST(count(*) AS BIGINT)                                    AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — FILTER-clause style counts and a
+    condition-masked money sum, all in ONE pass over the fact table
+    (vs the naive multi-scan union). count_if / when-masking are the
+    Spark forms; the masked sum keeps the integer-scaled exactness of
+    dec_sum."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_disc"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0)
+                * (F.col("l_tax") > 0.04).cast("int")
+            )
+            / 100.0
+        ).alias("taxed_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+SELECT c_nationkey,
+       string_agg(c_name, '|' ORDER BY c_name) AS names,
+       CAST(count(*) AS BIGINT)                AS n
+FROM customer
+WHERE c_custkey <= 50
+GROUP BY c_nationkey
+""",
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg / string_agg): bounded
+    groups only — the WITHIN GROUP order makes the concatenation
+    deterministic, and the custkey cap keeps per-group state small
+    (unbounded listagg at 100 TB is an anti-pattern; collect into
+    arrays with explicit limits instead)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    return c.groupBy("c_nationkey").agg(
+        F.expr("listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name)").alias("names"),
+        F.count("*").alias("n"),
+    )

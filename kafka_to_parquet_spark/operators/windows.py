@@ -9,6 +9,8 @@ mktsegment) — no single giant partition.
 
 from __future__ import annotations
 
+# (analytic CDF window functions appended at the bottom of this module)
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -144,4 +146,35 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
         .drop("rn")
+    )
+
+
+@query(
+    "q_win_cdf",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cume,
+       CAST(ntile(10) OVER w AS INTEGER) AS decile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_win_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1': distribution-analytic window functions — percent_rank /
+    cume_dist / decile ntile per market segment. percent_rank is
+    (rank-1)/(n-1): a ratio of small integers, identical in both
+    engines; rounding is cosmetic. The unique (acctbal, custkey) order
+    makes every rank deterministic."""
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
     )
