@@ -281,3 +281,36 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name)").alias("names"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_agg_unpivot",
+    oracle="""
+SELECT l_returnflag, metric, round(val, 2) AS val
+FROM (
+  SELECT l_returnflag,
+         sum(round(l_quantity * 100)) / 100.0      AS total_qty,
+         sum(round(l_extendedprice * 100)) / 100.0 AS total_price,
+         CAST(count(*) AS DOUBLE)                  AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+UNPIVOT (val FOR metric IN (total_qty, total_price, n_rows))
+""",
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — wide per-group metrics back to long
+    (group, metric, value) form, the inverse of q_agg_pivot. Spark's
+    native unpivot is a per-row expansion (no shuffle beyond the
+    aggregation that feeds it)."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        (F.sum(F.round(F.col("l_quantity") * 100, 0)) / 100.0).alias("total_qty"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100, 0)) / 100.0).alias("total_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["total_qty", "total_price", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="val_raw",
+    ).select("l_returnflag", "metric", F.round("val_raw", 2).alias("val"))
