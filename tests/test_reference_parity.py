@@ -79,6 +79,19 @@ def test_sink_writes_reference_layout(spark, sf_dir):
     assert not pq.read_schema(files[0]).field("b").nullable
 
 
+def test_sink_batch_size_edges(spark, sf_dir):
+    """batch_size larger than the data → exactly one file per source
+    partition holding all its rows (the final-partial-batch case the
+    reference never flushes, main.rs:236-272)."""
+    out = tempfile.mkdtemp(prefix="ktps_sink_edge_")
+    rec = kafka_records(spark, sf_dir)
+    manifest = write_partition_batches(rec, out, batch_size=10**9).collect()
+    n_parts = rec.select("partition").distinct().count()
+    assert len(manifest) == n_parts
+    assert sum(m["n_rows"] for m in manifest) == rec.count()
+    assert all(m["batch_id"] == 0 for m in manifest)
+
+
 def test_synth_generator_shape(run):
     """S7 (main.rs:59-96): N messages, payload 'Message {i}', key
     'Key {i}', one header header_key=header_value."""

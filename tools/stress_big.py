@@ -1,0 +1,90 @@
+"""10× stress run: materialize an sf≈1 dataset (6M lineitem rows) by
+replicating sf0.1 with key offsets, then time the heavy relational
+queries on it. Confirms the scaling trend holds one decade past the
+bench scale on real (not extrapolated) execution.
+
+Usage: python tools/stress_big.py   (appends a section to SCALING.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_to_parquet_spark import registry  # noqa: E402
+from kafka_to_parquet_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/ktps_sf1"
+COPIES = 10
+
+QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_agg_salted",
+           "q_agg_percentile", "q_agg_stats", "q_count_batcher", "q_join_asof"]
+
+OFFSETS = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 0},
+    "events": {"event_id": 10_000_000, "user_id": 0},
+}
+
+
+def build(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    for table, offs in OFFSETS.items():
+        out = f"{DST}/{table}.parquet"
+        if os.path.exists(out):
+            continue
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        base = spark.read.parquet(f"{SRC}/{table}.parquet")
+        parts = []
+        for i in range(COPIES):
+            df = base
+            for col, step in offs.items():
+                if step:
+                    df = df.withColumn(col, F.col(col) + F.lit(i * step))
+            parts.append(df)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(out)
+    # small tables ride along unchanged
+    for t in ("region", "nation", "customer", "supplier", "part", "documents", "embeddings"):
+        link = f"{DST}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{t}.parquet", link)
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("stress_big")
+    build(spark)
+    n = spark.read.parquet(f"{DST}/lineitem.parquet").count()
+    print(f"lineitem rows: {n}")
+
+    lines = ["", "## 10× stress (sf≈1, built by tools/stress_big.py)", "",
+             f"lineitem = {n:,} rows (10× sf0.1 with key offsets).", "",
+             "| query | t(sf0.1) | t(sf≈1) | ratio (10× data) |", "|---|---|---|---|"]
+    for name in QUERIES:
+        fn = registry.QUERIES[name]
+        fn(spark, SRC).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn(spark, SRC).write.format("noop").mode("overwrite").save()
+        t_small = time.time() - t0
+        t0 = time.time()
+        fn(spark, DST).write.format("noop").mode("overwrite").save()
+        t_big = time.time() - t0
+        lines.append(f"| {name} | {t_small:.2f}s | {t_big:.2f}s | {t_big / t_small:.1f}× |")
+        print(lines[-1])
+
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended to SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
