@@ -102,7 +102,16 @@ FROM lineitem
 def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: frame-spec aggregates — running sum (unbounded preceding)
     and 4-row moving average. The ROWS frame makes both engines
-    accumulate over the identical ordered row set."""
+    accumulate over the identical ordered row set.
+
+    Scale caveat (measured in tools/stress_big.py): this fixture has
+    only 10 suppliers at every sf, so partitioning by l_suppkey gives
+    10 giant window partitions — parallelism is capped at 10 and each
+    partition sorts rows/10 rows. Running aggregates over genuinely
+    hot keys at 100 TB need either a higher-cardinality partition key
+    or the two-level prefix-sum decomposition (per-salt running sums +
+    per-key salt offsets); kept as-is here because the declared query
+    pins the reference semantics."""
     li = load(spark, sf_dir, "lineitem")
     order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
     w_run = (

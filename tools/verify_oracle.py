@@ -100,6 +100,8 @@ def main() -> int:
         fn = registry.QUERIES[name]
         oracle = registry.ORACLE_SQL.get(name)
         t0 = time.time()
+        if oracle is None and not args.rows_only_too:
+            continue
         try:
             sdf = fn(spark, args.sf)
             spdf = sdf.toPandas()
