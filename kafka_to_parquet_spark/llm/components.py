@@ -20,39 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_to_parquet_spark.llm.dedup import q_dedup_simhash_pairs
+from kafka_to_parquet_spark.llm.dedup import SIMHASH_PAIRS_CTE, q_dedup_simhash_pairs
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
-_PAIRS_CTE = """
-toks AS (
-  SELECT doc_id, unnest(list_distinct(
-    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS token
-  FROM documents
-),
-bits AS (
-  SELECT doc_id, k,
-         ((strpos('0123456789abcdef', substr(md5(token), CAST(k // 4 AS INTEGER) + 1, 1)) - 1)
-          >> CAST(k % 4 AS INTEGER)) & 1 AS bit
-  FROM toks CROSS JOIN range(32) r(k)
-),
-sig AS (SELECT doc_id, k, sum(2 * bit - 1) AS s FROM bits GROUP BY doc_id, k),
-fp AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)
-              AS BIGINT) AS simhash
-  FROM sig GROUP BY doc_id
-),
-banded AS (
-  SELECT doc_id, simhash, b, (simhash >> CAST(8 * b AS INTEGER)) & 255 AS band_val
-  FROM fp CROSS JOIN range(4) r(b)
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-),
+# Reuse the exact banded-LSH pair CTE from dedup.py (single source of
+# truth for SIMHASH_* thresholds); just add the undirected edge view.
+_PAIRS_CTE = f"""
+{SIMHASH_PAIRS_CTE},
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION ALL

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
 from kafka_to_parquet_spark.functions.text import tokens_col, _TOKENS_SQL
-from kafka_to_parquet_spark.functions.vectors import cosine_expr, duck_cosine
+from kafka_to_parquet_spark.functions.vectors import duck_cosine
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
@@ -36,24 +36,31 @@ NGRAM_JACCARD_TAU = 0.1  # pairs below this aren't near-dups (corpus jaccard ≈
 MINHASH_DIST_TAU = 0.5  # approxSimilarityJoin keeps Jaccard distance < 0.5
 
 
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, source, sh): distinct word-3-gram shingles per
     document — the shared candidate representation for the ngram and
     MinHash near-dup operators.
 
-    The result is persisted: every consumer is a self-join (2-4 plan
-    subtrees over the same shingles), and without a materialization
-    boundary each subtree re-runs scan+tokenize+shingle. This is the
-    local[*] analog of checkpointing the shingle table before a
-    100 TB self-join — you never recompute the expensive derivation
-    per join side."""
+    The result is persisted AND memoized per (session, sf_dir): every
+    consumer is a self-join (2-4 plan subtrees over the same
+    shingles), and without a materialization boundary each subtree
+    re-runs scan+tokenize+shingle. Memoization keeps repeated calls
+    (sweeps, bench warm-ups) from stacking duplicate cache entries in
+    block-manager memory. This is the local[*] analog of
+    checkpointing the shingle table before a 100 TB self-join."""
+    key = (id(spark), sf_dir)
+    if key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[key]
     d = load(spark, sf_dir, "documents")
     # Filter on the token count, NOT on size(sh) > 0 (equivalent for
     # ≥3 tokens): a filter referencing the derived ``sh`` column gets
     # pushed below the projection by Catalyst with the whole
     # tokenize+shingle expression re-inlined into the Filter — the
     # pipeline then runs several times per row (observed 4-8× slower).
-    return (
+    out = (
         d.select("doc_id", "lang", "source", tokens_col(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)
         .withColumn(
@@ -67,6 +74,8 @@ def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("toks")
         .persist()
     )
+    _SHINGLE_CACHE[key] = out
+    return out
 
 
 @query(
@@ -219,11 +228,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BANDS = 4  # 4 bands × 8 bits
 SIMHASH_HAMMING_TAU = 3
 
-
-@query(
-    "q_dedup_simhash_pairs",
-    oracle=f"""
-WITH toks AS (
+# Shared DuckDB CTE block ending in `pairs` — the single source of
+# truth for the banded-LSH oracle, reused by q_dedup_simhash_pairs and
+# llm/components.py's connected-components oracle so the thresholds
+# can never drift between them.
+SIMHASH_PAIRS_CTE = f"""
+toks AS (
   SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token FROM documents
 ),
 bits AS (
@@ -242,15 +252,24 @@ fp AS (
   FROM sig GROUP BY doc_id
 ),
 banded AS (
-  SELECT doc_id, simhash, b, (simhash >> CAST(8 * b AS INTEGER)) & 255 AS band_val
+  SELECT doc_id, simhash, b,
+         (simhash >> CAST({SIMHASH_BITS // SIMHASH_BANDS} * b AS INTEGER))
+           & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS band_val
   FROM fp CROSS JOIN range({SIMHASH_BANDS}) r(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_TAU}
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM banded a JOIN banded b
-  ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_TAU}
-""",
+"""
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=f"WITH {SIMHASH_PAIRS_CTE} SELECT doc_a, doc_b, hamming FROM pairs",
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3b': SimHash LSH banding — near-dup *pairs* from the

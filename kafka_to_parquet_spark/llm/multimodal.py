@@ -73,9 +73,11 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CAST(16 + length(text) % 64 AS INTEGER)        AS width,
        CAST(16 + (length(text) * 7) % 64 AS INTEGER)  AS height,
-       round(list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(1, 17), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-             (a, b) -> a + b) / 16.0, 4)              AS mean16
+       CASE WHEN length(text) >= 16
+            THEN round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, 17), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                 (a, b) -> a + b) / 16.0, 4)
+            ELSE 0.0 END                              AS mean16
 FROM documents
 """,
 )

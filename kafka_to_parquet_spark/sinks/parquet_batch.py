@@ -32,27 +32,21 @@ import tempfile
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.registry import query
-from kafka_to_parquet_spark.sources.kafka_analog import BATCH_SIZE, kafka_records
+from kafka_to_parquet_spark.sources.kafka_analog import (
+    BATCH_SIZE,
+    kafka_records,
+    with_batch_id,
+)
 
 # The reference's output schema: one REQUIRED UTF-8 column named b
 # (main.rs:113-117). nullable=False makes the parquet field REQUIRED.
 _SINK_SCHEMA = pa.schema([pa.field("b", pa.string(), nullable=False)])
 
 MANIFEST_SCHEMA = "partition int, batch_id long, n_rows long, path string"
-
-
-def with_batch_id(df: DataFrame, batch_size: int = BATCH_SIZE) -> DataFrame:
-    """q_count_batcher's window formulation as a reusable op: requires
-    ``partition`` and ``offset`` columns."""
-    w = Window.partitionBy("partition").orderBy("offset")
-    return df.withColumn(
-        "batch_id",
-        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size)).cast("long"),
-    )
 
 
 def write_partition_batches(

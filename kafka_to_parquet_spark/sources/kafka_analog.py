@@ -37,6 +37,18 @@ FROM events
 """
 
 
+def with_batch_id(df: DataFrame, batch_size: int = BATCH_SIZE) -> DataFrame:
+    """S4's batch-id assignment as a reusable op (single source of
+    truth — q_count_batcher and the parquet sink both use it):
+    batch_id = floor((row_number per partition by offset − 1) / N).
+    Requires ``partition`` and ``offset`` columns."""
+    w = Window.partitionBy("partition").orderBy("offset")
+    return df.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size)).cast("long"),
+    )
+
+
 def kafka_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Kafka-shaped record stream (batch form)."""
     ev = load(spark, sf_dir, "events")
@@ -110,14 +122,7 @@ def q_count_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per partition and shuffles hash-partition on the same key
     a real Kafka topic would."""
     rec = kafka_records(spark, sf_dir)
-    w = Window.partitionBy("partition").orderBy("offset")
-    return rec.select(
-        "offset",
-        "partition",
-        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(BATCH_SIZE))
-        .cast("long")
-        .alias("batch_id"),
-    )
+    return with_batch_id(rec, BATCH_SIZE).select("offset", "partition", "batch_id")
 
 
 @query(

@@ -15,6 +15,7 @@ and that the pruned scan reads only the matching directories.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -32,9 +33,11 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     ``.../event_date=YYYY-MM-DD/part-*.parquet``."""
     key = (id(spark), sf_dir)
     if key not in _CACHE:
-        out = os.path.join(
-            tempfile.gettempdir(), f"ktps_part_events_{abs(hash(sf_dir)) % 10**8}"
-        )
+        # Stable digest (not Python's randomized str hash) so repeated
+        # processes reuse/overwrite ONE directory per sf instead of
+        # leaving a fresh full copy in /tmp per run.
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"ktps_part_events_{digest}")
         ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
         ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
         _CACHE[key] = out

@@ -85,7 +85,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session",
     oracle=f"""
 WITH ordered AS (
-  SELECT user_id, ts, "value",
+  SELECT user_id, ts, event_id, "value",
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                    >= {SESSION_GAP_S}
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -94,7 +94,7 @@ WITH ordered AS (
 ),
 islands AS (
   SELECT user_id, ts, "value",
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
   FROM ordered
 )
