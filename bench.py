@@ -86,17 +86,26 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        timings[name] = round(run_one(spark, name, sf_dir), 3)
+        # One failing query must not abort the benchmark — record the
+        # error and keep the other timings.
+        try:
+            timings[name] = round(run_one(spark, name, sf_dir), 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -67,9 +67,10 @@ def q_udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vector is a tiny driver-side constant captured in the
     closure (broadcast-equivalent for one vector)."""
     e = load(spark, sf_dir, "embeddings")
-    qvec = np.asarray(
-        e.filter(F.col("vec_id") == 0).select("embedding").head()[0], dtype=np.float64
-    )
+    head = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if head is None:
+        raise ValueError("q_udf_pandas_cosine: embeddings table has no vec_id=0 query vector")
+    qvec = np.asarray(head[0], dtype=np.float64)
     q_sq_fold = float(_fold_sq(qvec[None, :])[0])
 
     @pandas_udf("double")

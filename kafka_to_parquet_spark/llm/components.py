@@ -64,7 +64,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = None
-    for _ in range(64):  # diameter bound; near-dup clusters are shallow
+    converged = False
+    max_rounds = 64
+    for _ in range(max_rounds):
         msgs = edges.join(labels, edges.doc_a == labels.doc_id).select(
             F.col("doc_b").alias("doc_id"), "component"
         )
@@ -76,6 +78,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Never return partially-propagated labels silently: a diameter
+        # > max_rounds graph (ultra-long near-dup chains) must fail
+        # loudly, not ship wrong dedup groups.
+        raise RuntimeError(
+            f"connected-components did not converge within {max_rounds} rounds; "
+            "graph diameter exceeds the bound — raise max_rounds or switch to "
+            "large-star/small-star contraction"
+        )
     return labels

@@ -36,7 +36,10 @@ NGRAM_JACCARD_TAU = 0.1  # pairs below this aren't near-dups (corpus jaccard ≈
 MINHASH_DIST_TAU = 0.5  # approxSimilarityJoin keeps Jaccard distance < 0.5
 
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Keyed on the SparkSession object itself (not id(): CPython reuses
+# ids after GC, which could hand a new session a DataFrame bound to a
+# stopped one). The strong session ref is deliberate.
+_SHINGLE_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
 
 
 def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +54,7 @@ def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sweeps, bench warm-ups) from stacking duplicate cache entries in
     block-manager memory. This is the local[*] analog of
     checkpointing the shingle table before a 100 TB self-join."""
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     if key in _SHINGLE_CACHE:
         return _SHINGLE_CACHE[key]
     d = load(spark, sf_dir, "documents")

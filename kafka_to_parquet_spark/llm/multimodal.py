@@ -41,13 +41,18 @@ def decode_image_stub(data: bytes) -> dict:
 
 
 def fake_decode_features(data: bytes) -> tuple[int, int, float]:
-    """Deterministic stand-in for decode + feature-extract: pretend the
-    byte length encodes image dimensions and the first 16 bytes are a
-    pixel sample. Pure function of the bytes → oracle-expressible."""
-    n = len(data)
+    """Deterministic stand-in for decode + feature-extract: "decode"
+    the payload (UTF-8) and pretend the character count encodes image
+    dimensions, with the first 16 code points as a pixel sample.
+    Operating on decoded characters — not raw bytes — keeps the
+    function aligned with the oracles' length(text)/ascii(substr)
+    semantics for non-ASCII payloads too (byte counts diverge from
+    char counts the moment a multi-byte character appears)."""
+    text = data.decode("utf-8")
+    n = len(text)
     width = 16 + n % 64
     height = 16 + (n * 7) % 64
-    mean16 = sum(data[:16]) / 16.0 if n >= 16 else 0.0
+    mean16 = sum(ord(c) for c in text[:16]) / 16.0 if n >= 16 else 0.0
     return width, height, mean16
 
 
@@ -131,7 +136,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = pdf["media_bytes"].map(fake_decode_features)
-            n = pdf["media_bytes"].map(len)
+            n = pdf["media_bytes"].map(lambda d: len(d.decode("utf-8")))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -172,10 +177,11 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_frames = (pdf["media_bytes"].map(len) // frame).astype("int32")
+            texts = pdf["media_bytes"].map(lambda d: d.decode("utf-8"))
+            n_frames = (texts.map(len) // frame).astype("int32")
             sampled = [
-                [data[k * frame] for k in range(0, nf, stride)]
-                for data, nf in zip(pdf["media_bytes"], n_frames)
+                [ord(t[k * frame]) for k in range(0, nf, stride)]
+                for t, nf in zip(texts, n_frames)
             ]
             out = pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "n_frames": n_frames, "sampled": sampled}

@@ -55,8 +55,10 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 def has_wholestage_codegen(df: DataFrame) -> bool:
     """Whether the executed plan ran with whole-stage codegen. Executes
-    the DataFrame (AQE's pre-execution plan hides codegen stages); the
-    ``*(n)`` markers of simple-mode explain are the reliable signal."""
+    the DataFrame via collect() (AQE's pre-execution plan hides codegen
+    stages); the ``*(n)`` markers of simple-mode explain are the
+    reliable signal. WARNING: collect() pulls the result to the driver
+    — only call this on small results (tests use 6-row aggregates)."""
     df.collect()
     return "*(" in explain_str(df, "simple")
 

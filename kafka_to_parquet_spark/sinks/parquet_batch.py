@@ -25,6 +25,7 @@ mode writes all rows including the final partial batch; streaming mode
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -115,7 +116,11 @@ def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded input: equality proves the sink is lossless (row count and
     values), including ""-decoded null payloads and the final partial
     batch the reference would drop."""
-    out_dir = tempfile.mkdtemp(prefix="ktps_roundtrip_")
+    # Stable per-sf directory: repeated calls overwrite the same
+    # deterministically-named files instead of leaking one full copy
+    # of the dataset per invocation.
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"ktps_roundtrip_{digest}")
     try:
         rec = kafka_records(spark, sf_dir)
         manifest = write_partition_batches(rec, out_dir, BATCH_SIZE)

@@ -27,9 +27,9 @@ BATCH_SIZE = 100  # reference: --num-messages doubles as batch size (main.rs:358
 # DuckDB fragment mirroring kafka_records() — prefixed into the (R)
 # oracles below. "offset"/"partition"/"timestamp"/"value" are quoted:
 # reserved-ish words in ANSI/DuckDB.
-_ANALOG_SQL = """
+_ANALOG_SQL = f"""
 SELECT CAST(event_id AS BIGINT)                 AS "offset",
-       CAST(event_id % 4 AS INTEGER)            AS "partition",
+       CAST(event_id % {N_PARTITIONS} AS INTEGER)            AS "partition",
        concat('Key ', CAST(event_id AS VARCHAR)) AS "key",
        CASE WHEN event_type = 'error' THEN NULL ELSE props END AS "value",
        ts                                        AS "timestamp"

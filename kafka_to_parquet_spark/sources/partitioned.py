@@ -25,13 +25,16 @@ from pyspark.sql import functions as F
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
-_CACHE: dict[tuple[int, str], str] = {}
+# Session-object key (id() can be recycled after GC). Single-driver
+# assumption: concurrent processes sharing the same /tmp layout dir
+# would race overwrite-vs-read; the driver runs one process at a time.
+_CACHE: dict[tuple[SparkSession, str], str] = {}
 
 
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Write (once) and return the date-partitioned events layout:
     ``.../event_date=YYYY-MM-DD/part-*.parquet``."""
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     if key not in _CACHE:
         # Stable digest (not Python's randomized str hash) so repeated
         # processes reuse/overwrite ONE directory per sf instead of

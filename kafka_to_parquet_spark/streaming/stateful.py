@@ -40,7 +40,13 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
-    a memory sink; return the sink table as a batch DataFrame."""
+    a memory sink; return the result as a batch DataFrame.
+
+    The memory-sink table is copied out (localCheckpoint — stays
+    distributed, no driver collect) and dropped from the catalog, so
+    repeated invocations in one session don't accumulate named
+    in-memory tables forever."""
+    spark = sdf.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     q = (
         sdf.writeStream.format("memory")
@@ -50,7 +56,9 @@ def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @query("q_stream_watermark")  # rows-only: emission depends on watermark progression
