@@ -47,6 +47,71 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     return _CACHE[key]
 
 
+DELETE_USER = 7
+
+_DELETE_CACHE: dict[tuple[SparkSession, str], str] = {}
+
+
+@query(
+    "q_delete_compact",
+    oracle=f"""
+SELECT event_id, user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+FROM events
+WHERE user_id <> {DELETE_USER}
+""",
+)
+def q_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted deletion + compaction (the GDPR-erasure / takedown op
+    of a training-data pipeline): remove one user's rows from the
+    date-partitioned events layout by rewriting ONLY the partitions
+    that contain them, via dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``). At 100 TB
+    this touches |affected days| of data instead of the whole table —
+    the difference between an hours-long full rewrite and a targeted
+    one. The oracle is the logical result (source minus user): reading
+    the rewritten layout back must equal it exactly, proving both the
+    delete and the untouched-partition preservation."""
+    key = (spark, sf_dir)
+    if key not in _DELETE_CACHE:
+        src = partitioned_events_path(spark, sf_dir)
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        dst = os.path.join(tempfile.gettempdir(), f"ktps_delete_{digest}")
+        # working copy of the layout (stands in for the production table)
+        spark.read.parquet(src).write.mode("overwrite").partitionBy("event_date").parquet(dst)
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        tbl = spark.read.parquet(dst)
+        affected = [
+            r["event_date"]
+            for r in tbl.filter(F.col("user_id") == DELETE_USER)
+            .select("event_date")
+            .distinct()
+            .collect()
+        ]
+        if affected:
+            # rewrite only the affected day-partitions, keeping their
+            # other users' rows; dynamic mode leaves every other
+            # partition directory untouched
+            (
+                tbl.filter(
+                    F.col("event_date").isin(affected)
+                    & (F.col("user_id") != DELETE_USER)
+                )
+                .write.mode("overwrite")
+                .partitionBy("event_date")
+                .parquet(dst)
+            )
+        _DELETE_CACHE[key] = dst
+    out = spark.read.parquet(_DELETE_CACHE[key])
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
+    )
+
+
 @query(
     "q_partition_pruning",
     oracle="""
