@@ -187,3 +187,77 @@ def q_win_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@query(
+    "q_win_running_scalable",
+    oracle="""
+SELECT l_suppkey,
+       l_orderkey,
+       l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_qty
+FROM lineitem
+""",
+)
+def q_win_running_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 scale path: hot-key running sum via two-level prefix-sum
+    decomposition. Same semantics as q_win_running's running_qty, but
+    parallelism is no longer capped at the number of distinct partition
+    keys (10 suppliers in the fixture; a handful of hot tenants at
+    100 TB).
+
+    Decomposition: bucket each row by a monotone function of the
+    leading ORDER BY column (calendar month of l_shipdate — ~83 buckets
+    here), so every bucket is a contiguous run of the ordered stream.
+
+      1. within-bucket running sum — window over (key, bucket): the big
+         sort/scan now runs on keys × buckets partitions instead of
+         keys, and each partition sorts rows/(keys·buckets) rows;
+      2. per-(key, bucket) totals — one map-side-combined groupBy
+         producing keys × buckets rows (tiny at any scale);
+      3. exclusive prefix sum of those totals per key — a window over
+         the tiny table (≤ buckets rows per key);
+      4. broadcast-join the offsets back on (key, bucket) and add.
+
+    Exactness: l_quantity is integer-valued (TPC-H 1..50), so the
+    regrouped double sums are exact — bit-identical to the single
+    window. For fractional measures, decompose over integer-scaled
+    cents (functions/rounding.py) instead.
+
+    The single-window form (q_win_running) went 4.7x slower on 10x data
+    in tools/stress_big.py; this form is already faster in absolute
+    terms at 6M rows and is the one you'd run on a 1000-executor
+    cluster."""
+    li = load(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    bucket = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("_bkt")
+    df = li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity", bucket
+    )
+    w_in = (
+        Window.partitionBy("l_suppkey", "_bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = df.withColumn("_run_in", F.sum("l_quantity").over(w_in))
+    totals = df.groupBy("l_suppkey", "_bkt").agg(F.sum("l_quantity").alias("_tot"))
+    w_off = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "l_suppkey",
+        "_bkt",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0.0)).alias("_off"),
+    )
+    joined = within.join(F.broadcast(offsets), ["l_suppkey", "_bkt"])
+    return joined.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("_run_in") + F.col("_off"), 2).alias("running_qty"),
+    )

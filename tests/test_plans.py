@@ -194,3 +194,28 @@ def test_exchange_count_bounded_on_flagship(run):
     plan = plan_of(run("q_agg_groupby"))
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2, f"expected partial-agg plan, got {n_exchanges} exchanges"
+
+
+def test_running_scalable_partitions_on_key_and_bucket(run):
+    """The two-level prefix-sum running aggregate must (a) run its big
+    window partitioned by (key, bucket) — not by key alone, which caps
+    parallelism at the distinct-key count — and (b) bring the tiny
+    offset table in via broadcast, never a shuffled join."""
+    plan = plan_of(run("q_win_running_scalable"))
+    assert "hashpartitioning(l_suppkey" in plan and "_bkt" in plan.split(
+        "hashpartitioning(l_suppkey", 1
+    )[1].split(")")[0], "big window not partitioned by (key, bucket)"
+    assert "BroadcastHashJoin" in plan, "offset join is not broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_running_scalable_matches_single_window(run):
+    """Bit-identical to the single-window running sum (integer-valued
+    quantities make the decomposition exact, not approximate)."""
+    base = (
+        run("q_win_running")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    )
+    scal = run("q_win_running_scalable")
+    assert base.exceptAll(scal).count() == 0
+    assert scal.exceptAll(base).count() == 0

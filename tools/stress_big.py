@@ -23,8 +23,9 @@ SRC = "/root/testdata/sf0.1"
 DST = "/tmp/ktps_sf1"
 COPIES = 10
 
-QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_agg_salted",
-           "q_agg_percentile", "q_agg_stats", "q_count_batcher", "q_join_asof"]
+QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalable",
+           "q_agg_salted", "q_agg_percentile", "q_agg_stats", "q_count_batcher",
+           "q_join_asof"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
