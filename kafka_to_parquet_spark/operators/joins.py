@@ -197,3 +197,63 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").select("r_name")
     n = load(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(n)
+
+
+@query(
+    "q_join_range_binned",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(count(l.l_orderkey) AS BIGINT) AS n_shipped
+FROM orders o
+LEFT JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+""",
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 scale path: big x big point-in-interval join WITHOUT a
+    nested loop — the growth path q_join_range's docstring promises.
+    Per order, count lineitems (any order's) shipped within 7 days of
+    its order date: ~2.5M matched pairs at sf0.01, both sides growing
+    with SF, so BroadcastNestedLoopJoin / CartesianProduct are off the
+    table at 100 TB.
+
+    Binning: day-of-epoch DIV 7. An interval of width 7 days spans at
+    most 2 bins, so each interval is exploded to <= 2 (bin, interval)
+    rows and the join becomes EQUI on bin + residual timestamp filter
+    — a plain shuffled hash/sort-merge join that partitions on bin.
+    Cost is O(points + 2*intervals) shuffled rows instead of
+    O(points * intervals) comparisons; bin width should track interval
+    width (wider intervals -> explode to ceil(w/bin)+1 bins).
+
+    Count-then-left-join keeps the matched 2.5M-row stream inside one
+    shuffle: the inner binned join aggregates to per-order counts
+    first, and unmatched orders re-enter via a final left join with
+    coalesce(0) — at most orders-sized, never pairs-sized."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    day = lambda c: F.datediff(F.col(c), F.lit("1970-01-01"))  # noqa: E731
+    points = li.select(
+        "l_shipdate", (day("l_shipdate") / 7).cast("long").alias("_bin")
+    )
+    start = day("o_orderdate")
+    intervals = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (start / 7).cast("long"), ((start + 6) / 7).cast("long")
+                )
+            )
+        ).alias("_bin"),
+    )
+    pairs = intervals.join(points, on="_bin").where(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+    )
+    counts = pairs.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("_n"))
+    return o.join(counts, on="o_orderkey", how="left").select(
+        "o_orderkey", F.coalesce(F.col("_n"), F.lit(0)).alias("n_shipped")
+    )

@@ -219,3 +219,14 @@ def test_running_scalable_matches_single_window(run):
     scal = run("q_win_running_scalable")
     assert base.exceptAll(scal).count() == 0
     assert scal.exceptAll(base).count() == 0
+
+
+def test_range_binned_has_no_nested_loop(run):
+    """The binned big x big range join must be an equi join on the bin
+    (hash/sort-merge/broadcast-HASH are all fine) with the interval
+    predicate as a residual filter — never a nested-loop or cartesian
+    physical join, which are O(points * intervals) at scale."""
+    plan = plan_of(run("q_join_range_binned"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bin" in plan, "bin key missing from the physical plan"
