@@ -40,6 +40,7 @@ HEADLINE = [
     "q_join_broadcast",    # explicit broadcast dim join
     "q_join_semi_anti",    # semi/anti
     "q_join_range_binned", # big x big range join via bin-equi + residual
+    "q_join_skew_salted",  # salted fact x replicated dim skew join
     "q_win_running",       # running-sum window over full lineitem
     "q_win_running_scalable",  # two-level prefix-sum (hot-key scale path)
     "q_win_rank",          # ranking window

@@ -257,3 +257,46 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(counts, on="o_orderkey", how="left").select(
         "o_orderkey", F.coalesce(F.col("_n"), F.lit(0)).alias("n_shipped")
     )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT)         AS n_orders,
+       {dec_sum_sql('o_totalprice', 2)} AS sum_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 skew path: salted equi join — the manual pattern for a hot
+    join key when the dim side is too big to broadcast and AQE's
+    skew-split (which works on partition granularity) can't break up a
+    single monster key. Companion to q_agg_salted, which covers agg
+    skew.
+
+    Fact side gets salt = pmod(o_orderkey, 8) — derived from a
+    high-cardinality column so a hot o_custkey spreads over 8 reducers.
+    Dim side is replicated 8x (explode over the salt range), so every
+    (custkey, salt) fact partition finds its dim row locally. Join
+    keys become (custkey, salt): identical result set to the plain
+    join (the oracle IS the plain join), 8x dim replication cost,
+    straggler reducer split 8 ways. shuffle_hash hint pins the
+    shuffled-join shape the pattern exists for (the fixture dim would
+    otherwise auto-broadcast, where salting is pointless)."""
+    salt_n = 8
+    o = load(spark, sf_dir, "orders").withColumn(
+        "_salt", F.pmod(F.col("o_orderkey"), F.lit(salt_n)).cast("int")
+    )
+    c = load(spark, sf_dir, "customer").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    joined = o.hint("shuffle_hash").join(
+        c, (o.o_custkey == c.c_custkey) & (o._salt == c._salt)
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )

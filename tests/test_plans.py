@@ -230,3 +230,16 @@ def test_range_binned_has_no_nested_loop(run):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "_bin" in plan, "bin key missing from the physical plan"
+
+
+def test_skew_salted_join_shuffles_on_key_and_salt(run):
+    """The salted join must shuffle on (join key, salt) — the salt
+    reaching the exchange is the whole point — and must not broadcast
+    (at real scale the dim is too big; the fixture would otherwise
+    auto-broadcast and hide the pattern)."""
+    plan = plan_of(run("q_join_skew_salted"))
+    import re
+
+    ex = re.search(r"hashpartitioning\(([^)]*)\)", plan)
+    assert ex and "_salt" in ex.group(1), "salt not in the join exchange keys"
+    assert "BroadcastHashJoin" not in plan
