@@ -25,7 +25,7 @@ COPIES = 10
 
 QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalable",
            "q_agg_salted", "q_agg_percentile", "q_agg_stats", "q_count_batcher",
-           "q_join_asof"]
+           "q_join_asof", "q_join_range_binned", "q_join_skew_salted"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
