@@ -29,9 +29,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    registry.load_all()
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries without an accepted driver correctness row yet
+    come first: the driver's per-round gate records only the first 50
+    entries, and rotation guarantees every declared query earns a row."""
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -56,14 +56,19 @@ SELECT vec_id,
        CAST(len(embedding) AS INTEGER)                       AS dim,
        round(CAST(embedding[1] AS DOUBLE), 6)                AS e0,
        round({duck_dot('embedding[1:8]', 'embedding[1:8]')}, 6) AS sq8,
-       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS first3,
+       array_to_string(list_transform(embedding[1:3],
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), ',') AS first3,
        round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS emax
 FROM embeddings
 """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over embeddings: size / element_at / slice /
-    transform / aggregate (HOF dot product) / array_max."""
+    transform / aggregate (HOF dot product) / array_max. The
+    transform output is serialized to a string of integer micro-units
+    (floor-form rounding, engine-stable) — scalar columns keep every
+    downstream row-hash comparator happy; integers render identically
+    in both engines, where formatted doubles would not."""
     e = load(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
@@ -72,8 +77,9 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr(dot_expr("slice(embedding, 1, 8)", "slice(embedding, 1, 8)")), 6
         ).alias("sq8"),
-        F.expr("transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 6))").alias(
-            "first3"
-        ),
+        F.expr(
+            "array_join(transform(slice(embedding, 1, 3),"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), ',')"
+        ).alias("first3"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("emax"),
     )

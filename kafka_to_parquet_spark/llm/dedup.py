@@ -19,6 +19,8 @@ so cost is Σ bucket² not N².
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -372,6 +374,138 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos_raw"),
         )
+        .filter(F.col("cos_raw") >= EMBED_NEAR_TAU)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Angular (random-hyperplane) LSH — the bucketed scale path for embedding
+# near-dup. q_dedup_embedding's label blocking is a stand-in whose block
+# size is unbounded at 100 TB; here the blocking key is derived from the
+# vector itself, so bucket sizes are governed by the signature width, not
+# by any data column.
+
+ANGULAR_BITS = 32
+ANGULAR_BANDS = 4  # 4 bands × 8 bits, mirroring the SimHash banding
+EMBED_DIM = 64
+
+
+def _hyperplane_signs(k: int, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic ±1 hyperplane components: sign (k, j) is the low
+    bit of md5(f"{k}_{j}"). Generated once in Python and inlined as
+    array literals into BOTH the Spark expression and the DuckDB
+    oracle, so the two engines fold bit-identical doubles — no
+    cross-engine RNG to reconcile."""
+    return [
+        1.0 if hashlib.md5(f"{k}_{j}".encode()).digest()[0] & 1 else -1.0
+        for j in range(dim)
+    ]
+
+
+def _angular_sig_terms() -> list[tuple[str, str]]:
+    """(spark_literal_array, duck_literal_array) per signature bit."""
+    out = []
+    for k in range(ANGULAR_BITS):
+        signs = _hyperplane_signs(k)
+        body = ",".join("1.0" if s > 0 else "-1.0" for s in signs)
+        out.append((f"array({body})", f"[{body}]"))
+    return out
+
+
+def _angular_oracle() -> str:
+    from kafka_to_parquet_spark.functions.vectors import duck_cosine, duck_dot
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN {duck_dot('embedding', dl)} > 0"
+        f" THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for k, (_, dl) in enumerate(_angular_sig_terms())
+    )
+    band_bits = ANGULAR_BITS // ANGULAR_BANDS
+    return f"""
+WITH sig AS (
+  SELECT vec_id, {bit_terms} AS sig FROM embeddings
+),
+banded AS (
+  SELECT vec_id, b,
+         (sig >> CAST({band_bits} * b AS INTEGER)) & {(1 << band_bits) - 1} AS band_val
+  FROM sig CROSS JOIN range({ANGULAR_BANDS}) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round({duck_cosine('ea.embedding', 'eb.embedding')}, 6) AS cos
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {duck_cosine('ea.embedding', 'eb.embedding')} >= {EMBED_NEAR_TAU}
+"""
+
+
+@query("q_dedup_embedding_lsh", oracle=_angular_oracle())
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3d': embedding near-dup via angular LSH — the 100 TB shape.
+    Signature bit k = sign of the projection onto a deterministic ±1
+    hyperplane (a zip_with/aggregate dot fold, same machinery as
+    dot_expr); 32-bit signatures band into 4×8 bits and candidates
+    equi-join on (band, value) exactly like q_dedup_simhash_pairs.
+    Candidate generation never touches a data column, so bucket sizes
+    are signature-governed, not corpus-governed — the fix for the
+    unbounded label blocks of q_dedup_embedding (kept as the
+    exact-within-bucket verifier). Recall < 1 by construction (the
+    standard LSH trade: a near pair whose differing bits spread over
+    all bands is missed); the oracle implements the identical banding
+    so correctness is exact.
+
+    Plan shape: the band join moves only (vec_id, band, band_val)
+    rows; vectors re-join onto the (distinct, far smaller) candidate
+    pair set for exact cosine verification — pair streams stay narrow
+    through the shuffle."""
+    from kafka_to_parquet_spark.functions.vectors import dot_expr, norm_expr
+
+    e = load(spark, sf_dir, "embeddings")
+    projs = [
+        F.expr(dot_expr("embedding", sl)).alias(f"p{k}")
+        for k, (sl, _) in enumerate(_angular_sig_terms())
+    ]
+    sig_col = None
+    for k in range(ANGULAR_BITS):
+        term = F.when(F.col(f"p{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sig_col = term if sig_col is None else sig_col + term
+    sig = e.select("vec_id", *projs).select(
+        "vec_id", sig_col.cast("long").alias("sig")
+    )
+    band_bits = ANGULAR_BITS // ANGULAR_BANDS
+    banded = sig.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(ANGULAR_BANDS - 1))).alias("b"),
+        F.col("sig"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(sig, CAST({band_bits} * b AS INT)) & {(1 << band_bits) - 1}"),
+    )
+    a, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    en = e.select("vec_id", "embedding", F.expr(norm_expr("embedding")).alias("nrm"))
+    cos = F.expr(dot_expr("ea.embedding", "eb.embedding")) / (
+        F.col("ea.nrm") * F.col("eb.nrm")
+    )
+    return (
+        cand.join(en.alias("ea"), F.col("vec_a") == F.col("ea.vec_id"))
+        .join(en.alias("eb"), F.col("vec_b") == F.col("eb.vec_id"))
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
         .filter(F.col("cos_raw") >= EMBED_NEAR_TAU)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
     )

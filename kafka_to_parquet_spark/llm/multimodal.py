@@ -159,9 +159,10 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        CAST(length(text) // 256 AS INTEGER) AS n_frames,
-       list_transform(range(0, CAST(length(text) // 256 AS BIGINT), 4),
-                      k -> CAST(ascii(substr(text, CAST(k * 256 + 1 AS INTEGER), 1)) AS INTEGER))
-         AS sampled
+       array_to_string(
+         list_transform(range(0, CAST(length(text) // 256 AS BIGINT), 4),
+                        k -> CAST(ascii(substr(text, CAST(k * 256 + 1 AS INTEGER), 1)) AS INTEGER)),
+         ',') AS sampled
 FROM documents
 WHERE length(text) >= 256
 """,
@@ -170,8 +171,10 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5d: frame sampling over a "video" binary column — treat each
     256-byte block as a frame, keep every 4th frame's first byte as
     its (fake) decoded sample. Mirrors ffmpeg-style stride sampling:
-    per-row map, output is an array column whose length is
-    n_frames/stride — no shuffle, memory bounded by the Arrow batch."""
+    per-row map, output is the sampled-frame list serialized to a
+    comma-joined string (scalar, so every downstream comparator can
+    hash it; integers render identically in every engine) — no
+    shuffle, memory bounded by the Arrow batch."""
     media = media_table(spark, sf_dir)
     frame, stride = 256, 4
 
@@ -180,7 +183,7 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             texts = pdf["media_bytes"].map(lambda d: d.decode("utf-8"))
             n_frames = (texts.map(len) // frame).astype("int32")
             sampled = [
-                [ord(t[k * frame]) for k in range(0, nf, stride)]
+                ",".join(str(ord(t[k * frame])) for k in range(0, nf, stride))
                 for t, nf in zip(texts, n_frames)
             ]
             out = pd.DataFrame(
@@ -188,7 +191,7 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out[out["n_frames"] > 0]
 
-    return media.mapInPandas(sample, schema="doc_id long, n_frames int, sampled array<int>")
+    return media.mapInPandas(sample, schema="doc_id long, n_frames int, sampled string")
 
 
 @query(

@@ -181,7 +181,7 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
 SELECT c_mktsegment,
-       list_sort(list(DISTINCT c_nationkey))     AS nations,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
        CAST(count(*) AS BIGINT)                  AS n_cust
 FROM customer
 GROUP BY c_mktsegment
@@ -190,10 +190,15 @@ GROUP BY c_mktsegment
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: collect_set (bounded groups only — nationkey has ≤25 values,
     so per-group state is bounded; never collect unbounded columns at
-    scale). sort_array makes the set order-canonical for comparison."""
+    scale). sort_array makes the set order-canonical; array_join
+    serializes it to a scalar so every downstream comparator (the
+    driver canonicalizer hashes rows with pandas, which cannot hash
+    list cells) sees a plain string column."""
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+        F.array_join(F.sort_array(F.collect_set("c_nationkey")), ",").alias(
+            "nations"
+        ),
         F.count("*").alias("n_cust"),
     )
 
