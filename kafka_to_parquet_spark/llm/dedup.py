@@ -37,6 +37,14 @@ SIMHASH_BITS = 32
 NGRAM_JACCARD_TAU = 0.1  # pairs below this aren't near-dups (corpus jaccard ≈ 0 off-diagonal)
 MINHASH_DIST_TAU = 0.5  # approxSimilarityJoin keeps Jaccard distance < 0.5
 
+# Hot-bucket controls — the two knobs that keep every pairwise stage in
+# this module sub-quadratic on adversarial corpora (boilerplate headers,
+# license text, mass-duplicated docs). Both are mirrored term-for-term
+# in the DuckDB oracles, so capping is part of the declared semantics,
+# not a hidden approximation.
+MAX_SHINGLE_DF = 32  # shingles in more docs than this are boilerplate: drop their postings
+MAX_BAND_BUCKET = 256  # LSH band buckets above this sub-split by the next band, then drop
+
 
 # Keyed on the SparkSession object itself (not id(): CPython reuses
 # ids after GC, which could hand a new session a DataFrame bound to a
@@ -116,21 +124,56 @@ FROM (SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks FROM documents)
 """
 
 
+def pruned_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, s) exploded shingle postings with
+    corpus-hot shingles removed: a shingle appearing in more than
+    MAX_SHINGLE_DF documents of its (lang, source) block is boilerplate
+    (header, license text) — its posting list would make the downstream
+    self-join quadratic in that list, so its postings are dropped
+    before candidate generation.
+
+    The hot list is tiny by construction (≤ |postings| / MAX_SHINGLE_DF
+    entries, in practice a handful of boilerplate shingles), so the
+    anti-join broadcasts and the full posting stream never shuffles for
+    the pruning step."""
+    base = shingled_documents(spark, sf_dir)
+    ex = base.select("doc_id", "lang", "source", F.explode("sh").alias("s"))
+    hot = (
+        ex.groupBy("lang", "source", "s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("lang", "source", "s")
+    )
+    return ex.join(F.broadcast(hot), ["lang", "source", "s"], "left_anti")
+
+
+# Jaccard over the df-pruned shingle universe: numerator = shared kept
+# shingles, denominator = union of kept shingle sets. Identical formula
+# on both engines (see floor_round).
+_NGRAM_JACCARD_EXPR = "CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common)"
+
+
 @query(
     "q_dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS ({_SHINGLES_SQL})
-SELECT a.doc_id AS doc_a,
-       b.doc_id AS doc_b,
-       {floor_round_sql('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)'
-                        ' / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))', 6)}
-         AS jaccard
-FROM sh a JOIN sh b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(a.sh) > 0 AND len(b.sh) > 0
-  AND {floor_round_sql('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)'
-                       ' / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))', 6)}
-      >= {NGRAM_JACCARD_TAU}
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, lang, source, unnest(sh) AS s FROM sh),
+dfreq AS (SELECT lang, source, s, count(*) AS df FROM ex GROUP BY lang, source, s),
+kept AS (SELECT ex.doc_id, ex.lang, ex.source, ex.s
+         FROM ex JOIN dfreq USING (lang, source, s) WHERE df <= {MAX_SHINGLE_DF}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM kept x JOIN kept y
+    ON x.lang = y.lang AND x.source = y.source AND x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b,
+       {floor_round_sql(_NGRAM_JACCARD_EXPR, 6)} AS jaccard
+FROM common
+JOIN sizes na ON common.doc_a = na.doc_id
+JOIN sizes nb ON common.doc_b = nb.doc_id
+WHERE {floor_round_sql(_NGRAM_JACCARD_EXPR, 6)} >= {NGRAM_JACCARD_TAU}
 """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,7 +182,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     off-diagonal jaccard is ~0, so survivors are true near-dups). The
     self-join equi-keys on the block → the quadratic part is
     bucket-local; output is near-dup pairs only, not the full pair
-    matrix."""
+    matrix. Jaccard is defined over the df-pruned shingle universe
+    (pruned_postings): shingles in > MAX_SHINGLE_DF docs are treated as
+    boilerplate and excluded from both numerator and denominator — the
+    oracle implements the identical pruning."""
     # Inverted-index similarity join (the PPJoin-family shape): explode
     # shingles and equi-join on (block, shingle), so the only pairs
     # that ever materialize are those sharing ≥1 shingle — and a pair
@@ -148,14 +194,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copies ~KB-wide rows through the shuffle for every candidate
     # pair; here the shuffle moves one narrow row per (doc, shingle)
     # and one count per overlapping pair. At 100 TB the quadratic term
-    # is bounded per (block, shingle) posting list, not per block.
-    base = shingled_documents(spark, sf_dir)
-    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = base.select("doc_id", "lang", "source", F.explode("sh").alias("s"))
+    # is bounded per (block, shingle) posting list — and the df cap
+    # bounds every posting list, so no single hot shingle can make one
+    # list's pair generation quadratic in the corpus.
+    kept = pruned_postings(spark, sf_dir)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
-        ex.alias("a")
+        kept.alias("a")
         .join(
-            ex.alias("b"),
+            kept.alias("b"),
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.s") == F.col("b.s"))
@@ -233,6 +280,108 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BANDS = 4  # 4 bands × 8 bits
 SIMHASH_HAMMING_TAU = 3
 
+
+# ---------------------------------------------------------------------------
+# Capped LSH band join — shared hot-bucket control for every
+# band-bucketed similarity join (SimHash pairs, angular embedding LSH).
+#
+# A near-duplicate-heavy corpus collapses many items into one
+# (band, band_val) bucket, and pair generation is quadratic in that
+# bucket. Control: buckets above MAX_BAND_BUCKET are SUB-SPLIT by the
+# *adjacent* band's value (pairs in a hot bucket must then agree on two
+# bands — a recall trade confined to hot buckets); sub-buckets still
+# above the cap (e.g. thousands of byte-identical docs, which exact
+# dedup should have removed upstream) are dropped entirely. Both steps
+# are deterministic functions of the signature multiset and are
+# mirrored in the oracle CTE, so the cap is declared semantics.
+#
+# Scale: bucket statistics are bounded by the SIGNATURE space, not the
+# corpus — s1 ≤ n_bands·2^band_bits rows (1 024 here), s2 ≤
+# n_bands·(2^band_bits + 2^(2·band_bits)) rows (~263 k) — so both
+# stats joins broadcast at any corpus size.
+
+
+def capped_banded(
+    banded: DataFrame,
+    cap: int = MAX_BAND_BUCKET,
+    band_bits: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Apply the hot-bucket control to a banded signature DataFrame.
+
+    ``banded`` needs columns ``sig`` (long), ``b`` (band index) and
+    ``band_val`` (this band's value); id columns pass through. Returns
+    the kept rows with join key ``k``: ``band_val`` for normal buckets,
+    ``2^(2·band_bits) + band_val·2^band_bits + next_band_val`` for
+    sub-split ones (disjoint ranges, so split and unsplit buckets can
+    never collide). Callers equi-join on (b, k)."""
+    mask = (1 << band_bits) - 1
+    nb = F.expr(
+        f"shiftright(sig, CAST({band_bits} * ((b + 1) % {n_bands}) AS INT)) & {mask}"
+    )
+    banded = banded.withColumn("_nb", nb)
+    s1 = banded.groupBy("b", "band_val").agg(F.count(F.lit(1)).alias("_c1"))
+    keyed = banded.join(F.broadcast(s1), ["b", "band_val"]).withColumn(
+        "k",
+        F.when(
+            F.col("_c1") > cap,
+            F.lit(1 << (2 * band_bits))
+            + F.col("band_val") * (1 << band_bits)
+            + F.col("_nb"),
+        )
+        .otherwise(F.col("band_val"))
+        .cast("long"),
+    )
+    s2 = keyed.groupBy("b", "k").agg(F.count(F.lit(1)).alias("_c2"))
+    return (
+        keyed.join(F.broadcast(s2), ["b", "k"])
+        .filter(F.col("_c2") <= cap)
+        .drop("_nb", "_c1", "_c2", "band_val")
+    )
+
+
+def capped_band_cte(
+    id_col: str,
+    cap: int = MAX_BAND_BUCKET,
+    band_bits: int = 8,
+    n_bands: int = 4,
+) -> str:
+    """DuckDB CTE chain ``banded → s1 → keyed → s2 → kept`` mirroring
+    ``capped_banded`` exactly. Expects a prior CTE ``fp({id_col}, sig)``."""
+    mask = (1 << band_bits) - 1
+    return f"""banded AS (
+  SELECT {id_col}, sig, b,
+         (sig >> CAST({band_bits} * b AS INTEGER)) & {mask} AS band_val,
+         (sig >> CAST({band_bits} * ((b + 1) % {n_bands}) AS INTEGER)) & {mask} AS nb_val
+  FROM fp CROSS JOIN range({n_bands}) r(b)
+),
+s1 AS (SELECT b, band_val, count(*) AS c1 FROM banded GROUP BY b, band_val),
+keyed AS (
+  SELECT banded.*, CASE WHEN c1 > {cap}
+         THEN {1 << (2 * band_bits)} + band_val * {1 << band_bits} + nb_val
+         ELSE band_val END AS k
+  FROM banded JOIN s1 USING (b, band_val)
+),
+s2 AS (SELECT b, k, count(*) AS c2 FROM keyed GROUP BY b, k),
+kept AS (SELECT keyed.* FROM keyed JOIN s2 USING (b, k) WHERE c2 <= {cap})"""
+
+
+# Memoized+persisted SimHash fingerprints: the banded-pair query reads
+# the fingerprint table from several plan subtrees (bucket stats ×2 +
+# both join sides), and without a materialization boundary each subtree
+# re-runs the full tokenize+hash+vote pipeline (the dominant cost of
+# q_dedup_simhash_pairs in round 2's bench). Same keying discipline as
+# _SHINGLE_CACHE.
+_FP_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _FP_CACHE:
+        _FP_CACHE[key] = q_dedup_simhash(spark, sf_dir).persist()
+    return _FP_CACHE[key]
+
+
 # Shared DuckDB CTE block ending in `pairs` — the single source of
 # truth for the banded-LSH oracle, reused by q_dedup_simhash_pairs and
 # llm/components.py's connected-components oracle so the thresholds
@@ -247,27 +396,22 @@ bits AS (
           >> CAST(k % 4 AS INTEGER)) & 1 AS bit
   FROM toks CROSS JOIN range({SIMHASH_BITS}) r(k)
 ),
-sig AS (
+votes AS (
   SELECT doc_id, k, sum(2 * bit - 1) AS s FROM bits GROUP BY doc_id, k
 ),
 fp AS (
   SELECT doc_id,
          CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)
-              AS BIGINT) AS simhash
-  FROM sig GROUP BY doc_id
+              AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
 ),
-banded AS (
-  SELECT doc_id, simhash, b,
-         (simhash >> CAST({SIMHASH_BITS // SIMHASH_BANDS} * b AS INTEGER))
-           & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS band_val
-  FROM fp CROSS JOIN range({SIMHASH_BANDS}) r(b)
-),
+{capped_band_cte("doc_id", band_bits=SIMHASH_BITS // SIMHASH_BANDS, n_bands=SIMHASH_BANDS)},
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-  FROM banded a JOIN banded b
-    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_TAU}
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+  FROM kept x JOIN kept y
+    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.sig, y.sig)) <= {SIMHASH_HAMMING_TAU}
 )
 """
 
@@ -285,26 +429,30 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs whose flipped bits spread across all bands — the standard LSH trade,
     and the oracle implements the identical banding so correctness is
     exact). The equi-join on (band, value) makes candidate generation
-    shuffle-bounded by bucket sizes — never N². Verification cost per
-    candidate is one xor+popcount."""
-    fp = q_dedup_simhash(spark, sf_dir)
+    shuffle-bounded by bucket sizes — never N²; hot buckets are
+    sub-split/capped by ``capped_banded`` (mirrored in the oracle).
+    Verification cost per candidate is one xor+popcount."""
+    fp = simhash_fingerprints(spark, sf_dir)
     banded = fp.select(
         "doc_id",
-        "simhash",
+        F.col("simhash").alias("sig"),
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("b"),
-    ).withColumn("band_val", F.expr("shiftright(simhash, CAST(8 * b AS INT)) & 255"))
-    a, bb = banded.alias("a"), banded.alias("b")
-    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    ).withColumn("band_val", F.expr("shiftright(sig, CAST(8 * b AS INT)) & 255"))
+    kept = capped_banded(
+        banded, band_bits=SIMHASH_BITS // SIMHASH_BANDS, n_bands=SIMHASH_BANDS
+    )
+    x, y = kept.alias("x"), kept.alias("y")
+    hamming = F.expr("bit_count(x.sig ^ y.sig)")
     return (
-        a.join(
-            bb,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_TAU)
@@ -421,20 +569,15 @@ def _angular_oracle() -> str:
         f" THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for k, (_, dl) in enumerate(_angular_sig_terms())
     )
-    band_bits = ANGULAR_BITS // ANGULAR_BANDS
     return f"""
-WITH sig AS (
+WITH fp AS (
   SELECT vec_id, {bit_terms} AS sig FROM embeddings
 ),
-banded AS (
-  SELECT vec_id, b,
-         (sig >> CAST({band_bits} * b AS INTEGER)) & {(1 << band_bits) - 1} AS band_val
-  FROM sig CROSS JOIN range({ANGULAR_BANDS}) r(b)
-),
+{capped_band_cte("vec_id", band_bits=ANGULAR_BITS // ANGULAR_BANDS, n_bands=ANGULAR_BANDS)},
 cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM banded a JOIN banded b
-    ON a.b = b.b AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM kept x JOIN kept y
+    ON x.b = y.b AND x.k = y.k AND x.vec_id < y.vec_id
 )
 SELECT c.vec_a, c.vec_b,
        round({duck_cosine('ea.embedding', 'eb.embedding')}, 6) AS cos
@@ -443,6 +586,49 @@ JOIN embeddings ea ON ea.vec_id = c.vec_a
 JOIN embeddings eb ON eb.vec_id = c.vec_b
 WHERE {duck_cosine('ea.embedding', 'eb.embedding')} >= {EMBED_NEAR_TAU}
 """
+
+
+# Memoized+persisted angular signatures — same multi-subtree argument
+# as _FP_CACHE (the capped band join reads signatures from 3 subtrees,
+# each of which would otherwise re-run 32 dot-product folds per vector).
+_ANGULAR_SIG_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def angular_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sig): 32-bit random-hyperplane signature per embedding.
+    Guards the hard-coded EMBED_DIM: a vector of any other length
+    raises at execution time instead of silently null-padding the
+    zip_with against the 64-element sign literals (which would yield
+    NULL signatures and an empty candidate set while the oracle kept
+    computing partial dots — a silent cross-engine divergence)."""
+    key = (spark, sf_dir)
+    if key in _ANGULAR_SIG_CACHE:
+        return _ANGULAR_SIG_CACHE[key]
+    e = load(spark, sf_dir, "embeddings")
+    from kafka_to_parquet_spark.functions.vectors import dot_expr
+
+    guarded = e.filter(
+        F.expr(
+            f"CASE WHEN size(embedding) = {EMBED_DIM} THEN true"
+            f" ELSE raise_error(concat('q_dedup_embedding_lsh: embedding dim ', "
+            f"size(embedding), ' != EMBED_DIM {EMBED_DIM}')) END"
+        )
+    )
+    projs = [
+        F.expr(dot_expr("embedding", sl)).alias(f"p{k}")
+        for k, (sl, _) in enumerate(_angular_sig_terms())
+    ]
+    sig_col = None
+    for k in range(ANGULAR_BITS):
+        term = F.when(F.col(f"p{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sig_col = term if sig_col is None else sig_col + term
+    sig = (
+        guarded.select("vec_id", *projs)
+        .select("vec_id", sig_col.cast("long").alias("sig"))
+        .persist()
+    )
+    _ANGULAR_SIG_CACHE[key] = sig
+    return sig
 
 
 @query("q_dedup_embedding_lsh", oracle=_angular_oracle())
@@ -463,21 +649,13 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the band join moves only (vec_id, band, band_val)
     rows; vectors re-join onto the (distinct, far smaller) candidate
     pair set for exact cosine verification — pair streams stay narrow
-    through the shuffle."""
+    through the shuffle. Hot buckets (a dup-heavy corpus collapsing
+    many vectors into one band value) are sub-split/capped by
+    ``capped_banded``, mirrored in the oracle."""
     from kafka_to_parquet_spark.functions.vectors import dot_expr, norm_expr
 
     e = load(spark, sf_dir, "embeddings")
-    projs = [
-        F.expr(dot_expr("embedding", sl)).alias(f"p{k}")
-        for k, (sl, _) in enumerate(_angular_sig_terms())
-    ]
-    sig_col = None
-    for k in range(ANGULAR_BITS):
-        term = F.when(F.col(f"p{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        sig_col = term if sig_col is None else sig_col + term
-    sig = e.select("vec_id", *projs).select(
-        "vec_id", sig_col.cast("long").alias("sig")
-    )
+    sig = angular_signatures(spark, sf_dir)
     band_bits = ANGULAR_BITS // ANGULAR_BANDS
     banded = sig.select(
         "vec_id",
@@ -487,15 +665,16 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_val",
         F.expr(f"shiftright(sig, CAST({band_bits} * b AS INT)) & {(1 << band_bits) - 1}"),
     )
-    a, bb = banded.alias("a"), banded.alias("b")
+    kept = capped_banded(banded, band_bits=band_bits, n_bands=ANGULAR_BANDS)
+    x, y = kept.alias("x"), kept.alias("y")
     cand = (
-        a.join(
-            bb,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
         .distinct()
     )
     en = e.select("vec_id", "embedding", F.expr(norm_expr("embedding")).alias("nrm"))

@@ -150,3 +150,104 @@ def test_multimodal_plumbing(run):
     rows = df.collect()
     assert rows
     assert {"doc_id", "width", "height", "mean16"} <= set(df.columns)
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket caps: adversarial corpora must not explode candidate pairs.
+
+
+def _write_docs(spark, tmpdir, rows):
+    """Write a synthetic documents.parquet usable as an sf_dir."""
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    return tmpdir
+
+
+def test_hot_shingle_postings_are_pruned(spark, tmp_path):
+    """A boilerplate shingle shared by 100 docs (df > MAX_SHINGLE_DF)
+    is dropped from the posting lists, so the posting-list self-join
+    never sees its quadratic bucket; a genuine near-dup pair whose
+    shingles stay under the cap still comes out with its pruned-universe
+    jaccard."""
+    from kafka_to_parquet_spark.llm.dedup import (
+        MAX_SHINGLE_DF,
+        pruned_postings,
+        q_dedup_ngram_jaccard,
+    )
+
+    boiler = "all rights reserved worldwide"  # 4 tokens -> 2 shared 3-gram shingles
+    rows = [
+        (i, "en", "web", f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d")
+        for i in range(100)
+    ]
+    # Planted near-dup pair: long shared tail, one differing word.
+    rows.append((200, "en", "web", "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((201, "en", "web", "alpha beta gamma delta epsilon zeta eta iota"))
+    sf = _write_docs(spark, str(tmp_path), rows)
+
+    post = pruned_postings(spark, sf)
+    max_df = (
+        post.groupBy("lang", "source", "s").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_df <= MAX_SHINGLE_DF
+
+    pairs = q_dedup_ngram_jaccard(spark, sf).collect()
+    # The boilerplate-only overlaps are pruned away entirely: the only
+    # surviving near-dup pair is the planted one.
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(200, 201)]
+    # 8 tokens -> 6 shingles each, 5 shared: jaccard = 5 / 7, floor-rounded to 6dp
+    assert abs(pairs[0]["jaccard"] - 0.714286) < 1e-9
+
+
+def test_dup_heavy_corpus_caps_simhash_buckets(spark, tmp_path):
+    """400 byte-identical docs collapse into one band bucket per band;
+    the sub-split can't separate identical signatures, so the bucket is
+    dropped (cap) instead of generating 400*399/2 pairs. Distinct docs
+    elsewhere in the corpus are unaffected."""
+    from kafka_to_parquet_spark.llm.dedup import q_dedup_simhash_pairs
+
+    rows = [(i, "en", "web", "the same exact boilerplate document text") for i in range(400)]
+    rows += [
+        (1000, "en", "web", "completely different words about completely different topics"),
+        (1001, "en", "web", "completely different words about completely different things"),
+    ]
+    sf = _write_docs(spark, str(tmp_path), rows)
+    pairs = q_dedup_simhash_pairs(spark, sf).collect()
+    dup_ids = set(range(400))
+    # No pair with both ends inside the dropped hot bucket.
+    assert not any(r["doc_a"] in dup_ids and r["doc_b"] in dup_ids for r in pairs)
+    # Candidate volume stays bounded: far below the 79 800 uncapped pairs.
+    assert len(pairs) < 100
+
+
+def test_dup_heavy_corpus_caps_embedding_buckets(spark, tmp_path):
+    """400 identical embeddings share an angular signature; the hot
+    band buckets are capped, so no quadratic pair set materializes."""
+    from kafka_to_parquet_spark.llm.dedup import EMBED_DIM, q_dedup_embedding_lsh
+
+    base = [float((j % 7) - 3) for j in range(EMBED_DIM)]
+    other = [float(((j * 3) % 11) - 5) for j in range(EMBED_DIM)]
+    rows = [(i, "a", base) for i in range(400)] + [(1000, "b", other), (1001, "b", other)]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    pairs = q_dedup_embedding_lsh(spark, str(tmp_path)).collect()
+    dup_ids = set(range(400))
+    assert not any(r["vec_a"] in dup_ids and r["vec_b"] in dup_ids for r in pairs)
+    assert len(pairs) < 100
+
+
+def test_embedding_dim_guard_raises(spark, tmp_path):
+    """A wrong-width embedding must fail loudly, not null-pad into an
+    empty candidate set (silent cross-engine divergence)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from kafka_to_parquet_spark.llm.dedup import q_dedup_embedding_lsh
+
+    rows = [(1, "a", [1.0, 2.0, 3.0]), (2, "a", [1.0, 2.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    with pytest.raises(Exception) as ei:
+        q_dedup_embedding_lsh(spark, str(tmp_path)).collect()
+    assert "EMBED_DIM" in str(ei.value)
