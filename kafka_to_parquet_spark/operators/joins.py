@@ -246,23 +246,35 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     second orders scan) disappears from the plan entirely."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem").select("l_shipdate")
+    return binned_interval_counts(o, li)
+
+
+def _bin_of(day_col):
+    """FLOOR-division bin id. A plain ``(day / 7).cast("long")``
+    truncates toward zero, which differs from floor for negative day
+    numbers (pre-1970 dates): day −3 would land in bin 0 next to day
+    +3, and the 2-bin interval cover silently drops matches. floor()
+    keeps the bin lattice uniform across the epoch."""
+    return F.floor(day_col / 7).cast("long")
+
+
+def binned_interval_counts(o: DataFrame, li: DataFrame) -> DataFrame:
+    """Core of q_join_range_binned over (o_orderkey, o_orderdate) ×
+    (l_shipdate) — split out so the bin arithmetic is unit-testable on
+    synthetic date ranges (incl. pre-1970 negative day numbers)."""
     day = lambda c: F.datediff(F.col(c), F.lit("1970-01-01"))  # noqa: E731
     daily = (
         li.select(day("l_shipdate").alias("_day"))
         .groupBy("_day")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn("_bin", (F.col("_day") / 7).cast("long"))
+        .withColumn("_bin", _bin_of(F.col("_day")))
     )
     start = day("o_orderdate")
     intervals = o.select(
         "o_orderkey",
         start.alias("_start"),
         F.explode(
-            F.array_distinct(
-                F.array(
-                    (start / 7).cast("long"), ((start + 6) / 7).cast("long")
-                )
-            )
+            F.array_distinct(F.array(_bin_of(start), _bin_of(start + 6)))
         ).alias("_bin"),
     )
     residual = (F.col("_day") >= F.col("_start")) & (

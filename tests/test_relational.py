@@ -84,3 +84,32 @@ def test_set_ops(run):
     exc = run("q_set_except").count()
     assert union >= inter
     assert exc >= 0
+
+
+def test_binned_interval_counts_pre_1970(spark):
+    """The bin lattice must use floor division: pre-1970 dates have
+    negative day numbers, where a truncating cast collapses bins -0
+    and +0 and drops interval matches. Brute-force count is the oracle."""
+    import datetime as dt
+
+    from kafka_to_parquet_spark.operators.joins import binned_interval_counts
+
+    base = dt.date(1969, 12, 1)  # intervals straddle the epoch
+    orders = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=3 * i)) for i in range(30)],
+        "o_orderkey long, o_orderdate date",
+    )
+    ships = spark.createDataFrame(
+        [(base + dt.timedelta(days=j),) for j in range(0, 95)]
+        + [(base + dt.timedelta(days=j),) for j in range(10, 40, 2)],
+        "l_shipdate date",
+    )
+    got = {
+        r["o_orderkey"]: r["n_shipped"]
+        for r in binned_interval_counts(orders, ships).collect()
+    }
+    ship_days = [r["l_shipdate"] for r in ships.collect()]
+    for i in range(30):
+        start = base + dt.timedelta(days=3 * i)
+        want = sum(1 for d in ship_days if start <= d < start + dt.timedelta(days=7))
+        assert got[i] == want, f"order {i}: {got[i]} != {want}"
