@@ -90,7 +90,15 @@ def streaming_sink(
     """Streaming form: foreachBatch re-uses the same batch writer per
     micro-batch (exactly-once via checkpoint + idempotent re-write of
     deterministically-named files). ``stream_df`` is a Kafka-schema
-    stream (sources.kafka.kafka_stream)."""
+    stream (sources.kafka.kafka_stream).
+
+    Attaches the T2 observability listener (streaming/observability.py)
+    so every run logs assignment / per-batch commit / termination — the
+    reference's pre_rebalance / post_rebalance / commit_callback hooks
+    (reference src/main.rs:42-54)."""
+    from kafka_to_parquet_spark.streaming.observability import attach_listener
+
+    attach_listener(stream_df.sparkSession)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_dir = os.path.join(out_dir, f"epoch_{epoch_id}")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.sinks.parquet_batch import streaming_sink
 from kafka_to_parquet_spark.sources.kafka_analog import kafka_records
+from kafka_to_parquet_spark.streaming.observability import attach_listener
 from kafka_to_parquet_spark.streaming.stateful import _stream_events
 
 
@@ -27,7 +28,21 @@ def test_streaming_sink_end_to_end(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="ktps_stream_sink_")
     ckpt = tempfile.mkdtemp(prefix="ktps_ckpt_")
     q = streaming_sink(stream, out, ckpt, batch_size=100).start()
+    qid = str(q.id)
     q.awaitTermination()
+
+    # T2 observability: the listener attached by streaming_sink captured
+    # this run's lifecycle — assignment (started), per-batch offset
+    # commits (progress, with committed end offsets), and release
+    # (terminated) — the reference's rebalance/commit log hooks
+    # (reference src/main.rs:42-54). Delivery is async → poll.
+    listener = attach_listener(spark)
+    assert listener.wait_for("started", qid) is not None
+    prog = listener.wait_for("progress", qid)
+    assert prog is not None and prog["num_input_rows"] > 0
+    assert prog["sources"] and prog["sources"][0]["end_offset"] is not None
+    term = listener.wait_for("terminated", qid)
+    assert term is not None and term["exception"] is None
 
     files = glob.glob(os.path.join(out, "epoch_*", "*.parquet"))
     assert files, "no files written by the streaming sink"
