@@ -13,6 +13,17 @@ registered with ``oracle=None`` and get the driver's rows-only check.
 Naming discipline (the driver sorts columns by name before hashing):
 every computed column is aliased identically in the Spark plan and the
 oracle SQL.
+
+Output-shape discipline: **no array/struct/map columns in a declared
+query's result** — the driver's canonicalizer hashes scalar cells only,
+so list-valued cells hash-mismatch even when equal. Serialize
+collections to a deterministic scalar on BOTH sides: sorted + joined
+strings for id/text lists (``array_join(sort_array(...), ',')`` ↔
+``array_to_string(list_sort(...), ',')``), and integer 10^p units via
+``functions.rounding.int_units`` for float lists (formatted doubles
+render differently per engine; integers don't). Precedents:
+q_agg_collect.nations, q_array_funcs.first3, q_multimodal_framesample
+.sampled.
 """
 
 from __future__ import annotations
@@ -40,13 +51,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The driver's per-round correctness gate records only the FIRST
+# GATE_WINDOW entries of ``queries()``.
+GATE_WINDOW = 50
+
 # Queries that already hold an accepted driver row in a prior round's
 # CORRECTNESS_r{N}.json (green hash-match, or an intentional rows-only
-# row for sketch/LSH queries). The driver's per-round gate only records
-# the FIRST 50 entries of ``queries()``, so ``ordered_queries()`` floats
+# row for sketch/LSH queries). ``ordered_queries()`` floats
 # never-certified queries to the front of the dict until every declared
 # query has a row on record. Append names here once their round result
-# lands.
+# lands — and REMOVE (or add to ``RECERTIFY``) any name whose query or
+# shared helper code changes, so the change earns a fresh driver row
+# instead of coasting on a stale certification.
 CERTIFIED: set[str] = {
     # round 1 (CORRECTNESS_r01.json): 48 hash-green + 1 accepted rows-only.
     "q_agg_groupby", "q_agg_distinct", "q_agg_approx_distinct",
@@ -64,19 +80,65 @@ CERTIFIED: set[str] = {
     "q_win_running_scalable", "q_str_funcs", "q_date_funcs",
     "q_math_funcs", "q_cond_funcs", "q_json_funcs",
     "q_text_tokens", "q_text_stats", "q_text_quality",
+    # round 2 (CORRECTNESS_r02.json): 33 hash-green + 2 accepted
+    # rows-only (q_dedup_minhash_lsh, q_stream_watermark) + the fixed
+    # q_agg_collect. Every declared query now holds a driver row.
+    "q_agg_collect", "q_array_funcs", "q_count_batcher", "q_decode_utf8",
+    "q_dedup_components", "q_dedup_embedding", "q_dedup_embedding_lsh",
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
+    "q_dedup_simhash", "q_dedup_simhash_pairs", "q_delete_compact",
+    "q_kafka_scan", "q_multimodal_decode", "q_multimodal_framesample",
+    "q_multimodal_join", "q_multimodal_resize", "q_parquet_roundtrip",
+    "q_partition_pruning", "q_project_payload", "q_sample_stratified",
+    "q_sim_ivf", "q_sim_topk", "q_str_concat", "q_stream_custom_state",
+    "q_stream_dedup", "q_stream_session", "q_stream_sliding",
+    "q_stream_tumbling", "q_stream_watermark", "q_synth_generator",
+    "q_text_bpe_tokens", "q_text_fingerprint", "q_text_langid",
+    "q_udf_pandas_cosine",
+}
+
+# Certified queries whose implementation (or a shared helper on their
+# path) changed since their last driver row — they jump the rotation
+# queue so the change is re-verified in THIS round's window. Clear an
+# entry once the new round's row lands.
+RECERTIFY: set[str] = {
+    "q_join_range_binned",     # floor-division bin ids (round 3)
+    "q_dedup_ngram_jaccard",   # max-df shingle cap (round 3)
+    "q_dedup_simhash_pairs",   # hot-bucket cap (round 3)
+    "q_dedup_embedding_lsh",   # hot-bucket cap (round 3)
 }
 
 
+def _round_number() -> int:
+    """1-based current round, inferred from how many CORRECTNESS_r*.json
+    files the driver has already written next to the package."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))) + 1
+
+
 def ordered_queries() -> dict[str, QueryFn]:
-    """Registry reordered for the driver's bounded correctness gate:
-    queries with no accepted driver row yet come first (registration
-    order), already-certified ones fill the tail. Within a round this
-    is deterministic; across rounds ``CERTIFIED`` grows until the
-    ordering is a no-op."""
+    """Registry reordered for the driver's bounded correctness gate
+    (first GATE_WINDOW entries get a row this round):
+
+    1. never-certified queries (registration order) — must land a row;
+    2. ``RECERTIFY`` — certified queries whose code changed this round;
+    3. the remaining certified queries, rotated left by a round-derived
+       offset so successive rounds re-verify a different slice instead
+       of permanently parking the same ~35 names past the window.
+
+    Deterministic within a round (the offset depends only on the
+    CORRECTNESS files already on disk)."""
     load_all()
-    pending = {n: f for n, f in QUERIES.items() if n not in CERTIFIED}
-    done = {n: f for n, f in QUERIES.items() if n in CERTIFIED}
-    return {**pending, **done}
+    pending = [n for n in QUERIES if n not in CERTIFIED]
+    recert = [n for n in QUERIES if n in CERTIFIED and n in RECERTIFY]
+    tail = sorted(n for n in QUERIES if n in CERTIFIED and n not in RECERTIFY)
+    if tail:
+        off = (_round_number() * GATE_WINDOW) % len(tail)
+        tail = tail[off:] + tail[:off]
+    return {n: QUERIES[n] for n in (*pending, *recert, *tail)}
 
 
 def load_all() -> None:

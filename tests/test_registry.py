@@ -27,6 +27,33 @@ def test_rows_only_set_is_intentional():
     }
 
 
+def test_certified_names_are_registered():
+    # A typo'd or stale name in CERTIFIED/RECERTIFY would silently
+    # waste a slot in the driver's bounded gate window.
+    assert registry.CERTIFIED <= set(registry.QUERIES)
+    assert registry.RECERTIFY <= registry.CERTIFIED
+
+
+def test_ordered_queries_window_properties():
+    ordered = list(registry.ordered_queries())
+    assert set(ordered) == set(registry.QUERIES)  # reorder, never drop
+    window = set(ordered[: registry.GATE_WINDOW])
+    # Never-certified and code-changed queries must get a row this round.
+    assert set(registry.QUERIES) - registry.CERTIFIED <= window
+    assert registry.RECERTIFY <= window
+    # The certified tail rotates with the round number so every
+    # certified query is eventually re-verified. GATE_WINDOW and the
+    # tail length must stay coprime for the rotation to cycle fully.
+    import math
+
+    tail_n = len(registry.CERTIFIED - registry.RECERTIFY)
+    if tail_n > registry.GATE_WINDOW:
+        assert math.gcd(registry.GATE_WINDOW, tail_n) == 1, (
+            "rotation stride shares a factor with the certified-tail "
+            "length; some queries would never re-enter the gate window"
+        )
+
+
 def test_entry_contract_shape():
     import __spark_entry__ as e
 
