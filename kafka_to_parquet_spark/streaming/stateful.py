@@ -20,20 +20,35 @@ from kafka_to_parquet_spark.tables import load
 WATERMARK = "10 minutes"
 
 
+# One symlink dir per (Spark application, sf_dir): repeated calls in a
+# bench/verify sweep reuse it instead of leaking a fresh mkdtemp per
+# run (same memoization pattern as sources/partitioned.py).
+_STREAM_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    d = _STREAM_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="ktps_stream_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(d, "events.parquet"),
+            target_is_directory=os.path.isdir(os.path.join(sf_dir, "events.parquet")),
+        )
+        _STREAM_DIRS[key] = d
+    return d
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table. The file source needs a
-    directory; symlink the (read-only) parquet into a temp dir."""
+    directory; symlink the (read-only) parquet into a memoized temp dir."""
     ev_path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(ev_path).schema  # ts arrives as long (nanos)
-    d = tempfile.mkdtemp(prefix="ktps_stream_")
+    d = _stream_source_dir(spark, sf_dir)
     link = os.path.join(d, "events.parquet")
-    if os.path.isdir(ev_path):
-        os.symlink(ev_path, link, target_is_directory=True)
-        src = link
-    else:
-        os.symlink(ev_path, link)
-        src = d
+    src = link if os.path.isdir(ev_path) else d
     sdf = spark.readStream.schema(schema).parquet(src)
     return sdf.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
 
@@ -42,10 +57,14 @@ def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
     a memory sink; return the result as a batch DataFrame.
 
-    The memory-sink table is copied out (localCheckpoint — stays
-    distributed, no driver collect) and dropped from the catalog, so
-    repeated invocations in one session don't accumulate named
-    in-memory tables forever."""
+    Scale note: the memory sink materializes every result row in
+    DRIVER memory before the localCheckpoint copy — fine for the
+    bounded aggregate/dedup outputs these test queries produce, but
+    not a production sink. At real scale use ``streaming_sink``
+    (sinks/parquet_batch.py: foreachBatch → executor-side parquet
+    writes, checkpointed) and keep the memory sink for tests. The
+    sink table is dropped from the catalog after the copy so repeated
+    invocations in one session don't accumulate named tables."""
     spark = sdf.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     q = (

@@ -58,3 +58,24 @@ def test_session_windows_are_gap_separated_per_user(run):
             assert s2 - s1 > SESSION_GAP_S, f"sessions too close for {user}"
             checked += 1
     assert checked > 0
+
+
+def test_stream_source_dir_memoized(spark, sf_dir):
+    """Repeated streaming runs must reuse one symlink temp dir per
+    (application, sf_dir) — a bench/verify sweep used to leak a fresh
+    mkdtemp per call."""
+    import glob
+    import tempfile
+
+    from kafka_to_parquet_spark.streaming.stateful import (
+        _stream_events,
+        _stream_source_dir,
+    )
+
+    d1 = _stream_source_dir(spark, sf_dir)
+    before = set(glob.glob(tempfile.gettempdir() + "/ktps_stream_*"))
+    for _ in range(3):
+        _stream_events(spark, sf_dir)
+    assert _stream_source_dir(spark, sf_dir) == d1
+    after = set(glob.glob(tempfile.gettempdir() + "/ktps_stream_*"))
+    assert after == before
