@@ -61,3 +61,13 @@ def floor_round(col: Column, p: int) -> Column:
 def floor_round_sql(x: str, p: int) -> str:
     s = float(10**p)
     return f"floor(({x}) * {s} + 0.5) / {s}"
+
+
+def int_units(x: str, p: int = 6) -> str:
+    """Floor-form rounding to INTEGER 10^p units (e.g. micro-units at
+    p=6) — for values that must be serialized into strings, where a
+    formatted double would render differently per engine but integers
+    render identically. The fragment is valid in BOTH Spark SQL and
+    DuckDB, so use the same call on each side of an oracle pair."""
+    s = float(10**p)
+    return f"CAST(floor(CAST(({x}) AS DOUBLE) * {s} + 0.5) AS BIGINT)"

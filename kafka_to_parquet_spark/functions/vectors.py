@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.functions.rounding import int_units
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
@@ -57,7 +58,7 @@ SELECT vec_id,
        round(CAST(embedding[1] AS DOUBLE), 6)                AS e0,
        round({duck_dot('embedding[1:8]', 'embedding[1:8]')}, 6) AS sq8,
        array_to_string(list_transform(embedding[1:3],
-         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), ',') AS first3,
+         x -> {int_units('x')}), ',') AS first3,
        round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS emax
 FROM embeddings
 """,
@@ -79,7 +80,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sq8"),
         F.expr(
             "array_join(transform(slice(embedding, 1, 3),"
-            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), ',')"
+            f" x -> {int_units('x')}), ',')"
         ).alias("first3"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("emax"),
     )
