@@ -143,6 +143,22 @@ def test_components_are_consistent(spark, sf_dir, run):
     assert roots.join(labels, "doc_id", "left_anti").count() == 0
 
 
+def test_dedup_keep_partitions_corpus(spark, sf_dir, run):
+    """The kept corpus has exactly one representative per component
+    (the component's own label), and the group sizes account for every
+    document exactly once."""
+    labels = run("q_dedup_components").cache()
+    kept = run("q_dedup_keep").cache()
+    n_components = labels.select("component").distinct().count()
+    assert kept.count() == n_components
+    # Representatives are their own label.
+    assert kept.join(
+        labels.filter(F.col("doc_id") != F.col("component")), "doc_id", "inner"
+    ).count() == 0
+    total = kept.agg(F.sum("group_size")).collect()[0][0]
+    assert total == load(spark, sf_dir, "documents").count()
+
+
 def test_multimodal_plumbing(run):
     """Binary payload column + typed metadata survive the pipeline;
     stubbed decode emits deterministic features with stable schema."""
