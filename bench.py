@@ -106,6 +106,16 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     errors: dict[str, str] = {}
     for _ in range(iters):
+        # Feature-level caches (persisted shingle/fingerprint tables)
+        # stay warm across sweeps — they model a shared feature store.
+        # RESULT-level caches do not: q_dedup_components memoizes its
+        # converged labels for q_dedup_keep's reuse, and timing a dict
+        # lookup would report 0.02 s for a multi-round iterative job.
+        # Clearing it per sweep keeps the median an honest measure of
+        # the label-propagation work itself.
+        from kafka_to_parquet_spark.llm.components import _LABELS_CACHE
+
+        _LABELS_CACHE.clear()
         for name in HEADLINE:
             # One failing query must not abort the benchmark — record
             # the error and keep the other timings.

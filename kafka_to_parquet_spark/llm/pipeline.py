@@ -1,0 +1,371 @@
+"""Training-data pipeline composition operators (SURVEY §2.11 north
+star, beyond the dedup/similarity family): benchmark decontamination,
+repetition scoring, PII-style masking, fixed-window document chunking,
+deterministic train/val/test splitting, and int8 embedding
+quantization. These are the remaining stages of a real pretraining
+corpus build — after dedup (llm/dedup.py) and quality scoring
+(functions/text.py), a pipeline decontaminates against eval
+benchmarks, masks identifiers, chunks documents into context windows,
+splits, and quantizes embeddings for the ANN index.
+
+100 TB shapes:
+- decontamination: the benchmark n-gram set is small by construction
+  (eval suites are thousands of docs, not billions) → broadcast; the
+  corpus side is a per-row shingle map + broadcast semi-join — the
+  corpus never shuffles, only the (tiny) hit rows aggregate.
+- repetition / masking / chunking / quantization: embarrassingly
+  parallel per-row maps (chunking fans out ~n_tokens/CHUNK rows per
+  doc but needs no shuffle at all).
+- splitting: a pure arithmetic hash per row — no shuffle, no RNG
+  state, reproducible across engines/runs/cluster sizes, which
+  sampleBy/rand() splits are not.
+
+Reference parity note: the reference (src/main.rs:59-294) has no LLM
+pipeline surface; these operators are the mandated training-data
+extension, designed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
+from kafka_to_parquet_spark.functions.text import tokens_col, _TOKENS_SQL
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram collision against a held-out set)
+# ---------------------------------------------------------------------------
+
+# 5-gram window: calibrated on the synthetic corpus (31-word vocab,
+# 10-99 tokens/doc) — 3-grams collide by chance (384/479 docs "hit" at
+# sf0.01), 5-grams only on genuine shared passages (2 docs). Real
+# pipelines use 8-13-gram windows for the same reason (vocab is larger,
+# so the chance-collision knee sits higher).
+DECON_N = 5
+# Deterministic pseudo-benchmark: every 23rd doc stands in for the eval
+# suite. A real run would read the benchmark corpus as a second table;
+# the plan shape (broadcast semi-join) is identical.
+BENCH_MOD = 23
+
+
+def _gram_expr(n: int) -> str:
+    """Spark SQL: distinct word n-grams of ``toks`` (empty if short)."""
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size(toks) >= {n} THEN array_distinct(transform("
+        f"sequence(1, size(toks) - {n - 1}), i -> concat_ws(' ', {parts})))"
+        " ELSE array() END"
+    )
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB: same distinct word n-grams (1-based list indexing)."""
+    parts = " || ' ' || ".join(
+        "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(n)
+    )
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN list_distinct(list_transform("
+        f"range(1, CAST(len(toks) AS INTEGER) - {n - 2}), i -> {parts}))"
+        " ELSE [] END"
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, lang, source, unnest({_gram_sql(DECON_N)}) AS s FROM t),
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id % {BENCH_MOD} = 0)
+SELECT g.doc_id, g.lang, g.source, CAST(count(*) AS BIGINT) AS n_hits
+FROM g JOIN bench USING (s)
+WHERE g.doc_id % {BENCH_MOD} <> 0
+GROUP BY g.doc_id, g.lang, g.source
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: report every corpus document sharing
+    at least one {DECON_N}-gram with the (pseudo-)benchmark set, with
+    the count of distinct shared n-grams — the docs a pretraining build
+    must drop to keep eval numbers honest.
+
+    Plan: per-row n-gram map → benchmark side filtered + distinct
+    (small by construction: eval suites don't scale with the corpus)
+    → **broadcast** inner join — the corpus side never shuffles; only
+    the hit rows (≈ near-dups of benchmark docs) reach the count agg.
+    The kept corpus is then ``documents LEFT ANTI JOIN this`` (same
+    broadcastable output)."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", tokens_col(F.col("text")).alias("toks")
+    )
+    grams = t.select(
+        "doc_id", "lang", "source", F.explode(F.expr(_gram_expr(DECON_N))).alias("s")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style duplicate-fraction signals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, CAST(len(toks) AS INTEGER)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS bg
+      FROM t)
+SELECT doc_id,
+       CAST(len(bg) AS INTEGER) AS n_bigrams,
+       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         {floor_round_sql('1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)', 6)}
+       END AS dup_token_frac,
+       CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+         {floor_round_sql('1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)', 6)}
+       END AS dup_bigram_frac
+FROM b
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: duplicate-token and duplicate-bigram
+    fractions per document (the Gopher/MassiveText quality filters for
+    looping or boilerplate-heavy text). Pure higher-order functions on
+    the token array — per-row map, zero shuffle; at 100 TB this is a
+    free pass over the corpus fused with the other per-doc filters."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    b = t.select(
+        "doc_id",
+        "toks",
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
+            " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+            " ELSE array() END"
+        ).alias("bg"),
+    )
+    n_tok = F.size("toks").cast("double")
+    n_bg = F.size("bg").cast("double")
+    return b.select(
+        "doc_id",
+        F.size("bg").alias("n_bigrams"),
+        F.when(F.size("toks") == 0, F.lit(0.0))
+        .otherwise(floor_round(1.0 - F.size(F.array_distinct("toks")) / n_tok, 6))
+        .alias("dup_token_frac"),
+        F.when(F.size("bg") == 0, F.lit(0.0))
+        .otherwise(floor_round(1.0 - F.size(F.array_distinct("bg")) / n_bg, 6))
+        .alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-style masking (identifier scrub before training)
+# ---------------------------------------------------------------------------
+
+# Two mask classes, one combined pattern: digit runs of >= 4 (phone /
+# account / SSN shapes) and long alphanumeric tokens of >= 8 chars
+# (emails and hostnames tokenize into these once punctuation splits;
+# the synthetic corpus has no digits, so the long-token class is what
+# exercises the path end-to-end). Same RE2/Java-compatible regex both
+# engines; DuckDB needs the explicit 'g' flag to match Spark's
+# replace-all default.
+PII_PATTERN = "[0-9]{4,}|[a-z0-9]{8,}"
+
+
+@query(
+    "q_text_pii",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{PII_PATTERN}')) AS INTEGER) AS n_masked,
+       md5(regexp_replace(lower(text), '{PII_PATTERN}', '<ID>', 'g')) AS masked_fp
+FROM documents
+""",
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/identifier scrub: replace digit runs and long identifier
+    tokens with a sentinel, returning the mask count and an md5
+    fingerprint of the scrubbed text (the fingerprint keeps the output
+    scalar and engine-comparable; the real pipeline writes the scrubbed
+    text column itself). Per-row regexp map, no shuffle. The regex is
+    passed as a Column literal on the Spark side — SQL string literals
+    eat backslashes (established convention, functions/text.py)."""
+    d = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(PII_PATTERN), 0)).alias("n_masked"),
+        F.md5(F.regexp_replace(low, F.lit(PII_PATTERN), "<ID>")).alias("masked_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-window document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 16  # fixture docs are 10-99 tokens; real runs use 2-8k
+
+
+@query(
+    "q_chunk_docs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(CAST(len(toks) AS DOUBLE) / {CHUNK_TOKENS}) AS INTEGER)))
+               AS chunk_id
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+       CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {CHUNK_TOKENS} + 1,
+                           chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS})) AS INTEGER) AS n_tok,
+       md5(array_to_string(list_slice(toks, chunk_id * {CHUNK_TOKENS} + 1,
+                           chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' ')) AS chunk_fp
+FROM c
+""",
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into fixed
+    {CHUNK_TOKENS}-token windows (last window ragged), one output row
+    per chunk with its token count and content fingerprint — the
+    explode that turns a document corpus into a training-sample table.
+    Per-row sequence + slice, no shuffle; the fan-out is bounded by
+    n_tokens/CHUNK per doc, so partitions grow by a constant factor
+    (maxPartitionBytes sizing handles it at 100 TB)."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(CHUNK_TOKENS))).cast("int")
+    c = t.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_TOKENS + 1, CHUNK_TOKENS
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative hash on the doc id: exact BIGINT arithmetic in
+# both engines (doc_id * 2654435761 < 2^53 at any plausible id range a
+# fixture reaches; a production run with 64-bit ids would reduce mod a
+# prime first). 80/10/10 by bucket.
+_SPLIT_BUCKET = "(doc_id * 2654435761) % 1000"
+_SPLIT_CASE = (
+    f"CASE WHEN {_SPLIT_BUCKET} < 800 THEN 'train' "
+    f"WHEN {_SPLIT_BUCKET} < 900 THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "q_split_assign",
+    oracle=f"""
+SELECT lang, {_SPLIT_CASE} AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang, {_SPLIT_CASE}
+""",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) via a
+    multiplicative hash of the document id, summarized per (lang,
+    split). No RNG state: the assignment is a pure per-row expression,
+    reproducible across runs, engines, and cluster sizes — which
+    ``rand()``-seeded or ``sampleBy`` splits are not (their output
+    depends on partitioning). Per-row map + one small agg; at 100 TB
+    the split column is computed on the fly wherever needed instead of
+    being stored."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.expr(_SPLIT_CASE).alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (ANN index preparation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, label, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS amax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, amax,
+         CASE WHEN amax = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) AS BIGINT))
+         END AS qv
+  FROM s
+)
+SELECT vec_id, label,
+       CAST(floor(amax * 1000000.0 + 0.5) AS BIGINT) AS amax_u,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max
+FROM q
+""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max|x|/127, elements rounded half-up — the compression step
+    before building a large ANN index (4× memory cut, SIMD-friendly
+    dot products). Output keeps scalar checksums (sum/min/max of the
+    quantized vector + the scale in micro-units) so the result is
+    engine-comparable; the real pipeline writes ``array<tinyint>``.
+    All arithmetic is float→double widening (exact), one double
+    division, and floor — bit-identical across engines. Per-row map,
+    no shuffle."""
+    e = load(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double")
+    s = e.select("vec_id", "label", "embedding", amax.alias("amax"))
+    qv = F.when(
+        F.col("amax") == 0,
+        F.expr("transform(embedding, x -> CAST(0 AS BIGINT))"),
+    ).otherwise(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) AS BIGINT))"
+        )
+    )
+    q = s.select("vec_id", "label", "amax", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        "label",
+        F.floor(F.col("amax") * 1000000.0 + F.lit(0.5)).cast("long").alias("amax_u"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )

@@ -1,0 +1,108 @@
+"""Training-pipeline composition operator invariants: decontamination,
+repetition scoring, PII masking, chunking, splitting, quantization
+(llm/pipeline.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.llm.pipeline import BENCH_MOD, CHUNK_TOKENS
+from kafka_to_parquet_spark.tables import load
+
+
+def test_decontaminate_excludes_benchmark(run):
+    """Hit rows are non-benchmark docs only, each with >= 1 shared
+    n-gram."""
+    rows = run("q_decontaminate").collect()
+    for r in rows:
+        assert r["doc_id"] % BENCH_MOD != 0
+        assert r["n_hits"] >= 1
+
+
+def test_decontaminate_near_dup_of_benchmark_is_caught(spark, sf_dir, run):
+    """A doc whose text literally equals a benchmark doc's text (if the
+    corpus has one) must be flagged — shared n-grams = all of them."""
+    d = load(spark, sf_dir, "documents")
+    bench_text = d.filter(F.col("doc_id") % BENCH_MOD == 0).select("text")
+    clones = (
+        d.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(bench_text, "text")
+        .filter(F.size(F.split("text", r"\s+")) >= 5)
+        .select("doc_id")
+    )
+    flagged = run("q_decontaminate").select("doc_id")
+    assert clones.join(flagged, "doc_id", "left_anti").count() == 0
+
+
+def test_repetition_fracs_bounded(run):
+    rows = run("q_text_repetition").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] <= 1.0
+        # A 31-word vocab with 10-99 tokens/doc forces token reuse.
+        assert r["n_bigrams"] >= 0
+
+
+def test_pii_mask_count_matches_pattern(spark, sf_dir, run):
+    """n_masked equals the occurrences of the pattern; fingerprints of
+    equal texts are equal."""
+    out = run("q_text_pii")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    j = out.join(d, "doc_id")
+    per_text = j.groupBy(F.lower("text")).agg(
+        F.countDistinct("masked_fp").alias("nfp")
+    )
+    assert per_text.filter(F.col("nfp") > 1).count() == 0
+    # The fixture's long tokens (>= 8 chars) must actually mask.
+    assert j.agg(F.sum("n_masked")).collect()[0][0] > 0
+
+
+def test_chunks_cover_every_token_once(spark, sf_dir, run):
+    """Per doc: sum of chunk token counts == total tokens; every chunk
+    except the last is full; chunk ids are dense from 0."""
+    from kafka_to_parquet_spark.functions.text import tokens_col
+
+    chunks = run("q_chunk_docs").cache()
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_tok").alias("covered"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_id").alias("max_id"),
+        F.min("chunk_id").alias("min_id"),
+    )
+    j = per_doc.join(d, "doc_id")
+    assert j.filter(F.col("covered") != F.col("n_tokens")).count() == 0
+    assert j.filter(F.col("min_id") != 0).count() == 0
+    assert j.filter(F.col("max_id") != F.col("n_chunks") - 1).count() == 0
+    not_last_short = chunks.join(
+        per_doc.select("doc_id", "max_id"), "doc_id"
+    ).filter((F.col("chunk_id") != F.col("max_id")) & (F.col("n_tok") != CHUNK_TOKENS))
+    assert not_last_short.count() == 0
+
+
+def test_split_partitions_corpus(spark, sf_dir, run):
+    """Splits cover every doc exactly once; ratios are near 80/10/10."""
+    out = run("q_split_assign").cache()
+    n = load(spark, sf_dir, "documents").count()
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == n
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split["train"] / n > 0.6  # hash is uniform-ish, not exact
+
+
+def test_quantize_bounds_and_scale(run):
+    """Quantized values live in [-127, 127]; the max |q| of a nonzero
+    vector is exactly 127 (the element at amax maps to the boundary)."""
+    rows = run("q_embed_quantize").collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        if r["amax_u"] > 0:
+            assert max(abs(r["q_min"]), abs(r["q_max"])) == 127
