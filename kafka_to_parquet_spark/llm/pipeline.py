@@ -27,7 +27,8 @@ extension, designed Spark-first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
@@ -369,3 +370,120 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (context-window assembly)
+# ---------------------------------------------------------------------------
+
+PACK_CAP = 128  # tokens per pack; fixture docs are 10-99 tokens
+
+
+@query(
+    "q_pack_greedy",
+    oracle=f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tok,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents)),
+walk(lang, rn, doc_id, n_tok, pack_id, acc) AS (
+  SELECT lang, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.rn, t.doc_id, t.n_tok,
+         CASE WHEN w.acc + t.n_tok > {PACK_CAP} THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.acc + t.n_tok > {PACK_CAP} THEN t.n_tok ELSE w.acc + t.n_tok END
+  FROM walk w JOIN t ON t.lang = w.lang AND t.rn = w.rn + 1
+)
+SELECT doc_id, lang, n_tok, pack_id FROM walk
+""",
+)
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: walk each shard's documents in order,
+    accumulating token counts; start a new pack whenever the next doc
+    would overflow {PACK_CAP} tokens — the step that turns a document
+    corpus into fixed-budget training sequences without splitting docs
+    (chunking, q_chunk_docs, is the splitting variant).
+
+    Inherently sequential per shard — not expressible with windows
+    (the pack boundary depends on the running remainder, which resets
+    data-dependently), so this is the sanctioned ``applyInPandas``
+    path: one Arrow batch per shard, a linear scan inside. The shard
+    key here is ``lang`` so the DuckDB recursive-CTE oracle can walk
+    the identical order; at 100 TB the shard key is
+    ``pmod(hash(doc_id), n_shards)`` — packing is per-shard by design
+    (cross-shard order is meaningless for training), so parallelism is
+    n_shards regardless of corpus size and each scan is
+    |corpus|/n_shards rows."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens_col(F.col("text"))).alias("n_tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        pack_id, acc = 0, 0
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if acc and acc + n > PACK_CAP:
+                pack_id += 1
+                acc = n
+            else:
+                acc += n
+            pack_ids.append(pack_id)
+        pdf["pack_id"] = pack_ids
+        return pdf[["doc_id", "lang", "n_tok", "pack_id"]]
+
+    return t.groupBy("lang").applyInPandas(
+        pack, schema="doc_id long, lang string, n_tok int, pack_id long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (training-order permutation)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_BUCKETS = 32
+_SHUF_HASH = "(doc_id * 1103515245 + 12345) % 2147483648"
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle=f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY ({_SHUF_HASH}) % {SHUFFLE_BUCKETS}, {_SHUF_HASH}, doc_id
+       ) AS BIGINT) AS shuffle_rank
+FROM documents
+""",
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: assign every document a
+    dense rank under a pseudorandom (LCG-hash) permutation —
+    reproducible across runs and engines, unlike ``rand()`` ordering.
+
+    The naive form (``row_number() OVER (ORDER BY hash)``) collapses
+    into ONE window partition — the hot-key cliff. This is the
+    two-level decomposition (same pattern as q_win_running_scalable):
+    rank within {SHUFFLE_BUCKETS} hash buckets in parallel, prefix-sum
+    the tiny per-bucket counts, add the bucket offset. The permutation
+    is defined as order-by (bucket, hash, id), so the decomposition is
+    exact, and every stage is either per-bucket-parallel or operates on
+    {SHUFFLE_BUCKETS} rows. At 100 TB buckets scale with the cluster;
+    the offsets table stays tiny."""
+    d = load(spark, sf_dir, "documents")
+    h = F.expr(_SHUF_HASH)
+    base = d.select("doc_id", h.alias("_h"), (h % SHUFFLE_BUCKETS).alias("_bkt"))
+    w_in = Window.partitionBy("_bkt").orderBy("_h", "doc_id")
+    ranked = base.withColumn("_rk", F.row_number().over(w_in))
+    counts = base.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .select("doc_id", (F.col("_off") + F.col("_rk")).cast("long").alias("shuffle_rank"))
+    )
+

@@ -4,6 +4,7 @@ repetition scoring, PII masking, chunking, splitting, quantization
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.llm.pipeline import BENCH_MOD, CHUNK_TOKENS
@@ -95,6 +96,53 @@ def test_split_partitions_corpus(spark, sf_dir, run):
     }
     assert set(by_split) <= {"train", "val", "test"}
     assert by_split["train"] / n > 0.6  # hash is uniform-ish, not exact
+
+
+def test_pack_respects_cap_and_is_greedy(spark, sf_dir, run):
+    """No pack exceeds the cap (unless a single oversized doc); packs
+    are maximal — the first doc of pack k+1 would have overflowed pack
+    k; pack ids are dense from 0 per shard."""
+    from kafka_to_parquet_spark.llm.pipeline import PACK_CAP
+
+    out = run("q_pack_greedy").cache()
+    per_pack = out.groupBy("lang", "pack_id").agg(
+        F.sum("n_tok").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    oversized = per_pack.filter((F.col("tot") > PACK_CAP) & (F.col("n") > 1))
+    assert oversized.count() == 0
+    # Dense pack ids starting at 0.
+    per_lang = out.groupBy("lang").agg(
+        F.min("pack_id").alias("mn"),
+        F.max("pack_id").alias("mx"),
+        F.countDistinct("pack_id").alias("k"),
+    )
+    assert per_lang.filter((F.col("mn") != 0) | (F.col("mx") != F.col("k") - 1)).count() == 0
+    # Greedy maximality: first doc of pack k+1 overflows pack k's total.
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    seq = out.withColumn("_prev_pack", F.lag("pack_id").over(w))
+    firsts = seq.filter(
+        (F.col("_prev_pack").isNotNull()) & (F.col("pack_id") != F.col("_prev_pack"))
+    ).select("lang", F.col("_prev_pack").alias("pack_id"), F.col("n_tok").alias("first_next"))
+    j = firsts.join(per_pack, ["lang", "pack_id"])
+    assert j.filter(F.col("tot") + F.col("first_next") <= PACK_CAP).count() == 0
+    # Every doc packed exactly once.
+    n = load(spark, sf_dir, "documents").count()
+    assert out.count() == n
+
+
+def test_corpus_shuffle_is_dense_permutation(spark, sf_dir, run):
+    out = run("q_corpus_shuffle").cache()
+    n = load(spark, sf_dir, "documents").count()
+    assert out.count() == n
+    agg = out.agg(
+        F.min("shuffle_rank").alias("mn"),
+        F.max("shuffle_rank").alias("mx"),
+        F.countDistinct("shuffle_rank").alias("k"),
+    ).collect()[0]
+    assert (agg["mn"], agg["mx"], agg["k"]) == (1, n, n)
+    # Deterministic: a second run yields the identical assignment.
+    again = run("q_corpus_shuffle")
+    assert out.exceptAll(again).count() == 0
 
 
 def test_quantize_bounds_and_scale(run):

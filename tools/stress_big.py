@@ -9,6 +9,7 @@ Usage: python tools/stress_big.py   (appends a section to SCALING.md)
 from __future__ import annotations
 
 import os
+import statistics
 import sys
 import time
 
@@ -68,17 +69,25 @@ def main() -> None:
     print(f"lineitem rows: {n}")
 
     lines = ["", "## 10× stress (sf≈1, built by tools/stress_big.py)", "",
-             f"lineitem = {n:,} rows (10× sf0.1 with key offsets).", "",
+             f"lineitem = {n:,} rows (10× sf0.1 with key offsets).",
+             "Median of 3 runs after a warm-up pass at each scale — single-shot",
+             "timings on this shared host swing 2-4× (cold page cache, CPU",
+             "contention), which round 2→3 showed can masquerade as regression.", "",
              "| query | t(sf0.1) | t(sf≈1) | ratio (10× data) |", "|---|---|---|---|"]
+
+    def median3(fn, where: str) -> float:
+        fn(spark, where).write.format("noop").mode("overwrite").save()  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, where).write.format("noop").mode("overwrite").save()
+            ts.append(time.time() - t0)
+        return statistics.median(ts)
+
     for name in QUERIES:
         fn = registry.QUERIES[name]
-        fn(spark, SRC).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.time()
-        fn(spark, SRC).write.format("noop").mode("overwrite").save()
-        t_small = time.time() - t0
-        t0 = time.time()
-        fn(spark, DST).write.format("noop").mode("overwrite").save()
-        t_big = time.time() - t0
+        t_small = median3(fn, SRC)
+        t_big = median3(fn, DST)
         lines.append(f"| {name} | {t_small:.2f}s | {t_big:.2f}s | {t_big / t_small:.1f}× |")
         print(lines[-1])
 
