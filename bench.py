@@ -73,6 +73,10 @@ HEADLINE = [
     "q_agg_percentile",    # exact per-group percentiles
     "q_text_tokens",       # tokenize + explode + count
     "q_text_quality",      # quality scoring pipeline
+    "q_decontaminate",     # broadcast n-gram benchmark decontamination
+    "q_chunk_docs",        # context-window chunking fan-out
+    "q_pack_greedy",       # stateful applyInPandas sequence packing
+    "q_corpus_shuffle",    # two-level deterministic permutation
     "q_stream_tumbling",   # event-time tumbling window (batch analog)
 ]
 

