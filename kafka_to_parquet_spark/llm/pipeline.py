@@ -372,6 +372,80 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared int8-quantization fragments (Spark SQL and DuckDB dialects of
+# the same arithmetic — float→double widening is exact, one double
+# division, floor; both engines produce identical BIGINT elements).
+_QV_SPARK = (
+    "CASE WHEN amax = 0 THEN transform(embedding, x -> CAST(0 AS BIGINT))"
+    " ELSE transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) AS BIGINT)) END"
+)
+_QV_DUCK = (
+    "CASE WHEN amax = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))"
+    " ELSE list_transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) AS BIGINT)) END"
+)
+
+
+@query(
+    "q_sim_topk_int8",
+    oracle=f"""
+WITH a AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS amax
+  FROM embeddings
+),
+s AS (SELECT vec_id, {_QV_DUCK} AS qv FROM a),
+q AS (SELECT vec_id AS q_id, qv AS qq FROM s WHERE vec_id < 10),
+pairs AS (
+  SELECT q.q_id, s.vec_id AS c_id,
+         CAST(list_sum(list_transform(range(1, len(s.qv) + 1),
+                                      i -> q.qq[i] * s.qv[i])) AS BIGINT) AS score_int
+  FROM q CROSS JOIN s WHERE s.vec_id <> q.q_id
+)
+SELECT q_id, c_id, score_int, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_int DESC, c_id) AS rn
+      FROM pairs)
+WHERE rn <= 5
+""",
+)
+def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized retrieval: top-5 neighbors per query under the INT8
+    inner product — the search that runs against a quantized ANN index
+    (q_embed_quantize is the index build). Integer dot products are
+    *exact* in both engines (no float-accumulation drift), so unlike
+    cosine ranking no rounding discipline is needed: score ties break
+    on c_id and the whole ranking is bit-deterministic. Plan: per-row
+    quantization map, broadcast 10-query side, cell-free brute force
+    (the IVF cell join of q_sim_ivf composes on top unchanged at
+    scale — quantization and partitioning are orthogonal)."""
+    e = load(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double")
+    s = e.select("vec_id", "embedding", amax.alias("amax")).select(
+        "vec_id", F.expr(_QV_SPARK).alias("qv")
+    )
+    q = s.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qq")
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(s)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), dot.alias("score_int"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_int"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "score_int", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Greedy sequence packing (context-window assembly)
 # ---------------------------------------------------------------------------

@@ -157,6 +157,70 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JOIN_WINDOW_MIN = 60
+
+
+@query(
+    "q_stream_join",
+    oracle=f"""
+SELECT a.event_id AS click_id,
+       b.event_id AS purchase_id,
+       a.user_id,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {JOIN_WINDOW_MIN} MINUTE
+""",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the remaining Structured Streaming
+    join surface): clicks joined to same-user purchases within
+    {JOIN_WINDOW_MIN} minutes, both sides real ``readStream`` sources.
+    Watermarks on BOTH sides plus the two-sided time-range predicate
+    are what bound the join state: each side buffers only rows inside
+    the watermark horizon, so state is O(rate × window), not O(stream).
+    Inner joins emit eagerly on match (no watermark wait), which makes
+    the bounded availableNow run equal to the batch join — and hence
+    oracle-checkable. At 100 TB/day the state store shards by user_id
+    across executors; the join itself is the same plan."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user AND p_ts >= c_ts
+            AND p_ts <= c_ts + INTERVAL {JOIN_WINDOW_MIN} MINUTES"""
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.floor(F.unix_timestamp("p_ts")) - F.floor(F.unix_timestamp("c_ts")))
+        .cast("long")
+        .alias("gap_s"),
+    )
+    return run_to_memory(joined, "append")
+
+
 @query(
     "q_stream_dedup",
     oracle="""
