@@ -166,3 +166,83 @@ def q_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 20)
     )
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+SELECT 'l_orderkey' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_s
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(l_quantity) AS BIGINT),
+       CAST(count(DISTINCT l_quantity) AS BIGINT),
+       CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR),
+       CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(l_shipdate) AS BIGINT),
+       CAST(count(DISTINCT l_shipdate) AS BIGINT),
+       CAST(min(l_shipdate) AS VARCHAR),
+       CAST(max(l_shipdate) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(l_returnflag) AS BIGINT),
+       CAST(count(DISTINCT l_returnflag) AS BIGINT),
+       min(l_returnflag),
+       max(l_returnflag)
+FROM lineitem
+""",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (row count, null count, distinct
+    count, min/max) for a representative column of each type class —
+    the stats pass every ingest pipeline runs for planner statistics
+    and data-quality gates. ONE scan: all 4x4 aggregates compute in a
+    single agg row (partial aggregation map-side), then ``stack``
+    unpivots to the (col_name, stats) long format — vs the oracle's
+    4-scan UNION ALL, same values. Min/max serialize to strings so one
+    schema carries every column type; the double column (l_quantity,
+    integer-valued in TPC-H) serializes through BIGINT so both engines
+    render identically."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_orderkey").alias("nn_ok"),
+        F.countDistinct("l_orderkey").alias("nd_ok"),
+        F.min("l_orderkey").cast("string").alias("mn_ok"),
+        F.max("l_orderkey").cast("string").alias("mx_ok"),
+        F.count("l_quantity").alias("nn_q"),
+        F.countDistinct("l_quantity").alias("nd_q"),
+        F.min("l_quantity").cast("long").cast("string").alias("mn_q"),
+        F.max("l_quantity").cast("long").cast("string").alias("mx_q"),
+        F.count("l_shipdate").alias("nn_sd"),
+        F.countDistinct("l_shipdate").alias("nd_sd"),
+        F.min("l_shipdate").cast("string").alias("mn_sd"),
+        F.max("l_shipdate").cast("string").alias("mx_sd"),
+        F.count("l_returnflag").alias("nn_rf"),
+        F.countDistinct("l_returnflag").alias("nd_rf"),
+        F.min("l_returnflag").alias("mn_rf"),
+        F.max("l_returnflag").alias("mx_rf"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 'l_orderkey',  n - nn_ok, nd_ok, mn_ok, mx_ok,"
+            " 'l_quantity',  n - nn_q,  nd_q,  mn_q,  mx_q,"
+            " 'l_shipdate',  n - nn_sd, nd_sd, mn_sd, mx_sd,"
+            " 'l_returnflag',n - nn_rf, nd_rf, mn_rf, mx_rf)"
+            " AS (col_name, n_nulls, n_distinct, min_s, max_s)"
+        ),
+        F.col("n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
