@@ -1,0 +1,260 @@
+"""Event-stream analytics over the ``events`` table: ordered funnel,
+calendar gap-fill, time-range rolling windows, and exact-arithmetic
+outlier detection.
+
+These are the batch forms of the operational analytics a user of the
+reference pipeline (Kafka events → parquet) runs downstream of the sink
+(reference src/main.rs:229-253 writes the batches; querying them is out
+of the reference's scope). All four are pure DataFrame plans — one
+shuffle each on the natural key (user_id / event_type), no Python in
+the hot path.
+
+Cross-engine discipline: timestamps compare exactly (µs integers);
+``value`` is an exact 2-decimal double, so all statistics are carried
+as integer cents and every predicate is evaluated in integer
+arithmetic — the oracle can't diverge by a ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT CAST(count(s1.t1) AS BIGINT) AS n_signup,
+       CAST(count(s2.t2) AS BIGINT) AS n_click,
+       CAST(count(s3.t3) AS BIGINT) AS n_purchase,
+       CAST(COALESCE(sum(floor(epoch(s3.t3)) - floor(epoch(s1.t1))), 0) AS BIGINT)
+         AS total_conv_s
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s2.user_id = s3.user_id
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel signup → click → purchase per user: first
+    signup, first click strictly after it, first purchase strictly
+    after that; reports per-stage user counts and total signup→purchase
+    conversion seconds.
+
+    Shape: three min-aggregations all keyed on user_id — Catalyst hash-
+    partitions once and reuses the exchange (per-user state is three
+    timestamps, so 100 TB of events reduce to |users| rows after stage
+    1). The stage-N candidate set joins stage N-1's min, which is
+    |users|-sized — broadcastable at any event volume."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    full = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    return full.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
+        F.coalesce(
+            F.sum(F.floor(F.unix_timestamp("t3")) - F.floor(F.unix_timestamp("t1"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("total_conv_s"),
+    )
+
+
+@query(
+    "q_ts_gapfill",
+    oracle="""
+WITH cal AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+ty AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+cnt AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, CAST(count(*) AS BIGINT) AS n0
+  FROM events WHERE value >= 480 GROUP BY 1, 2
+)
+SELECT cal.d, ty.event_type,
+       COALESCE(cnt.n0, 0) AS n,
+       CAST(sum(COALESCE(cnt.n0, 0)) OVER (
+         PARTITION BY ty.event_type ORDER BY cal.d
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+FROM cal
+CROSS JOIN ty
+LEFT JOIN cnt ON cnt.d = cal.d AND cnt.event_type = ty.event_type
+""",
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: daily counts of a sparse event subset
+    (value ≥ 480) for every (day, type) cell of the fixed 30-day ×
+    5-type grid — absent cells become explicit zeros — plus a per-type
+    running total.
+
+    Shape: the dense calendar is generated (``sequence`` + explode —
+    30×5 rows regardless of data volume), the event side aggregates
+    BEFORE the join (count per (day, type), so the left join is
+    grid-sized, not event-sized), and the cumulative window runs over
+    the tiny grid. This is the scale-correct gap-fill: never explode
+    events against the calendar."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") >= 480)
+    cnt = (
+        ev.groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count("*").alias("n0"))
+    )
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"), F.lit("2024-01-30").cast("date")
+            )
+        ).alias("d")
+    )
+    ty = spark.createDataFrame([(t,) for t in EVENT_TYPES], "event_type string")
+    grid = cal.crossJoin(F.broadcast(ty))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(F.broadcast(cnt), ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce("n0", F.lit(0)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w).cast("long"))
+    )
+
+
+@query(
+    "q_win_range_time",
+    oracle="""
+SELECT event_id, user_id, es,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       CAST(sum(c) OVER w AS BIGINT) AS cents_24h
+FROM (SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling window (W3's event-time form): for every
+    event, the count and cents-sum of the same user's events in the
+    trailing 24 h — ``rangeBetween`` on epoch seconds, not row frames,
+    so irregular event spacing is handled exactly (peer rows at the
+    same second share a frame in both engines by RANGE semantics).
+
+    Shape: one shuffle on user_id, then a sorted single pass per
+    partition with a sliding two-pointer frame — state is the frame
+    aggregate, never the frame contents. Sums are integer cents, so
+    the rolling totals are exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-86399, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "es",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_24h"),
+        F.sum("c").over(w).cast("long").alias("cents_24h"),
+    )
+
+
+# Exact-integer outlier predicate: |value - mean| > 2.5·stddev, squared
+# and cleared of denominators so both engines evaluate pure integer
+# arithmetic (population variance; c = cents, n/s/q = count/Σc/Σc²):
+#   (c - s/n)² > 6.25·(nq - s²)/n²  ⇔  4·(cn - s)² > 25·(nq - s²)
+# The products are evaluated in 38-digit integers (Spark DECIMAL(38,0),
+# DuckDB HUGEINT) so the identity holds far past 100 TB row counts.
+_OUTLIER_PRED_SPARK = (
+    "4 * (CAST(c AS DECIMAL(38,0)) * n - s) * (CAST(c AS DECIMAL(38,0)) * n - s)"
+    " > 25 * (CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)"
+)
+_OUTLIER_PRED_DUCK = (
+    "4 * (CAST(c AS HUGEINT) * n - s) * (CAST(c AS HUGEINT) * n - s)"
+    " > 25 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)"
+)
+
+
+@query(
+    "q_outliers_zscore",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q
+  FROM base GROUP BY event_type
+)
+SELECT event_id, base.event_type, c AS cents, n AS grp_n
+FROM base JOIN stats ON base.event_type = stats.event_type
+WHERE {_OUTLIER_PRED_DUCK}
+""",
+)
+def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection: events whose value deviates from
+    their type's mean by more than 2.5 population standard deviations
+    — evaluated WITHOUT floats. The 2-decimal values become integer
+    cents; per-type (n, Σc, Σc²) are exact integer aggregates; the
+    z² > 2.5² test is cleared of denominators into a pure-integer
+    inequality (see _OUTLIER_PRED_*), so Spark and DuckDB agree on
+    every boundary case by construction.
+
+    Shape: one partial+final agg to 5 stat rows, broadcast back onto
+    the scan, filter — no second shuffle. The same two-pass shape is
+    how you'd z-filter 100 TB: stats are map-side-combinable and the
+    rejoin is a broadcast."""
+    base = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    stats = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    return (
+        base.join(F.broadcast(stats), "event_type")
+        .filter(F.expr(_OUTLIER_PRED_SPARK))
+        .select("event_id", "event_type", F.col("c").alias("cents"), F.col("n").alias("grp_n"))
+    )

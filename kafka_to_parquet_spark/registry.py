@@ -148,8 +148,11 @@ def load_all() -> None:
     from kafka_to_parquet_spark.operators import aggregates  # noqa: F401
     from kafka_to_parquet_spark.operators import composite  # noqa: F401
     from kafka_to_parquet_spark.operators import statistics  # noqa: F401
+    from kafka_to_parquet_spark.operators import graph  # noqa: F401
     from kafka_to_parquet_spark.operators import joins  # noqa: F401
     from kafka_to_parquet_spark.operators import relational  # noqa: F401
+    from kafka_to_parquet_spark.operators import timeseries  # noqa: F401
+    from kafka_to_parquet_spark.operators import tpch_more  # noqa: F401
     from kafka_to_parquet_spark.operators import windows  # noqa: F401
     from kafka_to_parquet_spark.functions import scalar  # noqa: F401
     from kafka_to_parquet_spark.functions import text  # noqa: F401
@@ -164,6 +167,7 @@ def load_all() -> None:
     from kafka_to_parquet_spark.streaming import stateful  # noqa: F401
     from kafka_to_parquet_spark.llm import components  # noqa: F401
     from kafka_to_parquet_spark.llm import dedup  # noqa: F401
+    from kafka_to_parquet_spark.llm import search  # noqa: F401
     from kafka_to_parquet_spark.llm import similarity  # noqa: F401
     from kafka_to_parquet_spark.llm import multimodal  # noqa: F401
     from kafka_to_parquet_spark.llm import pipeline  # noqa: F401
