@@ -78,6 +78,12 @@ HEADLINE = [
     "q_pack_greedy",       # stateful applyInPandas sequence packing
     "q_corpus_shuffle",    # two-level deterministic permutation
     "q_stream_tumbling",   # event-time tumbling window (batch analog)
+    "q_tpch_q10",          # returned-items top-k, broadcast dims
+    "q_tpch_q18",          # HAVING-subquery broadcast join
+    "q_funnel",            # 3-stage ordered funnel on user_id
+    "q_win_range_time",    # trailing-24h range window per user
+    "q_graph_pagerank",    # 3-round integer fixed-point PageRank
+    "q_bm25",              # BM25 top-k retrieval
 ]
 
 

@@ -75,15 +75,23 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric customer↔supplier graph induced by orders⋈lineitem
     (customer nodes = 2·custkey, supplier nodes = 2·suppkey+1).
 
-    Shape per round: edges ⋈ ranks on src (one shuffle keyed on src),
-    partial-aggregated contributions grouped on dst (second shuffle),
-    left-joined back to the node set. Edges/degrees/nodes are computed
-    once and localCheckpoint-ed — the per-round plan is flat, not a
-    growing lineage, and the driver never sees a row. At 100 TB the
-    edge relation partitions on src and every round is two hash
-    exchanges of (node, long) pairs — the Pregel dataflow — while the
-    symmetric construction guarantees outdeg ≥ 1, so no dangling-mass
-    redistribution pass is needed."""
+    Shape per round: edges ⋈ ranks on src → contributions partial-
+    aggregated on dst. Two physical choices make the round cheap:
+
+    * outdeg is folded into the edge relation ONCE, and that
+      (src, dst, outdeg) table is repartitioned + sorted on src and
+      localCheckpoint-ed — the checkpoint remembers partitioning and
+      ordering, so every round's sort-merge join exchanges and sorts
+      ONLY the node-sized ranks relation, never the edges.
+    * the symmetric construction guarantees indegree ≥ 1 for every
+      node, so the contribution aggregate already covers the full node
+      set and no left-join back to ``nodes`` is needed (the oracle
+      keeps the LEFT JOIN + COALESCE form; the COALESCE never fires,
+      values are identical — pinned by the mass-conservation test).
+
+    Per round that leaves one exchange of (node, rank) pairs and one
+    edge-local partial aggregation — the Pregel dataflow — with a flat
+    per-round plan and no driver-side rows."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     e0 = (
@@ -94,9 +102,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().localCheckpoint()
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # persist, not localCheckpoint: an InMemoryTableScan advertises the
+    # cached plan's partitioning+ordering to Catalyst (a checkpointed
+    # RDD scan does not), so the per-round join sees edges pre-hashed
+    # and pre-sorted on src and never re-exchanges them.
+    edges_d = (
+        edges.join(deg, "src")
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    nodes = edges_d.select(F.col("src").alias("node")).distinct()
     par = nodes.agg(
         F.expr(f"{_T} DIV count(*)").alias("r_init"),
         F.expr(f"(15 * ({_T} DIV count(*))) DIV 100").alias("base"),
@@ -107,18 +125,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_ROUNDS):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks, edges.src == F.col("node"))
+            edges_d.join(ranks, edges_d.src == ranks.node)
             .select("dst", F.expr("r DIV outdeg").alias("part"))
             .groupBy("dst")
             .agg(F.sum("part").alias("s"))
         )
-        ranks = (
-            nodes.crossJoin(F.broadcast(par))
-            .join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                F.expr("base + (85 * COALESCE(s, 0)) DIV 100").alias("r"),
-            )
+        ranks = contrib.crossJoin(F.broadcast(par)).select(
+            F.col("dst").alias("node"),
+            F.expr("base + (85 * s) DIV 100").alias("r"),
         )
     return ranks.select("node", F.col("r").cast("long").alias("rank_units"))
