@@ -258,3 +258,125 @@ def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_OUTLIER_PRED_SPARK))
         .select("event_id", "event_type", F.col("c").alias("cents"), F.col("n").alias("grp_n"))
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+lagged AS (
+  SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 21600
+                 THEN 1 ELSE 0 END AS new_s
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+tagged AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_seq
+  FROM lagged
+)
+SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(es) AS start_es,
+       max(es) - min(es) AS dur_s
+FROM tagged GROUP BY user_id, sess_seq
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: assign gap-based session ids (new session
+    after > 6 h of inactivity) and emit per-session summaries. This is
+    the batch twin of q_stream_session (Spark's session_window) — the
+    classic lag + running-sum-of-boundaries formulation, so the session
+    id is a deterministic (user, ordinal) pair both engines derive
+    identically (ties broken by event_id in the window order).
+
+    Shape: one shuffle on user_id; the lag, the boundary cumsum, and
+    the final per-session aggregate all run inside that one partition
+    pass (the groupBy keys are a prefix of the window partitioning, so
+    no second exchange). Per-key state is a timestamp — 100 TB of
+    events stream through in one sorted scan per user shard."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    lagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("es").over(w).isNull() | ((F.col("es") - F.lag("es").over(w)) > 21600),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    tagged = lagged.withColumn(
+        "sess_seq", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        tagged.groupBy("user_id", F.col("sess_seq").cast("long").alias("sess_seq"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("es").alias("start_es"),
+            (F.max("es") - F.min("es")).alias("dur_s"),
+        )
+    )
+
+
+@query(
+    "q_ts_locf",
+    oracle="""
+WITH cal AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+ty AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value >= 480 GROUP BY 1, 2
+)
+SELECT cal.d, ty.event_type,
+       CAST(last_value(daily.v IGNORE NULLS) OVER (
+         PARTITION BY ty.event_type ORDER BY cal.d
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v_filled
+FROM cal
+CROSS JOIN ty
+LEFT JOIN daily ON daily.d = cal.d AND daily.event_type = ty.event_type
+""",
+)
+def q_ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward interpolation: the sparse daily
+    cents series (value ≥ 480) on the dense calendar grid, with missing
+    days filled by the most recent observed value (leading gaps stay
+    NULL — no value has been observed yet, and inventing one would be
+    lying). Complements q_ts_gapfill's zero-fill: zeros are correct for
+    counts, LOCF for sampled measurements.
+
+    Shape: identical to q_ts_gapfill — aggregate the events BEFORE the
+    grid join, then a window over the tiny grid. Daily sums are exact
+    integer cents, so the carried values are engine-identical."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") >= 480)
+    daily = ev.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v")
+    )
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"), F.lit("2024-01-30").cast("date")
+            )
+        ).alias("d")
+    )
+    ty = spark.createDataFrame([(t,) for t in EVENT_TYPES], "event_type string")
+    grid = cal.crossJoin(F.broadcast(ty))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(F.broadcast(daily), ["d", "event_type"], "left")
+        .select(
+            "d",
+            "event_type",
+            F.last("v", ignorenulls=True).over(w).cast("long").alias("v_filled"),
+        )
+    )

@@ -109,3 +109,44 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("value_c"),
         F.md5("props").alias("props_fp"),
     )
+
+
+_ORC_CACHE: dict[tuple[SparkSession, str], str] = {}
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate_s,
+       o_orderpriority
+FROM orders
+""",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion: orders → ORC (zlib) → read back with the explicit
+    schema → value-exact vs the parquet source. Exercises the second
+    columnar container Spark ships natively (a lake migration path the
+    reference's parquet-only sink lacks): doubles round-trip bit-exact
+    through ORC's IEEE storage, and timestamps are compared at epoch
+    seconds computed AFTER the round-trip, so a session-timezone
+    mismatch between write and read would fail loudly rather than
+    cancel out. One file tree per (session, sf); the read is the
+    measured path."""
+    key = (spark, sf_dir)
+    if key not in _ORC_CACHE:
+        out = os.path.join(tempfile.gettempdir(), f"ktps_orc_{_digest(sf_dir)}")
+        load(spark, sf_dir, "orders").write.mode("overwrite").option(
+            "compression", "zlib"
+        ).orc(out)
+        _ORC_CACHE[key] = out
+    src = load(spark, sf_dir, "orders")
+    back = spark.read.schema(src.schema).orc(_ORC_CACHE[key])
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.floor(F.unix_timestamp("o_orderdate")).cast("long").alias("odate_s"),
+        "o_orderpriority",
+    )

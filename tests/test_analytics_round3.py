@@ -178,3 +178,43 @@ def test_q14_single_join_no_second_pass(run):
     # of the fact side beyond the final single-row exchange
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------- sessionize / locf / orc
+
+def test_sessionize_partitions_all_events(run, spark, sf_dir):
+    from kafka_to_parquet_spark.tables import load
+
+    rows = run("q_sessionize").collect()
+    total_events = load(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total_events
+    assert all(r.dur_s >= 0 and r.n_events >= 1 for r in rows)
+    # session ordinals are dense per user, starting at 1
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.sess_seq)
+    for seqs in by_user.values():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))
+
+
+def test_locf_holds_after_first_observation(run):
+    rows = run("q_ts_locf").collect()
+    assert len(rows) == 30 * 5
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.d)
+        seen = False
+        for r in rs:
+            if r.v_filled is not None:
+                seen = True
+            # once a value has been observed, LOCF never yields NULL again
+            if seen:
+                assert r.v_filled is not None
+
+
+def test_orc_roundtrip_row_count(run, spark, sf_dir):
+    from kafka_to_parquet_spark.tables import load
+
+    assert run("q_orc_roundtrip").count() == load(spark, sf_dir, "orders").count()
