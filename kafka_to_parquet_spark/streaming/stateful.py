@@ -13,6 +13,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
@@ -45,12 +46,22 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory; symlink the (read-only) parquet into a memoized temp dir."""
     ev_path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(ev_path).schema  # ts arrives as long (nanos)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(ev_path).schema
     d = _stream_source_dir(spark, sf_dir)
     link = os.path.join(d, "events.parquet")
     src = link if os.path.isdir(ev_path) else d
     sdf = spark.readStream.schema(schema).parquet(src)
-    return sdf.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    # ts has shipped as TIMESTAMP(NANOS)-read-as-long in older fixture
+    # generations and TIMESTAMP(MICROS) (NTZ under Spark 4 inference) in
+    # newer ones — normalize both to TIMESTAMP exactly like tables.load.
+    if isinstance(schema["ts"].dataType, LongType):
+        sdf = sdf.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    elif isinstance(schema["ts"].dataType, TimestampNTZType):
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
 
 
 def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
