@@ -1,0 +1,208 @@
+"""Corpus-level statistics for training-data curation: vocabulary
+building, bigram counts, TF-IDF salient terms, and the source/language
+mix report — the profiling pass that runs before filtering and
+sampling decisions on a crawl corpus.
+
+Built on the canonical whitespace tokenizer shared with
+functions/text.py (same DuckDB mirror, so token semantics can't drift
+across the text family).
+
+Engine-stability: classic TF-IDF is float math (log); here the idf
+factor is replaced by the exact rational n_docs/df and the score is
+carried as BIGINT units — ``tf · n_docs · 10^6 DIV df`` — pure integer
+arithmetic in both engines (Spark ``DIV`` ↔ DuckDB ``//``), so ranking
+ties and hashes are deterministic by construction. Shares in the mix
+report are integer ppm for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.functions.text import _TOKENS_SQL, tokens_col
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+VOCAB_K = 50
+BIGRAM_K = 30
+
+
+@query(
+    "q_vocab_topk",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY doc_id, word
+)
+SELECT word, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+FROM tf
+GROUP BY word
+ORDER BY df DESC, word
+LIMIT {VOCAB_K}
+""",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: the {K} tokens appearing in the most documents,
+    with document frequency and total term frequency — the first
+    artifact of tokenizer/stopword design over a new corpus.
+
+    Shape: tokenize → explode → per-(doc, word) partial count (the
+    map-side combine collapses each document's repeats before the
+    shuffle), then a word-keyed agg whose output is |vocab|-sized.
+    Top-k is TakeOrderedAndProject with the deterministic (df desc,
+    word) order. At 100 TB the (doc, word) shuffle is the cost —
+    exactly the word-count topology, nothing quadratic."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("word")
+        .agg(F.count("*").alias("df"), F.sum("tf").cast("long").alias("tf_total"))
+        .orderBy(F.desc("df"), "word")
+        .limit(VOCAB_K)
+    )
+
+
+@query(
+    "q_text_bigrams",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS i
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+)
+SELECT a.word || ' ' || b.word AS bigram, CAST(count(*) AS BIGINT) AS n
+FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {BIGRAM_K}
+""",
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token bigram counts, top {K} — the n-gram statistic
+    behind boilerplate detection and collocation mining.
+
+    Shape: the bigram list is built INSIDE the row via zip_with over
+    two shifted slices of the token array (JVM higher-order functions,
+    no self-join, no positional shuffle), then explode → count. Output
+    volume ≈ token count; the DuckDB oracle derives the same pairs via
+    an ordinality self-join, which is its idiomatic equivalent. At
+    100 TB this is the word-count topology again — explode and one
+    keyed agg."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(BIGRAM_K)
+    )
+
+
+@query(
+    "q_tfidf_top_term",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+par AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         CAST((tf * n_docs * 1000000) // df AS BIGINT) AS u
+  FROM tf JOIN dfq ON tf.word = dfq.word CROSS JOIN par
+)
+SELECT doc_id, word AS top_word, u AS score_units
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY u DESC, word) = 1
+""".format(toks=_TOKENS_SQL),
+)
+def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-salient term per document under rational TF-IDF: score =
+    tf · (n_docs/df) in exact 10^6 units (see module docstring) —
+    document fingerprinting / topic-keyword extraction without a float
+    in the ranking path.
+
+    Shape: per-(doc, word) tf is the one data-sized shuffle; df is a
+    |vocab|-row aggregate joined back on word; n_docs is a broadcast
+    scalar. The per-doc argmax is ``min(struct(-u, word))`` — a single
+    hash aggregate with constant state per document, NOT a row_number
+    window (no second sort-shuffle of the full (doc, word) relation;
+    the oracle uses the window form, which is DuckDB's idiom for the
+    same selection)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    par = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfq, "word")
+        .crossJoin(F.broadcast(par))
+        .select(
+            "doc_id",
+            "word",
+            F.expr("CAST(tf * n_docs * 1000000L DIV df AS BIGINT)").alias("u"),
+        )
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("u")).alias("neg_u"), F.col("word"))).alias("m")
+    )
+    return best.select(
+        "doc_id",
+        F.col("m.word").alias("top_word"),
+        (-F.col("m.neg_u")).cast("long").alias("score_units"),
+    )
+
+
+@query(
+    "q_corpus_mix",
+    oracle="""
+WITH par AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST((count(*) * 1000000) // max(total) AS BIGINT) AS share_ppm
+FROM documents CROSS JOIN par
+GROUP BY source, lang
+""",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × language mix report: document counts, char volume, and
+    each cell's corpus share in integer ppm — the balance sheet a data
+    curator reads before weighting/sampling a pretraining mix.
+
+    Shape: one hash aggregate on the (source, lang) key (tiny
+    cardinality → map-side partials collapse everything), with the
+    corpus total broadcast as a 1-row cross join so the share is
+    computed with exact integer arithmetic (ppm DIV, no float)."""
+    docs = load(spark, sf_dir, "documents")
+    par = docs.agg(F.count("*").alias("total"))
+    return (
+        docs.crossJoin(F.broadcast(par))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("CAST(count(*) * 1000000L DIV max(total) AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

@@ -153,6 +153,7 @@ def load_all() -> None:
     from kafka_to_parquet_spark.operators import relational  # noqa: F401
     from kafka_to_parquet_spark.operators import timeseries  # noqa: F401
     from kafka_to_parquet_spark.operators import tpch_more  # noqa: F401
+    from kafka_to_parquet_spark.operators import tpch_batch3  # noqa: F401
     from kafka_to_parquet_spark.operators import windows  # noqa: F401
     from kafka_to_parquet_spark.functions import scalar  # noqa: F401
     from kafka_to_parquet_spark.functions import text  # noqa: F401
@@ -166,6 +167,7 @@ def load_all() -> None:
     from kafka_to_parquet_spark.streaming import windows as swin  # noqa: F401
     from kafka_to_parquet_spark.streaming import stateful  # noqa: F401
     from kafka_to_parquet_spark.llm import components  # noqa: F401
+    from kafka_to_parquet_spark.llm import corpus_stats  # noqa: F401
     from kafka_to_parquet_spark.llm import dedup  # noqa: F401
     from kafka_to_parquet_spark.llm import search  # noqa: F401
     from kafka_to_parquet_spark.llm import similarity  # noqa: F401

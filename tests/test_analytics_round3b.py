@@ -1,0 +1,195 @@
+"""Invariant and plan tests for the third TPC-H batch (Q7/Q8/Q13/Q17/
+Q22 patterns) and the corpus-statistics family (vocab, bigrams,
+rational TF-IDF, mix report).
+
+Value-level correctness is the oracle gate's job (tools/verify_oracle
+and the driver); these pin semantic invariants the oracle can't see
+(conservation, bounds, brute-force spot checks) and the physical plan
+shapes that make the queries scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.tables import load
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ------------------------------------------------------------------- q7
+
+def test_q7_nation_pairs_and_broadcasts(run):
+    from kafka_to_parquet_spark.operators.tpch_batch3 import Q7_N1, Q7_N2
+
+    rows = run("q_tpch_q7").collect()
+    assert rows, "fixture should have bilateral trade for the chosen pair"
+    for r in rows:
+        assert {r.supp_nation, r.cust_nation} == {Q7_N1, Q7_N2}
+        assert r.l_year in (1996, 1997)
+        assert r.revenue > 0
+    plan = plan_of(run("q_tpch_q7"))
+    # supplier + 2 nation aliases + customer broadcast; exactly one
+    # fact-sized non-broadcast join (lineitem ⋈ orders)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------------- q8
+
+def test_q8_share_is_a_percentage_of_total(run, spark, sf_dir):
+    rows = run("q_tpch_q8").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share_pct <= 100.0
+        assert r.n_lines > 0
+
+
+# ------------------------------------------------------------------ q13
+
+def test_q13_histogram_partitions_customers(run, spark, sf_dir):
+    rows = run("q_tpch_q13").collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r.custdist for r in rows) == n_cust
+    assert all(r.c_count >= 0 and r.custdist >= 1 for r in rows)
+    # bucket keys are unique
+    assert len({r.c_count for r in rows}) == len(rows)
+
+
+# ------------------------------------------------------------------ q17
+
+def test_q17_brute_force_threshold(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.tpch_batch3 import Q17_BRAND, Q17_TYPE
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "part").filter(
+                (F.col("p_brand") == Q17_BRAND) & (F.col("p_type") == Q17_TYPE)
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    per_part: dict[int, list] = {}
+    for r in li:
+        per_part.setdefault(r.l_partkey, []).append(r)
+    total_c = 0
+    n_small = 0
+    for rows_ in per_part.values():
+        avg = sum(x.l_quantity for x in rows_) / len(rows_)
+        for x in rows_:
+            if x.l_quantity < 0.2 * avg:
+                n_small += 1
+                total_c += round(x.l_extendedprice * 100)
+    got = run("q_tpch_q17").collect()[0]
+    assert got.n_small == n_small
+    assert abs(got.avg_yearly - total_c / 100.0 / 7.0) < 1e-9
+
+
+# ------------------------------------------------------------------ q22
+
+def test_q22_dormant_and_above_average(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.tpch_batch3 import (
+        Q22_CUTOFF,
+        Q22_NATIONS,
+    )
+
+    rows = run("q_tpch_q22").collect()
+    for r in rows:
+        assert r.c_nationkey in Q22_NATIONS
+        assert r.numcust >= 1
+    # no selected nation's customers may have a recent order
+    recent = {
+        r.o_custkey
+        for r in load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(f"{Q22_CUTOFF} 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+        .collect()
+    }
+    # re-derive the selected customer set with the same integer gate
+    elig = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*Q22_NATIONS))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_c"),
+        )
+        .collect()
+    )
+    pos = [r.bal_c for r in elig if r.bal_c > 0]
+    n_pos, s_pos = len(pos), sum(pos)
+    selected = [
+        r for r in elig if r.bal_c * n_pos > s_pos and r.c_custkey not in recent
+    ]
+    by_nation: dict[int, int] = {}
+    for r in selected:
+        by_nation[r.c_nationkey] = by_nation.get(r.c_nationkey, 0) + 1
+    assert {r.c_nationkey: r.numcust for r in rows} == by_nation
+
+
+def test_q22_plans_left_anti(run):
+    plan = plan_of(run("q_tpch_q22"))
+    assert "LeftAnti" in plan
+
+
+# ------------------------------------------------------------ vocab/tfidf
+
+def test_vocab_topk_ordered_and_bounded(run, spark, sf_dir):
+    rows = run("q_vocab_topk").collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        assert 1 <= r.df <= n_docs
+        assert r.tf_total >= r.df  # every contributing doc has >= 1 hit
+
+
+def test_bigrams_brute_force_one_doc(run, spark, sf_dir):
+    rows = run("q_text_bigrams").collect()
+    assert rows
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    # brute-force recount on the raw text (python tokenization mirror)
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    counts: dict[str, int] = {}
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        for a, b in zip(toks, toks[1:]):
+            key = f"{a} {b}"
+            counts[key] = counts.get(key, 0) + 1
+    for r in rows:
+        assert counts.get(r.bigram) == r.n
+
+
+def test_tfidf_one_row_per_doc_and_argmax(run, spark, sf_dir):
+    rows = run("q_tfidf_top_term").collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    assert all(r.score_units > 0 for r in rows)
+
+
+def test_tfidf_no_window_exchange_on_doc_word(run):
+    # the per-doc argmax must be a hash aggregate (min over struct),
+    # not a row_number window — no Window node in the plan
+    plan = plan_of(run("q_tfidf_top_term"))
+    assert "Window" not in plan
+
+
+# -------------------------------------------------------------- mix
+
+def test_corpus_mix_shares_partition_unity(run, spark, sf_dir):
+    rows = run("q_corpus_mix").collect()
+    total = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    # floor-division shares: sum <= 1e6 < sum + n_cells
+    s = sum(r.share_ppm for r in rows)
+    assert s <= 1_000_000 < s + len(rows)
+    for r in rows:
+        assert r.share_ppm == r.n_docs * 1_000_000 // total
