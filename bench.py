@@ -84,6 +84,10 @@ HEADLINE = [
     "q_win_range_time",    # trailing-24h range window per user
     "q_graph_pagerank",    # 3-round integer fixed-point PageRank
     "q_bm25",              # BM25 top-k retrieval
+    "q_tpch_q7",           # bilateral nation-pair volume, 5-dim broadcast chain
+    "q_tpch_q13",          # left-outer count histogram (agg-before-join)
+    "q_tfidf_top_term",    # rational TF-IDF argmax (word-count topology)
+    "q_vocab_topk",        # vocabulary head (explode + two-level agg)
 ]
 
 

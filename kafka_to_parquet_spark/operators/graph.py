@@ -135,3 +135,57 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("base + (85 * s) DIV 100").alias("r"),
         )
     return ranks.select("node", F.col("r").cast("long").alias("rank_units"))
+
+
+@query(
+    "q_graph_degree",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY src)
+SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+       degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg
+GROUP BY side, degree
+""",
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer↔supplier trade graph, per
+    node side — the skew diagnostic read before running any iterative
+    graph algorithm (a heavy-tailed degree histogram is the signal to
+    salt or cap hot vertices).
+
+    Shape: the distinct edge derivation is shared with q_graph_pagerank
+    (one orders⋈lineitem join, distinct on the pair); per-node degree
+    is a count keyed on src, and the histogram is a second aggregate on
+    the tiny (side, degree) key. Both aggregates hash-partition on
+    their keys; nothing is edge-quadratic and the result is
+    |distinct degrees|-sized regardless of graph volume."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return (
+        deg.select(
+            F.when(F.col("src") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("side"),
+            "degree",
+        )
+        .groupBy("side", "degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )

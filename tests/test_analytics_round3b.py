@@ -182,6 +182,54 @@ def test_tfidf_no_window_exchange_on_doc_word(run):
     assert "Window" not in plan
 
 
+# ------------------------------------------------------------- degree
+
+def test_degree_histogram_accounts_every_edge_endpoint(run, spark, sf_dir):
+    rows = run("q_graph_degree").collect()
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n_edges_directed = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .count()
+        * 2  # symmetric closure: each pair contributes both directions
+    )
+    assert sum(r.degree * r.n_nodes for r in rows) == n_edges_directed
+    assert {r.side for r in rows} == {"customer", "supplier"}
+    # bipartite symmetry: each side's endpoint total is |undirected| edges
+    per_side = {}
+    for r in rows:
+        per_side[r.side] = per_side.get(r.side, 0) + r.degree * r.n_nodes
+    assert per_side["customer"] == per_side["supplier"]
+
+
+# --------------------------------------------------------- compaction
+
+def test_compaction_shrinks_file_count_losslessly(run, spark, sf_dir):
+    import glob
+    import os
+
+    from kafka_to_parquet_spark.sinks.maintenance import (
+        FRAGMENT_FILES,
+        TARGET_BYTES,
+        _layout_bytes,
+        compact_events,
+    )
+
+    frag, comp = compact_events(spark, sf_dir)
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(comp, "*.parquet")))
+    assert n_frag == FRAGMENT_FILES
+    expected = max(1, -(-_layout_bytes(frag) // TARGET_BYTES))
+    assert n_comp == expected < n_frag
+    # lossless: row count and id multiset preserved
+    total = load(spark, sf_dir, "events").count()
+    assert run("q_compact_files").count() == total
+    ids = spark.read.parquet(comp).select("event_id").collect()
+    assert len({r.event_id for r in ids}) == total
+
+
 # -------------------------------------------------------------- mix
 
 def test_corpus_mix_shares_partition_unity(run, spark, sf_dir):

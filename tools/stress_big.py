@@ -35,11 +35,21 @@ OFFSETS = {
 }
 
 
+def _stale(out: str, src: str) -> bool:
+    """True when the materialized copy predates the driver fixture —
+    the fixture is regenerated between rounds, and timing queries over
+    a stale replica would silently measure different data."""
+    if not os.path.exists(out):
+        return True
+    return os.path.getmtime(out) < os.path.getmtime(src)
+
+
 def build(spark) -> None:
     os.makedirs(DST, exist_ok=True)
     for table, offs in OFFSETS.items():
         out = f"{DST}/{table}.parquet"
-        if os.path.exists(out):
+        src = f"{SRC}/{table}.parquet"
+        if not _stale(out, src):
             continue
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         base = spark.read.parquet(f"{SRC}/{table}.parquet")
@@ -75,19 +85,26 @@ def main() -> None:
              "contention), which round 2→3 showed can masquerade as regression.", "",
              "| query | t(sf0.1) | t(sf≈1) | ratio (10× data) |", "|---|---|---|---|"]
 
-    def median3(fn, where: str) -> float:
-        fn(spark, where).write.format("noop").mode("overwrite").save()  # warm
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            fn(spark, where).write.format("noop").mode("overwrite").save()
-            ts.append(time.time() - t0)
-        return statistics.median(ts)
+    # Interleaved sweeps (same protocol as bench.py): a load burst on
+    # this shared host then lands on ONE sample of every query instead
+    # of all three samples of one query — the per-query median stays an
+    # honest cross-query comparison.
+    def run_once(fn, where: str) -> float:
+        t0 = time.time()
+        fn(spark, where).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    cells = [(name, where) for name in QUERIES for where in (SRC, DST)]
+    for name, where in cells:  # warm-up sweep
+        run_once(registry.QUERIES[name], where)
+    samples: dict[tuple[str, str], list[float]] = {c: [] for c in cells}
+    for _ in range(3):
+        for name, where in cells:
+            samples[(name, where)].append(run_once(registry.QUERIES[name], where))
 
     for name in QUERIES:
-        fn = registry.QUERIES[name]
-        t_small = median3(fn, SRC)
-        t_big = median3(fn, DST)
+        t_small = statistics.median(samples[(name, SRC)])
+        t_big = statistics.median(samples[(name, DST)])
         lines.append(f"| {name} | {t_small:.2f}s | {t_big:.2f}s | {t_big / t_small:.1f}× |")
         print(lines[-1])
 
