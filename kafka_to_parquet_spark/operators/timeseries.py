@@ -17,6 +17,10 @@ arithmetic — the oracle can't diverge by a ulp.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -317,6 +321,114 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("es").alias("start_es"),
             (F.max("es") - F.min("es")).alias("dur_s"),
+        )
+    )
+
+
+@query(
+    "q_ts_rollup_hier",
+    oracle="""
+SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+       CAST(ts AS DATE) AS d,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY ROLLUP (m, d, event_type)
+""",
+)
+def q_ts_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: event counts and
+    exact cents volume at every granularity of the month ⊃ day ⊃ type
+    hierarchy in ONE pass — the batch form of a continuous aggregate
+    (per-day, per-month, and grand-total rows materialize together;
+    subtotal rows carry NULL keys in both engines).
+
+    Shape: Catalyst plans rollup as a single Expand (4 grouping sets)
+    feeding one hash aggregate — the fact is scanned once, partials
+    combine map-side, and the shuffled rows are the expanded KEYS, not
+    the facts (days × types × 4 sets). At 100 TB this is the
+    materialize-once pattern that replaces three separate scans; the
+    day-level output is exactly the state q_incr_agg maintains
+    incrementally."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.trunc(F.to_date("ts"), "month").alias("m"),
+            F.to_date("ts").alias("d"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .rollup("m", "d", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("c").cast("long").alias("cents"))
+    )
+
+
+# Incremental-aggregation cutoff: state covers days < CUTOFF, the
+# "freshly arrived" partition is days >= CUTOFF.
+INCR_CUTOFF = "2024-01-25"
+
+_STATE_CACHE: dict[tuple[SparkSession, str], str] = {}
+
+
+@query(
+    "q_incr_agg",
+    oracle="""
+SELECT CAST(ts AS DATE) AS d, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY d, event_type
+""",
+)
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh):
+    the per-(day, type) count/cents aggregate is kept as a persisted
+    STATE table covering history (days < INCR_CUTOFF, materialized
+    once); refresh scans ONLY the newly-arrived delta partition
+    (days ≥ cutoff), aggregates it, and merges by summing state ∪
+    delta — never re-reading history. The oracle recomputes from
+    scratch, proving merge == full recompute.
+
+    Shape at 100 TB: refresh cost is O(|delta| + |state|), with
+    |state| = days × types (trivial) — against O(|table|) for the
+    recompute the oracle does. Count/sum are decomposable aggregates,
+    so the merge is a second-level sum over disjoint day keys; with a
+    date-partitioned layout (sources/partitioned.py) the delta scan
+    prunes to the new partitions before reading a row."""
+    key = (spark, sf_dir)
+    cutoff = F.lit(INCR_CUTOFF).cast("date")
+    if key not in _STATE_CACHE:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        state_dir = os.path.join(tempfile.gettempdir(), f"ktps_aggstate_{digest}")
+        (
+            load(spark, sf_dir, "events")
+            .filter(F.to_date("ts") < cutoff)
+            .groupBy(F.to_date("ts").alias("d"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+            )
+            .write.mode("overwrite")
+            .parquet(state_dir)
+        )
+        _STATE_CACHE[key] = state_dir
+    state = spark.read.parquet(_STATE_CACHE[key])
+    delta = (
+        load(spark, sf_dir, "events")
+        .filter(F.to_date("ts") >= cutoff)
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+    )
+    return (
+        state.unionByName(delta)
+        .groupBy("d", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
         )
     )
 

@@ -204,6 +204,45 @@ def test_degree_histogram_accounts_every_edge_endpoint(run, spark, sf_dir):
     assert per_side["customer"] == per_side["supplier"]
 
 
+# ------------------------------------------------------- time rollup
+
+def test_rollup_hier_subtotals_are_consistent(run, spark, sf_dir):
+    rows = run("q_ts_rollup_hier").collect()
+    total = load(spark, sf_dir, "events").count()
+    grand = [r for r in rows if r.m is None and r.d is None and r.event_type is None]
+    assert len(grand) == 1 and grand[0].n == total
+    # month subtotals == sum of their day subtotals (n and cents)
+    month_rows = {r.m: r for r in rows if r.d is None and r.m is not None and r.event_type is None}
+    day_rows = [r for r in rows if r.d is not None and r.event_type is None]
+    for m, mr in month_rows.items():
+        days = [r for r in day_rows if r.m == m]
+        assert sum(r.n for r in days) == mr.n
+        assert sum(r.cents for r in days) == mr.cents
+    # day subtotal == sum of its type leaves
+    leaves = [r for r in rows if r.event_type is not None]
+    for dr in day_rows[:5]:
+        mine = [r for r in leaves if r.d == dr.d]
+        assert sum(r.n for r in mine) == dr.n
+
+
+def test_incr_agg_state_covers_only_history(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.timeseries import (
+        INCR_CUTOFF,
+        _STATE_CACHE,
+    )
+
+    run("q_incr_agg").collect()  # materialize state
+    state_dir = _STATE_CACHE[(spark, sf_dir)]
+    state_days = {r.d for r in spark.read.parquet(state_dir).select("d").collect()}
+    import datetime
+
+    cutoff = datetime.date.fromisoformat(INCR_CUTOFF)
+    assert state_days and all(d < cutoff for d in state_days)
+    # merged result partitions the full table
+    rows = run("q_incr_agg").collect()
+    assert sum(r.n for r in rows) == load(spark, sf_dir, "events").count()
+
+
 # --------------------------------------------------------- compaction
 
 def test_compaction_shrinks_file_count_losslessly(run, spark, sf_dir):
