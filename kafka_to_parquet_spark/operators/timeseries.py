@@ -434,6 +434,49 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_retention_cohort",
+    oracle="""
+WITH ua AS (
+  SELECT DISTINCT user_id,
+         CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM ua GROUP BY user_id)
+SELECT cohort_week, week, CAST(count(*) AS BIGINT) AS n_users
+FROM ua JOIN cohort USING (user_id)
+GROUP BY cohort_week, week
+""",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their first active
+    week (cohort), counted in every subsequent week they returned —
+    the (cohort_week, week, n_users) triangle behind every retention
+    curve.
+
+    Shape: everything is keyed on user_id — the (user, week) distinct,
+    the per-user min-week cohort, and the join between them share one
+    hash partitioning, so Catalyst plans a single exchange of
+    user-sized (not event-sized) rows and AQE reuses it; the final
+    aggregate's key space is weeks², broadcast-tiny at any data
+    volume. Per-user state is one integer. The diagonal cell
+    (week == cohort_week) is the cohort's size, so the matrix is
+    self-normalizing downstream."""
+    ev = load(spark, sf_dir, "events")
+    ua = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(to_date(ts), DATE'2024-01-01') DIV 7 AS BIGINT)"
+        ).alias("week"),
+    ).distinct()
+    cohort = ua.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ua.join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
     "q_ts_locf",
     oracle="""
 WITH cal AS (

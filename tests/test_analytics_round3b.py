@@ -204,6 +204,29 @@ def test_degree_histogram_accounts_every_edge_endpoint(run, spark, sf_dir):
     assert per_side["customer"] == per_side["supplier"]
 
 
+# -------------------------------------------------------- retention
+
+def test_retention_diagonal_is_cohort_size_and_triangle(run, spark, sf_dir):
+    rows = run("q_retention_cohort").collect()
+    # no cell before its cohort week; diagonal present for every cohort
+    cohorts = {r.cohort_week for r in rows}
+    for r in rows:
+        assert r.week >= r.cohort_week
+        assert r.n_users >= 1
+    by_cell = {(r.cohort_week, r.week): r.n_users for r in rows}
+    for c in cohorts:
+        assert (c, c) in by_cell  # week-0 cell (cohort size) always exists
+        # retention in later weeks never exceeds the cohort size
+        for (cw, w), n in by_cell.items():
+            if cw == c and w > c:
+                assert n <= by_cell[(c, c)]
+    # every distinct user is in exactly one cohort: diagonal sums to |users|
+    n_users_total = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(by_cell[(c, c)] for c in cohorts) == n_users_total
+
+
 # ------------------------------------------------------- time rollup
 
 def test_rollup_hier_subtotals_are_consistent(run, spark, sf_dir):
