@@ -88,6 +88,10 @@ HEADLINE = [
     "q_tpch_q13",          # left-outer count histogram (agg-before-join)
     "q_tfidf_top_term",    # rational TF-IDF argmax (word-count topology)
     "q_vocab_topk",        # vocabulary head (explode + two-level agg)
+    "q_tpch_q1",           # full pricing-summary measure set (scan-bound)
+    "q_tpch_q9",           # 5-table profit rollup (broadcast chain + fact shuffle)
+    "q_tpch_q19",          # disjunctive-bracket hash join (no nested loop)
+    "q_tpch_q21",          # per-order countDistinct/max + join-back chain
 ]
 
 

@@ -41,6 +41,27 @@ def dec_sum_sql(x: str, p: int = 2) -> str:
     return f"sum(round(({x}) * {s})) / {float(s)}"
 
 
+def dec_sum_long(col: Column, p: int = 2) -> Column:
+    """Exact sum of a p-decimal column in INTEGER 10^p units (Spark
+    side, LongType result). Unlike :func:`dec_sum`, the scaled units
+    are cast to long BEFORE summing, so the accumulator is a 63-bit
+    integer, not a double — use this when ``n_rows · max|x| · 10^p``
+    can exceed 2^53 (e.g. 6-decimal charge sums over a large fact
+    table), where double accumulation would lose integer exactness
+    and the two engines' summation orders could diverge. Divide by
+    ``10^p`` (one FP op, identical both engines) for a money double."""
+    s = 10**p
+    return F.sum(F.round(col * s, 0).cast("long"))
+
+
+def dec_sum_long_sql(x: str, p: int = 2) -> str:
+    """DuckDB twin of :func:`dec_sum_long`: DuckDB's sum(BIGINT) is
+    exact (HUGEINT accumulator); the outer cast matches Spark's
+    LongType so the driver's schema comparison agrees."""
+    s = 10**p
+    return f"CAST(sum(CAST(round(({x}) * {s}) AS BIGINT)) AS BIGINT)"
+
+
 def dec_avg(col: Column, p: int = 2) -> Column:
     """Exact engine-stable average of a p-decimal column (Spark side)."""
     s = 10**p

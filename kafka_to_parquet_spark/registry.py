@@ -124,6 +124,9 @@ def ordered_queries() -> dict[str, QueryFn]:
     (first GATE_WINDOW entries get a row this round):
 
     1. never-certified queries (registration order) — must land a row;
+       if there are more of these than the window holds, the window is
+       spent entirely on them and the remainder spill to the FRONT of
+       next round's queue (registration order is stable);
     2. ``RECERTIFY`` — certified queries whose code changed this round;
     3. the remaining certified queries, rotated left by a round-derived
        offset so successive rounds re-verify a different slice instead
@@ -154,6 +157,7 @@ def load_all() -> None:
     from kafka_to_parquet_spark.operators import timeseries  # noqa: F401
     from kafka_to_parquet_spark.operators import tpch_more  # noqa: F401
     from kafka_to_parquet_spark.operators import tpch_batch3  # noqa: F401
+    from kafka_to_parquet_spark.operators import tpch_batch4  # noqa: F401
     from kafka_to_parquet_spark.operators import windows  # noqa: F401
     from kafka_to_parquet_spark.functions import scalar  # noqa: F401
     from kafka_to_parquet_spark.functions import text  # noqa: F401
