@@ -92,6 +92,8 @@ HEADLINE = [
     "q_tpch_q9",           # 5-table profit rollup (broadcast chain + fact shuffle)
     "q_tpch_q19",          # disjunctive-bracket hash join (no nested loop)
     "q_tpch_q21",          # per-order countDistinct/max + join-back chain
+    "q_kmeans_step",       # Lloyd step: broadcast assign + dim-wise mean update
+    "q_text_unigram_logprob",  # corpus-unigram LM quality score
 ]
 
 

@@ -50,6 +50,28 @@ def duck_cosine(a: str, b: str) -> str:
     return f"({duck_dot(a, b)} / (sqrt({duck_dot(a, a)}) * sqrt({duck_dot(b, b)})))"
 
 
+def sqdist_expr(a: str, b: str) -> str:
+    """Spark SQL expression: squared L2 distance of two float-array
+    columns in double precision (sequential left fold — matches
+    :func:`duck_sqdist` term-for-term)."""
+    d = "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> {d} * {d}),"
+        " CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+
+
+def duck_sqdist(a: str, b: str) -> str:
+    """DuckDB mirror of sqdist_expr — same fold order, same precision."""
+    d = f"(CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE))"
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, CAST(len({a}) AS INTEGER) + 1),"
+        f" i -> {d} * {d})),"
+        " (s, v) -> s + v)"
+    )
+
+
 @query(
     "q_array_funcs",
     oracle=f"""

