@@ -28,7 +28,7 @@ surface; this is part of the mandated LLM-pipeline extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.functions.vectors import duck_sqdist, sqdist_expr
@@ -109,11 +109,20 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_id",
         F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    # Argmin as a map-side-combinable aggregate, NOT a window: with
+    # the centroids broadcast, every (vector, centroid) pair for one
+    # vector sits in the same task, so the partial min(struct) reduces
+    # k scored rows to 1 BEFORE the exchange — the shuffle carries N
+    # pre-reduced rows. A row_number() window over the same scored set
+    # would shuffle all N·k rows to sort them. Lexicographic struct
+    # comparison (d2, cent_id) is exactly the (distance, id) tiebreak.
     assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cent_id")).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("m.cent_id").alias("cent_id"))
     )
     exploded = assign.select(
         "cent_id",

@@ -132,11 +132,21 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(cosine_expr("embedding", "cente")), 6).alias("cs"),
         )
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    # Argmax-by-cosine as a map-side-combinable aggregate (not a
+    # window): centroids are broadcast, so all k scored rows for one
+    # vector sit in the same task and the partial min(struct) reduces
+    # them to 1 before the exchange — the shuffle carries N rows, not
+    # N·k. min over (−cs, cent_id) is max-cosine with min-id tiebreak,
+    # identical to the oracle's ORDER BY cs DESC, cent_id.
     assign = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("cs")).alias("neg_cs"), F.col("cent_id").alias("cent_id"))
+            ).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("m.cent_id").alias("cent_id"))
     )
     q = assign.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("cent_id").alias("qc")

@@ -106,6 +106,7 @@ RECERTIFY: set[str] = {
     "q_dedup_ngram_jaccard",   # max-df shingle cap (round 3)
     "q_dedup_simhash_pairs",   # hot-bucket cap (round 3)
     "q_dedup_embedding_lsh",   # hot-bucket cap (round 3)
+    "q_sim_ivf",               # argmin-as-aggregate assignment (round 3)
 }
 
 

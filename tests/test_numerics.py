@@ -89,3 +89,32 @@ def test_approx_count_distinct_error_bound(spark, sf_dir, run):
         assert a["n_rows"] == e["n_rows"], flag
         rel = abs(a["n_parts_approx"] - e["n_parts"]) / e["n_parts"]
         assert rel < 0.15, f"{flag}: approx {a['n_parts_approx']} vs exact {e['n_parts']}"
+
+
+def test_dec_sum_long_exact_past_double_integer_range(spark):
+    """Why dec_sum_long exists: per-row units are exact (each value's
+    scaled magnitude is far below 2^53) but their SUM crosses 2^53,
+    where a double accumulator has ulp 2 and silently rounds — the
+    long accumulator stays integer-exact. Values are constructed so
+    the binary representation is exact end-to-end: v = k + 2^-20 with
+    even k gives the odd unit k·10^6 + 1."""
+    from kafka_to_parquet_spark.functions.rounding import dec_sum_long
+
+    vals = [float(3 * 10**7 + 2 * i) + 2.0**-20 for i in range(1, 401)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(32)
+    got = df.agg(dec_sum_long(F.col("x"), 6).alias("s")).collect()[0]["s"]
+    want = sum((3 * 10**7 + 2 * i) * 10**6 + 1 for i in range(1, 401))
+    assert want > 2**53  # the sum is genuinely past double-exact range
+    assert got == want
+
+
+def test_dec_sum_long_matches_dec_sum_in_safe_range(spark):
+    """Inside the double-safe range the two forms agree after the
+    final division."""
+    from kafka_to_parquet_spark.functions.rounding import dec_sum, dec_sum_long
+
+    vals = [round(1000.0 + i * 0.01, 2) for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    a = df.agg((dec_sum_long(F.col("x"), 2) / 100.0).alias("s")).collect()[0]["s"]
+    b = df.agg(dec_sum(F.col("x"), 2).alias("s")).collect()[0]["s"]
+    assert a == b

@@ -138,3 +138,25 @@ def test_stream_static_join_is_stateless(run):
     assert {"event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"} == set(
         df.columns
     )
+
+
+def test_kmeans_assignment_is_aggregate_not_window(run):
+    # the argmin is a map-side-combinable min(struct), so the plan has
+    # NO window operator at all (a window would shuffle N*k scored
+    # rows; the aggregate pre-reduces to one row per vector per task)
+    plan = plan_of(run("q_kmeans_step"))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_ivf_assignment_is_aggregate_not_window(run):
+    # only ONE window remains in the IVF plan: the per-query top-k
+    # rank. The centroid assignment is the min(struct) aggregate.
+    plan = plan_of(run("q_sim_ivf"))
+    assert plan.count("(") > 0
+    import re
+
+    # exact-match the operator name: WindowGroupLimit (the top-k
+    # pushdown helper of the SAME rank window) must not be counted
+    windows = re.findall(r"^\(\d+\) Window$", plan, re.M)
+    assert len(windows) == 1, f"expected exactly the rank window, got {windows}"
