@@ -189,3 +189,179 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("side", "degree")
         .agg(F.count("*").alias("n_nodes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Part co-occurrence graph: pair mining + degree-ordered triangle count
+# ---------------------------------------------------------------------------
+
+# Minimum co-order support for an edge. The fixture's graph density
+# INVERTS with scale (more parts spread the same per-order fan-out),
+# so the triangle count falls as SF grows — the plan shape, not the
+# count, is the scale story.
+MIN_SUP = 2
+COPURCHASE_K = 30
+
+# Shared DuckDB CTE block ending in `pairs` (support-counted part
+# pairs co-occurring in an order) — single source of truth for both
+# graph queries' oracles.
+_PAIRS_CTE = """pl AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS support
+  FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+)"""
+
+
+def _part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-counted co-order part pairs (Spark side of _PAIRS_CTE).
+
+    Shape: the self-join keys on l_orderkey, so the pair blow-up is
+    quadratic only in the per-order line count (bounded by order size,
+    ~4-7 lines) — the shuffle carries (order, part) distinct rows once
+    per side and the pair aggregate combines map-side on (pa, pb)."""
+    pl = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    left = pl.select("o", F.col("p").alias("pa"))
+    right = pl.select("o", F.col("p").alias("pb"))
+    return (
+        left.join(right, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+    )
+
+
+@query(
+    "q_copurchase_pairs",
+    oracle=f"""
+WITH {_PAIRS_CTE}
+SELECT pa, pb, support FROM pairs
+ORDER BY support DESC, pa, pb
+LIMIT {COPURCHASE_K}
+""",
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise frequent-itemset mining (the co-purchase / association
+    head): the top-{K} part pairs by number of orders containing both.
+    This is the support-counting core of Apriori/FP-growth restricted
+    to pairs — the variant that actually runs at retail scale.
+
+    Shape: see _part_pairs (order-keyed self-join, bounded per-order
+    blow-up, map-side combine); the report is a TakeOrderedAndProject
+    over the (support desc, pa, pb) key — unique pair keys make the
+    LIMIT a deterministic set."""
+    return (
+        _part_pairs(spark, sf_dir)
+        .orderBy(F.desc("support"), F.asc("pa"), F.asc("pb"))
+        .limit(COPURCHASE_K)
+    )
+
+
+# Oriented-edge cache: the triangle count references the oriented edge
+# set three times (e1, e2, e3); without a materialization boundary
+# each reference re-runs the pair self-join + degree join upstream.
+# Same keying discipline as llm/dedup.py's _FP_CACHE.
+_ORIENT_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def _oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered orientation of the support-filtered edge set:
+    each undirected edge points from the (degree, id)-smaller endpoint
+    to the larger. This is THE classic triangle-counting bound: every
+    oriented out-neighborhood is O(√m), so the wedge join is
+    O(m^1.5) worst-case instead of Σ deg² on hub nodes."""
+    key = (spark, sf_dir)
+    if key not in _ORIENT_CACHE:
+        e = _part_pairs(spark, sf_dir).filter(F.col("support") >= MIN_SUP).select(
+            "pa", "pb"
+        )
+        deg = (
+            e.select(F.col("pa").alias("n"))
+            .union(e.select(F.col("pb").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        da = deg.select(F.col("n").alias("pa"), F.col("d").alias("da"))
+        db = deg.select(F.col("n").alias("pb"), F.col("d").alias("db"))
+        lower = F.struct(F.col("da"), F.col("pa")) < F.struct(F.col("db"), F.col("pb"))
+        o = (
+            e.join(da, "pa")
+            .join(db, "pb")
+            .select(
+                F.when(lower, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+                F.when(lower, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+            )
+        )
+        _ORIENT_CACHE[key] = o.persist()
+    return _ORIENT_CACHE[key]
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+WITH {_PAIRS_CTE},
+e AS (SELECT pa, pb FROM pairs WHERE support >= {MIN_SUP}),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e) GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN (da.d, pa) < (db.d, pb) THEN pa ELSE pb END AS u,
+         CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS v
+  FROM e JOIN deg da ON da.n = pa JOIN deg db ON db.n = pb
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(max(cnt) AS BIGINT)
+        FROM (SELECT count(*) AS cnt FROM o GROUP BY u)) AS max_out,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM o e1 JOIN o e2 ON e1.v = e2.u
+                  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+""",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-occurrence graph (edges =
+    part pairs co-ordered in ≥ MIN_SUP orders) — the canonical
+    clustering-coefficient / community-structure statistic, and the
+    canonical example of taming a join explosion by ORIENTING first.
+
+    Shape: degree-ordered orientation (see _oriented_edges) caps every
+    out-neighborhood at O(√m); the wedge join (e1.v = e2.u) then emits
+    Σ outdeg(u)·outdeg(v) ≤ O(m^1.5) candidates instead of hub-degree-
+    squared, and the closing equi-join on (u, w) filters them to
+    actual triangles. Each triangle is counted exactly once (its
+    orientation-minimal vertex sees it once). All three joins
+    hash-partition on node keys; the oriented edge set is persisted
+    once and reused by all three references. max_out is emitted as
+    evidence of the √m bound."""
+    o = _oriented_edges(spark, sf_dir)
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = (
+        o.select(F.col("u").alias("n"))
+        .union(o.select(F.col("v").alias("n")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    edges = o.agg(F.count("*").alias("n_edges"))
+    maxout = o.groupBy("u").agg(F.count("*").alias("cnt")).agg(
+        F.max("cnt").alias("max_out")
+    )
+    return (
+        nodes.crossJoin(edges)
+        .crossJoin(maxout)
+        .crossJoin(tri)
+        .select("n_nodes", "n_edges", "max_out", "n_triangles")
+    )

@@ -160,3 +160,59 @@ def test_ivf_assignment_is_aggregate_not_window(run):
     # pushdown helper of the SAME rank window) must not be counted
     windows = re.findall(r"^\(\d+\) Window$", plan, re.M)
     assert len(windows) == 1, f"expected exactly the rank window, got {windows}"
+
+
+# ----------------------------------------- co-purchase + triangles
+
+def test_copurchase_pairs_brute_force(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.graph import COPURCHASE_K
+
+    rows = run("q_copurchase_pairs").collect()
+    assert 0 < len(rows) <= COPURCHASE_K
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    per_order: dict[int, set] = {}
+    for r in li:
+        per_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from collections import Counter
+
+    sup = Counter()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                sup[(ps[i], ps[j])] += 1
+    want = sorted(sup.items(), key=lambda kv: (-kv[1], kv[0]))[:COPURCHASE_K]
+    assert [((r.pa, r.pb), r.support) for r in rows] == want
+
+
+def test_triangle_count_brute_force(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.graph import MIN_SUP
+
+    row = run("q_graph_triangles").collect()[0]
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    per_order: dict[int, set] = {}
+    for r in li:
+        per_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from collections import Counter
+    from itertools import combinations
+
+    sup = Counter()
+    for parts in per_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            sup[(a, b)] += 1
+    edges = {e for e, s in sup.items() if s >= MIN_SUP}
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(adj)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if a < c and b < c
+    )
+    assert row.n_triangles == tri
+    # the degree-orientation bound: max oriented out-degree ≤ √(2m)+1
+    assert row.max_out <= int((2 * len(edges)) ** 0.5) + 1
