@@ -278,3 +278,116 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# DSIR importance weighting: the target domain is the English slice of
+# the corpus (a stand-in for "high-quality target distribution" — a
+# real run would read the target from a second table). Laplace +1
+# smoothing keeps target-absent words finite.
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "q_dsir_logratio",
+    oracle=f"""
+WITH dw AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf_doc
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+tw AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS tf_t
+  FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents
+        WHERE lang = '{DSIR_TARGET_LANG}')
+  GROUP BY word
+),
+vocab AS (
+  SELECT dw.word, CAST(sum(dw.tf_doc) AS BIGINT) AS tf_c,
+         CAST(coalesce(max(tw.tf_t), 0) AS BIGINT) AS tf_t
+  FROM dw LEFT JOIN tw ON dw.word = tw.word
+  GROUP BY dw.word
+),
+tot AS (
+  SELECT CAST(sum(tf_c) AS BIGINT) AS n_c,
+         CAST(sum(tf_t) AS BIGINT) + CAST(count(*) AS BIGINT) AS n_t
+  FROM vocab
+),
+lr AS (
+  SELECT word,
+         CAST(floor((ln((tf_t + 1) * 1.0 / n_t) - ln(tf_c * 1.0 / n_c))
+                    * 1000000 + 0.5) AS BIGINT) AS lr_mu
+  FROM vocab CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(tf_doc) AS BIGINT) AS n_toks,
+       CAST(sum(tf_doc * lr_mu) AS BIGINT) / (1000000.0 * sum(tf_doc))
+         AS avg_logratio
+FROM dw JOIN lr USING (word)
+GROUP BY doc_id
+""",
+)
+def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): each document's
+    average per-token log-ratio ln(p_target / p_corpus) under unigram
+    feature distributions — positive means the document looks more
+    like the target domain than the corpus at large; resampling by
+    these weights tilts a pretraining mix toward the target. Target
+    here = the corpus's own '{DSIR_TARGET_LANG}' slice, Laplace-(+1)
+    smoothed so target-absent words stay finite.
+
+    Engine stability is inherited from q_text_unigram_logprob: both
+    ln() calls are per-VOCABULARY-word on identical doubles, fenced to
+    integer micro-nats before any per-doc accumulation; the per-doc
+    weighted sum and the final single division are exact/identical.
+
+    Plan: the same two narrow aggregates (doc-word tf, vocabulary) as
+    the logprob query plus one vocabulary-sized LEFT join to the
+    target slice's counts — the corpus's token instances never shuffle
+    raw; the target slice re-scans documents with the lang filter
+    pushed into the parquet scan. At 100 TB the target distribution is
+    typically ~1000× smaller than the corpus — this plan keeps it a
+    side input, never a second corpus pass."""
+    docs = load(spark, sf_dir, "documents")
+    dw = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf_doc"))
+    )
+    tw = (
+        docs.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("tf_t"))
+    )
+    vocab = (
+        dw.groupBy("word")
+        .agg(F.sum("tf_doc").alias("tf_c"))
+        .join(tw, "word", "left")
+        .select(
+            "word",
+            "tf_c",
+            F.coalesce(F.col("tf_t"), F.lit(0)).cast("long").alias("tf_t"),
+        )
+    )
+    tot = vocab.agg(
+        F.sum("tf_c").cast("long").alias("n_c"),
+        (F.sum("tf_t").cast("long") + F.count("*")).alias("n_t"),
+    )
+    lr = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.expr(
+            "CAST(floor((ln((tf_t + 1) * 1.0 / n_t) - ln(tf_c * 1.0 / n_c))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("lr_mu"),
+    )
+    return (
+        dw.join(lr, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf_doc").alias("n_toks"),
+            (
+                F.sum(F.col("tf_doc") * F.col("lr_mu")).cast("long")
+                / (1000000.0 * F.sum("tf_doc"))
+            ).alias("avg_logratio"),
+        )
+    )

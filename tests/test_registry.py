@@ -51,15 +51,20 @@ def test_ordered_queries_window_properties():
         assert set(pending) <= window
         assert registry.RECERTIFY <= window
     # The certified tail rotates with the round number so every
-    # certified query is eventually re-verified. GATE_WINDOW and the
-    # tail length must stay coprime for the rotation to cycle fully.
-    import math
-
+    # certified query is eventually re-verified. Simulate the rotation
+    # directly: over enough rounds, every tail index must fall inside
+    # the window at least once. (Coprimality of stride and tail length
+    # is NOT required — offsets step through multiples of
+    # gcd(GATE_WINDOW, tail_n), and a window of GATE_WINDOW ≥ gcd
+    # consecutive entries tiles those gaps.)
     tail_n = len(registry.CERTIFIED - registry.RECERTIFY)
     if tail_n > registry.GATE_WINDOW:
-        assert math.gcd(registry.GATE_WINDOW, tail_n) == 1, (
-            "rotation stride shares a factor with the certified-tail "
-            "length; some queries would never re-enter the gate window"
+        covered: set[int] = set()
+        for rnd in range(tail_n):
+            off = (rnd * registry.GATE_WINDOW) % tail_n
+            covered |= {(off + i) % tail_n for i in range(registry.GATE_WINDOW)}
+        assert covered == set(range(tail_n)), (
+            "rotation never re-verifies some certified-tail indices"
         )
 
 

@@ -216,3 +216,45 @@ def test_triangle_count_brute_force(run, spark, sf_dir):
     assert row.n_triangles == tri
     # the degree-orientation bound: max oriented out-degree ≤ √(2m)+1
     assert row.max_out <= int((2 * len(edges)) ** 0.5) + 1
+
+
+# ------------------------------------------------- DSIR importance
+
+def test_dsir_logratio_direction_and_reference(run, spark, sf_dir):
+    """The target slice's own documents must average a HIGHER
+    importance weight than non-target documents (that is the entire
+    point of importance resampling), and a full Python recomputation
+    must match to the last micro-nat."""
+    import math
+    from collections import Counter
+
+    from kafka_to_parquet_spark.llm.corpus_stats import DSIR_TARGET_LANG
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang").collect()
+    toks = {r.doc_id: [t for t in r.text.lower().split() if t] for r in docs}
+    lang = {r.doc_id: r.lang for r in docs}
+    corpus = Counter(t for ts in toks.values() for t in ts)
+    target = Counter(
+        t
+        for did, ts in toks.items()
+        for t in ts
+        if lang[did] == DSIR_TARGET_LANG
+    )
+    n_c = sum(corpus.values())
+    n_t = sum(target.values()) + len(corpus)
+    lr_mu = {
+        w: math.floor(
+            (math.log((target.get(w, 0) + 1) * 1.0 / n_t) - math.log(c * 1.0 / n_c))
+            * 1e6
+            + 0.5
+        )
+        for w, c in corpus.items()
+    }
+    rows = {r.doc_id: r for r in run("q_dsir_logratio").collect()}
+    assert set(rows) == set(toks)
+    for did, ts in toks.items():
+        want = sum(lr_mu[t] for t in ts) / (1e6 * len(ts))
+        assert abs(rows[did].avg_logratio - want) < 1e-12
+    t_avg = [r.avg_logratio for d, r in rows.items() if lang[d] == DSIR_TARGET_LANG]
+    o_avg = [r.avg_logratio for d, r in rows.items() if lang[d] != DSIR_TARGET_LANG]
+    assert sum(t_avg) / len(t_avg) > sum(o_avg) / len(o_avg)
