@@ -665,14 +665,20 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic as aggregate form: ≥2 suppliers on the order, exactly 1 at
     the max shipdate.
 
-    Shape: everything downstream of the fact⋈orders filter hashes on
-    orderkey — the per-order aggregate, the max-shipdate join-back,
-    and the solo-supplier reduction reuse one exchange family; only
-    order-sized rows survive past each step. The final per-supplier
-    count is supplier-sized, topped with a deterministic
-    (numwait DESC, suppkey) TakeOrderedAndProject — the unique suppkey
-    tie-break makes the LIMIT a well-defined set, so the
-    order-insensitive oracle hash is stable."""
+    Shape: the fact passes through the orderkey exchange ONCE —
+    immediately collapsed to per-(order, supplier) max shipdates (a
+    supplier's line sits at the order max iff the supplier's own max
+    does, so this loses nothing), and every later step (per-order
+    stats, the late filter, the solo reduction) operates on the
+    order×supplier table, which is a small multiple of the order
+    count. The naive form joins the per-order aggregate back to the
+    LINEITEM-sized rows — a second fact-sized pass this formulation
+    never makes (the 10× stress sweep showed that join-back as the
+    cost center). The final per-supplier count is supplier-sized,
+    topped with a deterministic (numwait DESC, suppkey)
+    TakeOrderedAndProject — the unique suppkey tie-break makes the
+    LIMIT a well-defined set, so the order-insensitive oracle hash is
+    stable."""
     orders = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == Q21_STATUS)
@@ -682,15 +688,19 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li2 = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    per_order = li2.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.max("l_shipdate").alias("max_ship"),
+    # lineitem → (order, supplier, supplier's max shipdate): the one
+    # fact-sized aggregate; everything after is order×supplier-sized.
+    os_max = li2.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    per_order = os_max.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.max("smax").alias("max_ship"),
     )
     late = (
-        li2.join(per_order, "l_orderkey")
-        .filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2))
+        os_max.join(per_order, "l_orderkey")
+        .filter((F.col("smax") == F.col("max_ship")) & (F.col("n_supp") >= 2))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     solo = (
         late.groupBy("l_orderkey")

@@ -315,3 +315,34 @@ def test_q21_single_exchange_family(run):
     plan = plan_of(run("q_tpch_q21"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------- plan-shape pins
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def test_single_shuffle_plans(run):
+    """Q1 (pure scan-agg), Q9 (broadcast chain + one fact join), and
+    Q19 (broadcast join + residual) must each carry exactly ONE
+    exchange — the property PLANS.md records; a regression to a second
+    fact shuffle is the 100 TB failure mode."""
+    for name in ("q_tpch_q1", "q_tpch_q9", "q_tpch_q19"):
+        plan = plan_of(run(name))
+        assert _n_exchanges(plan) == 1, f"{name}: {_n_exchanges(plan)} exchanges"
+
+
+def test_q21_single_fact_pass(run):
+    """The reformulated Q21 aggregates lineitem to (order, supplier)
+    rows immediately; the per-order join-back must be against that
+    collapsed table, so the plan contains exactly one scan of
+    lineitem... which Spark may clone per join branch — what must NOT
+    appear is a join of the per-order aggregate back onto raw
+    lineitem-grain rows carrying l_shipdate."""
+    plan = plan_of(run("q_tpch_q21"))
+    # the late filter happens on smax (supplier-level), never on a
+    # raw l_shipdate column post-aggregation
+    assert "smax" in plan
