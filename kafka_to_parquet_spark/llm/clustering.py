@@ -90,9 +90,12 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every seed centroid is its own nearest centroid (d²=0), so no
     cluster is empty and the output has exactly ⌈N/KM_MOD⌉ rows.
 
-    Plan: centroids broadcast into the corpus scan (no corpus shuffle
-    for assignment: window on vec_id partitions by the corpus's own
-    key); posexplode fans each assigned vector into (centroid, dim,
+    Plan: centroids broadcast into the corpus scan, and the argmin is
+    a map-side-combinable min(struct) aggregate — each task pre-reduces
+    its vectors' k scored rows to one before the vec_id exchange, so
+    the assignment shuffle carries N rows (never N·k, which a
+    row_number window over the scored set would);
+    posexplode then fans each assigned vector into (centroid, dim,
     micro-unit) rows that partially aggregate map-side before the one
     (centroid, dim)-keyed exchange; the regroup to one row per
     centroid moves k·D tiny rows. Means are integer micro-units end

@@ -208,14 +208,31 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_text_unigram_logprob",
-    oracle=f"""
-WITH dw AS (
+# Shared doc-word term-frequency stage: the (doc_id, word, tf) table
+# both LM-scoring queries start from. One definition per engine so the
+# tokenizer and fencing can never drift between them (the graph
+# module's _PAIRS_CTE discipline).
+_DW_CTE = f"""dw AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf_doc
   FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)
   GROUP BY doc_id, word
-),
+)"""
+
+
+def _doc_word_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _DW_CTE."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf_doc"))
+    )
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle=f"""
+WITH {_DW_CTE},
 vocab AS (SELECT word, CAST(sum(tf_doc) AS BIGINT) AS tf FROM dw GROUP BY word),
 tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM vocab),
 lp AS (
@@ -253,12 +270,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture scale; at 100 TB it hash-joins on word with both sides
     already combined). Two narrow exchanges, no token-instance
     shuffle."""
-    docs = load(spark, sf_dir, "documents")
-    dw = (
-        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf_doc"))
-    )
+    dw = _doc_word_tf(spark, sf_dir)
     vocab = dw.groupBy("word").agg(F.sum("tf_doc").alias("tf"))
     tot = vocab.agg(F.sum("tf").alias("n_total"))
     lp = vocab.crossJoin(F.broadcast(tot)).select(
@@ -290,11 +302,7 @@ DSIR_TARGET_LANG = "en"
 @query(
     "q_dsir_logratio",
     oracle=f"""
-WITH dw AS (
-  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf_doc
-  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)
-  GROUP BY doc_id, word
-),
+WITH {_DW_CTE},
 tw AS (
   SELECT word, CAST(count(*) AS BIGINT) AS tf_t
   FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents
@@ -348,11 +356,7 @@ def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     typically ~1000× smaller than the corpus — this plan keeps it a
     side input, never a second corpus pass."""
     docs = load(spark, sf_dir, "documents")
-    dw = (
-        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf_doc"))
-    )
+    dw = _doc_word_tf(spark, sf_dir)
     tw = (
         docs.filter(F.col("lang") == DSIR_TARGET_LANG)
         .select(F.explode(tokens_col(F.col("text"))).alias("word"))

@@ -97,6 +97,30 @@ def _ts(lit: str) -> F.Column:
     return F.lit(f"{lit} 00:00:00").cast("timestamp")
 
 
+def _region_supp_sql(region: str) -> str:
+    """DuckDB derived-table fragment: suppliers restricted to one
+    region. Single source of truth for the Q2/Q11/Q20 oracles (the
+    same discipline as graph._PAIRS_CTE)."""
+    return (
+        "(SELECT s_suppkey, s_name FROM supplier"
+        " JOIN nation ON n_nationkey = s_nationkey"
+        f" JOIN region ON r_regionkey = n_regionkey AND r_name = '{region}')"
+    )
+
+
+def _region_suppliers(spark: SparkSession, sf_dir: str, region: str) -> DataFrame:
+    """Spark twin of :func:`_region_supp_sql`: the broadcast-sized
+    supplier⋈nation⋈region chain, shared by Q2/Q11/Q20."""
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(reg), nation.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+
+
 @query(
     "q_tpch_q1",
     oracle=f"""
@@ -156,11 +180,9 @@ WITH base AS (
   SELECT l_partkey AS p_partkey, p_name, s_suppkey, s_name,
          {int_units('l_extendedprice / l_quantity', 3)} AS unit_milli
   FROM lineitem
-  JOIN part     ON p_partkey = l_partkey
-               AND p_type = '{Q2_TYPE}' AND p_size <= {Q2_MAX_SIZE}
-  JOIN supplier ON s_suppkey = l_suppkey
-  JOIN nation   ON n_nationkey = s_nationkey
-  JOIN region   ON r_regionkey = n_regionkey AND r_name = '{Q2_REGION}'
+  JOIN part ON p_partkey = l_partkey
+           AND p_type = '{Q2_TYPE}' AND p_size <= {Q2_MAX_SIZE}
+  JOIN {_region_supp_sql(Q2_REGION)} rs ON rs.s_suppkey = l_suppkey
 ),
 mins AS (
   SELECT p_partkey, min(unit_milli) AS min_milli FROM base GROUP BY p_partkey
@@ -192,14 +214,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
     )
-    supp = load(spark, sf_dir, "supplier")
-    nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
-    supp_r = (
-        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("s_suppkey", "s_name")
-    )
+    supp_r = _region_suppliers(spark, sf_dir, Q2_REGION)
     base = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp_r), li.l_suppkey == F.col("s_suppkey"))
@@ -286,9 +301,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q11",
     oracle=f"""
 WITH supp_r AS (
-  SELECT s_suppkey FROM supplier
-  JOIN nation ON n_nationkey = s_nationkey
-  JOIN region ON r_regionkey = n_regionkey AND r_name = '{Q11_REGION}'
+  SELECT s_suppkey FROM {_region_supp_sql(Q11_REGION)} rs
 ),
 per_part AS (
   SELECT l_partkey,
@@ -326,14 +339,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     (document: at true 100 TB revenue scale, drop to 2dp units for
     the same exactness)."""
     li = load(spark, sf_dir, "lineitem")
-    supp = load(spark, sf_dir, "supplier")
-    nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == Q11_REGION)
-    supp_r = (
-        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("s_suppkey")
-    )
+    supp_r = _region_suppliers(spark, sf_dir, Q11_REGION).select("s_suppkey")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = (
         li.join(F.broadcast(supp_r), li.l_suppkey == F.col("s_suppkey"))
@@ -572,11 +578,9 @@ pair AS (
 ptot AS (
   SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS pq FROM pair GROUP BY l_partkey
 )
-SELECT DISTINCT s.s_suppkey, s.s_name
+SELECT DISTINCT rs.s_suppkey, rs.s_name
 FROM pair JOIN ptot ON pair.l_partkey = ptot.l_partkey
-JOIN supplier s ON s.s_suppkey = pair.l_suppkey
-JOIN nation   ON n_nationkey = s_nationkey
-JOIN region   ON r_regionkey = n_regionkey AND r_name = '{Q20_REGION}'
+JOIN {_region_supp_sql(Q20_REGION)} rs ON rs.s_suppkey = pair.l_suppkey
 WHERE 2 * sq > pq
 """,
 )
@@ -608,14 +612,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pair = qual.groupBy("l_partkey", "l_suppkey").agg(F.sum("q100").alias("sq"))
     ptot = pair.groupBy("l_partkey").agg(F.sum("sq").alias("pq"))
-    supp = load(spark, sf_dir, "supplier")
-    nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == Q20_REGION)
-    supp_r = (
-        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("s_suppkey", "s_name")
-    )
+    supp_r = _region_suppliers(spark, sf_dir, Q20_REGION)
     return (
         pair.join(ptot, "l_partkey")
         .filter(2 * F.col("sq") > F.col("pq"))

@@ -35,7 +35,7 @@ def test_kmeans_step_partitions_the_corpus(run, spark, sf_dir):
     for r in rows:
         parts = r.centroid_mu.split(",")
         assert len(parts) == dim
-        all(int(p) for p in parts)  # ints by construction
+        assert all(p.lstrip("-").isdigit() for p in parts)  # ints by construction
 
 
 def test_kmeans_update_is_the_blockwise_mean(run, spark, sf_dir):
