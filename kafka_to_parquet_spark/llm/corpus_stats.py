@@ -395,3 +395,106 @@ def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logratio"),
         )
     )
+
+
+# Shared doc-bigram term-frequency stage (same discipline as _DW_CTE):
+# in-row zip_with on the Spark side, ordinality self-join in DuckDB.
+_DWB_CTE = f"""w AS (
+  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS i
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+),
+dwb AS (
+  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf_doc
+  FROM (SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+  GROUP BY doc_id, bigram
+)"""
+
+
+def _doc_bigram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _DWB_CTE: (doc_id, bigram, tf_doc) built from
+    zip_with over two shifted slices — no self-join, no positional
+    shuffle (the q_text_bigrams idiom, kept per-doc)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("tf_doc"))
+    )
+
+
+@query(
+    "q_text_bigram_logprob",
+    oracle=f"""
+WITH {_DWB_CTE},
+cb AS (
+  SELECT bigram, CAST(sum(tf_doc) AS BIGINT) AS c2 FROM dwb GROUP BY bigram
+),
+cw AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+  FROM cb GROUP BY w1
+),
+lp AS (
+  SELECT bigram,
+         CAST(floor(ln(c2 * 1.0 / c1) * 1000000 + 0.5) AS BIGINT) AS lp_mu
+  FROM cb JOIN cw ON split_part(bigram, ' ', 1) = w1
+)
+SELECT doc_id, CAST(sum(tf_doc) AS BIGINT) AS n_bigrams,
+       CAST(sum(tf_doc * lp_mu) AS BIGINT) / (1000000.0 * sum(tf_doc))
+         AS avg_bigram_logprob
+FROM dwb JOIN lp USING (bigram)
+GROUP BY doc_id
+""",
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-probability LM score: each document's average
+    ln p(w2|w1) = ln(c(w1,w2)/c(w1,·)) under the corpus's own bigram
+    counts — one order sharper than q_text_unigram_logprob (word salad
+    with plausible unigrams but improbable TRANSITIONS scores low
+    here; the unigram filter can't see it). Self-scoring against the
+    corpus means every document bigram exists in the counts, so no
+    backoff branch is needed.
+
+    Engine stability: the single ln() is per bigram TYPE on an
+    identical ratio of exact integers, fenced to micro-nats; per-doc
+    accumulation is exact integers + one shared final division.
+
+    Plan: in-row bigram construction (zip_with, no self-join) →
+    (doc, bigram, tf) partial-aggregated before its one exchange; the
+    bigram and first-word count tables are vocabulary²-sized side
+    inputs; the scoring join hash-partitions on bigram with both
+    sides pre-combined. The corpus's token stream is never shuffled
+    at instance grain."""
+    dwb = _doc_bigram_tf(spark, sf_dir)
+    cb = dwb.groupBy("bigram").agg(F.sum("tf_doc").alias("c2"))
+    cw = (
+        cb.groupBy(F.expr("split_part(bigram, ' ', 1)").alias("w1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    lp = cb.join(cw, F.expr("split_part(bigram, ' ', 1)") == F.col("w1")).select(
+        "bigram",
+        F.expr("CAST(floor(ln(c2 * 1.0 / c1) * 1000000 + 0.5) AS BIGINT)").alias(
+            "lp_mu"
+        ),
+    )
+    return (
+        dwb.join(lp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf_doc").alias("n_bigrams"),
+            (
+                F.sum(F.col("tf_doc") * F.col("lp_mu")).cast("long")
+                / (1000000.0 * F.sum("tf_doc"))
+            ).alias("avg_bigram_logprob"),
+        )
+    )

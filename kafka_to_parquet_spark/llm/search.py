@@ -17,7 +17,7 @@ construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.functions.rounding import int_units
@@ -150,3 +150,109 @@ def q_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k") == len(AND_TERMS))
     )
     return hits.join(docs, "doc_id").select("doc_id", "n_hits", "n_chars")
+
+
+# Reciprocal-rank fusion: query vector id (the embedding of document
+# RRF_QV pairs with the BM25 term query), the standard k=60 damping,
+# integer contribution scale, and the fused report size.
+RRF_QV = 0
+RRF_K = 60
+RRF_OUT_K = 10
+
+# The BM25 leg reuses q_bm25's registered oracle verbatim as a nested
+# CTE (DuckDB allows WITH inside a parenthesized subquery), so the two
+# queries can never drift.
+from kafka_to_parquet_spark.registry import ORACLE_SQL as _OSQL  # noqa: E402
+from kafka_to_parquet_spark.functions.vectors import (  # noqa: E402
+    cosine_expr,
+    duck_cosine,
+)
+
+
+@query(
+    "q_search_rrf",
+    oracle=f"""
+WITH bmtop AS ({_OSQL['q_bm25']}),
+bmr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_units DESC, doc_id) AS BIGINT)
+           AS rank_bm25
+  FROM bmtop
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {RRF_QV}),
+cs AS (
+  SELECT vec_id AS doc_id, round({duck_cosine('e.embedding', 'qv.qe')}, 6) AS cos
+  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> {RRF_QV}
+),
+cstop AS (SELECT doc_id, cos FROM cs ORDER BY cos DESC, doc_id LIMIT {_TOP_K}),
+csr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_cos
+  FROM cstop
+)
+SELECT coalesce(bmr.doc_id, csr.doc_id) AS doc_id,
+       CAST(coalesce(1000000000 // ({RRF_K} + rank_bm25), 0)
+          + coalesce(1000000000 // ({RRF_K} + rank_cos), 0) AS BIGINT)
+         AS fused_units,
+       rank_bm25, rank_cos
+FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id
+ORDER BY fused_units DESC, doc_id
+LIMIT {RRF_OUT_K}
+""",
+)
+def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.):
+    the lexical BM25 top-{k} and the dense cosine top-{k} (the query
+    vector is document {RRF_QV}'s embedding, pairing with the BM25
+    term query) fused by Σ 1/(60 + rank) — the standard way modern
+    retrieval stacks combine keyword and embedding search without
+    score calibration.
+
+    Contributions are exact integers (10^9 DIV (60 + rank), pure
+    integer division in both engines), so the fused ordering and the
+    top-{RRF_OUT_K} set are deterministic with doc_id tiebreak; a
+    document present in only one list gets the other leg's
+    contribution as 0 via the full outer join, and its missing rank
+    stays NULL in the report.
+
+    Plan: both legs are already top-k-truncated (15 rows each) before
+    ranking, so the windows, the full outer join, and the final sort
+    all run on constant-size data; the heavy lifting is inside the
+    legs, each with its own documented scale shape (q_bm25's
+    filter-before-shuffle inverted index; the brute-force cosine leg
+    broadcasts ONE query vector over the corpus — swap in the IVF/LSH
+    path for many-query batches)."""
+    bm = q_bm25(spark, sf_dir).select("doc_id", "score_units")
+    wb = Window.orderBy(F.desc("score_units"), F.asc("doc_id"))
+    bmr = bm.withColumn("rank_bm25", F.row_number().over(wb).cast("long")).select(
+        "doc_id", "rank_bm25"
+    )
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == RRF_QV).select(F.col("embedding").alias("qe"))
+    cs = (
+        e.filter(F.col("vec_id") != RRF_QV)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(F.expr(cosine_expr("embedding", "qe")), 6).alias("cos"),
+        )
+    )
+    cstop = cs.orderBy(F.desc("cos"), F.asc("doc_id")).limit(_TOP_K)
+    wc = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    csr = cstop.withColumn("rank_cos", F.row_number().over(wc).cast("long")).select(
+        "doc_id", "rank_cos"
+    )
+    return (
+        bmr.join(csr, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(coalesce(1000000000 DIV ({RRF_K} + rank_bm25), 0)"
+                f" + coalesce(1000000000 DIV ({RRF_K} + rank_cos), 0) AS BIGINT)"
+            ).alias("fused_units"),
+            "rank_bm25",
+            "rank_cos",
+        )
+        .orderBy(F.desc("fused_units"), F.asc("doc_id"))
+        .limit(RRF_OUT_K)
+    )

@@ -258,3 +258,77 @@ def test_dsir_logratio_direction_and_reference(run, spark, sf_dir):
     t_avg = [r.avg_logratio for d, r in rows.items() if lang[d] == DSIR_TARGET_LANG]
     o_avg = [r.avg_logratio for d, r in rows.items() if lang[d] != DSIR_TARGET_LANG]
     assert sum(t_avg) / len(t_avg) > sum(o_avg) / len(o_avg)
+
+
+# ------------------------------------- bigram LM + RRF retrieval
+
+def test_bigram_logprob_matches_python_reference(run, spark, sf_dir):
+    import math
+    from collections import Counter
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: [t for t in r.text.lower().split() if t] for r in docs}
+    bigrams = {
+        did: [f"{a} {b}" for a, b in zip(ts, ts[1:])] for did, ts in toks.items()
+    }
+    cb = Counter(b for bs in bigrams.values() for b in bs)
+    cw = Counter()
+    for b, c in cb.items():
+        cw[b.split(" ")[0]] += c
+    lp = {
+        b: math.floor(math.log(c * 1.0 / cw[b.split(" ")[0]]) * 1e6 + 0.5)
+        for b, c in cb.items()
+    }
+    rows = {r.doc_id: r for r in run("q_text_bigram_logprob").collect()}
+    for did, bs in bigrams.items():
+        if not bs:
+            assert did not in rows
+            continue
+        want = sum(lp[b] for b in bs) / (1e6 * len(bs))
+        assert rows[did].n_bigrams == len(bs)
+        assert abs(rows[did].avg_bigram_logprob - want) < 1e-12
+    # conditional probabilities are sharper than unigram marginals on
+    # transition-breaking text; both are negative log-probs
+    for r in rows.values():
+        assert r.avg_bigram_logprob < 0.0
+
+
+def test_rrf_fuses_both_legs(run, spark, sf_dir):
+    from kafka_to_parquet_spark.llm.search import RRF_K, RRF_OUT_K, RRF_QV, _TOP_K
+
+    rows = run("q_search_rrf").collect()
+    assert 0 < len(rows) <= RRF_OUT_K
+    # recompute: bm25 leg from the registered query, cosine leg brute
+    bm = run("q_bm25").collect()
+    bm_rank = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(bm, key=lambda r: (-r.score_units, r.doc_id))
+        )
+    }
+    emb = {r.vec_id: r.embedding for r in
+           load(spark, sf_dir, "embeddings").collect()}
+    q = emb[RRF_QV]
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) ** 2 for x in a) ** 0.5
+        nb = sum(float(y) ** 2 for y in b) ** 0.5
+        return round(dot / (na * nb), 6)
+
+    cand = sorted(
+        ((cos(v, q), vid) for vid, v in emb.items() if vid != RRF_QV),
+        key=lambda t: (-t[0], t[1]),
+    )[:_TOP_K]
+    cos_rank = {vid: i + 1 for i, (_, vid) in enumerate(cand)}
+    fused = {}
+    for d in set(bm_rank) | set(cos_rank):
+        fused[d] = (10**9 // (RRF_K + bm_rank[d]) if d in bm_rank else 0) + (
+            10**9 // (RRF_K + cos_rank[d]) if d in cos_rank else 0
+        )
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_OUT_K]
+    assert [(r.doc_id, r.fused_units) for r in rows] == want
+    # rank columns agree with the legs (NULL when absent)
+    for r in rows:
+        assert (r.rank_bm25 or None) == bm_rank.get(r.doc_id)
+        assert (r.rank_cos or None) == cos_rank.get(r.doc_id)
