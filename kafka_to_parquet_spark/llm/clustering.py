@@ -153,3 +153,148 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> CAST(s.mu AS STRING)), ',')"
         ).alias("centroid_mu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-round k-means: 3 Lloyd iterations, bit-exact across engines
+# ---------------------------------------------------------------------------
+
+KM3_ROUNDS = 3
+
+# Integer micro-unit conversion of a float coordinate. Once vectors
+# AND centroids are integer arrays, squared distances are exact 63-bit
+# integers (64 dims × (4e6)² ≈ 1e15 ≪ 2^63) — no rounding fence, no
+# float comparison anywhere in the iteration.
+_UNIT = "CAST(floor(CAST({x} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+
+
+def _km3_oracle() -> str:
+    """Chained-CTE mirror of the Spark loop (same integer ops per
+    round — the graph.q_graph_pagerank oracle discipline)."""
+    u = _UNIT.format(x="x")
+    ctes = [
+        f"""uv AS (
+  SELECT vec_id, list_transform(embedding, x -> {u}) AS uvec FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT vec_id AS cent_id, uvec AS carr FROM uv WHERE vec_id % {KM_MOD} = 0
+)""",
+    ]
+    for k in range(1, KM3_ROUNDS + 1):
+        ctes.append(
+            f"""sc{k} AS (
+  SELECT uv.vec_id, uv.uvec, c.cent_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, CAST(len(uv.uvec) AS INTEGER) + 1),
+             i -> (uv.uvec[i] - c.carr[i]) * (uv.uvec[i] - c.carr[i]))),
+           (s, v) -> s + v) AS d2
+  FROM uv CROSS JOIN c{k - 1} c
+)"""
+        )
+        ctes.append(
+            f"""a{k} AS (
+  SELECT vec_id, uvec, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM sc{k})
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""ex{k} AS (
+  SELECT cent_id, generate_subscripts(uvec, 1) AS dim, unnest(uvec) AS u
+  FROM a{k}
+)"""
+        )
+        ctes.append(
+            f"""dm{k} AS (
+  SELECT cent_id, dim,
+         CAST(floor(sum(u) * 1.0 / count(*) + 0.5) AS BIGINT) AS mu,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ex{k} GROUP BY cent_id, dim
+)"""
+        )
+        ctes.append(
+            f"""c{k} AS (
+  SELECT cent_id, list(mu ORDER BY dim) AS carr,
+         CAST(max(n) AS BIGINT) AS n_assigned
+  FROM dm{k} GROUP BY cent_id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT cent_id, n_assigned, array_to_string(carr, ',') AS centroid_mu
+FROM c{KM3_ROUNDS}
+"""
+    )
+
+
+@query("q_kmeans3", oracle=_km3_oracle())
+def q_kmeans3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{R} full Lloyd iterations — the iterative form of q_kmeans_step,
+    and (with llm/components.py's label propagation and
+    operators/graph.py's PageRank) the third demonstration that
+    iteration on Spark is a bounded chain of join+aggregate rounds
+    with nothing driver-side but the loop counter.
+
+    Bit-exactness across engines, by construction: coordinates are
+    fenced ONCE to integer micro-units; from then on every distance is
+    an exact 63-bit integer (no float compare can straddle an ulp),
+    every argmin is (d2, cent_id)-lexicographic, and every centroid
+    update re-enters integer units via the shared floor(su/n + 0.5).
+    Clusters that lose all members simply drop out of later rounds —
+    identically in both engines.
+
+    Plan, per round: the (small) centroid array table broadcasts into
+    the corpus scan; argmin is the map-side-combinable min(struct)
+    (shuffle carries N pre-reduced rows); the update explodes assigned
+    vectors into (centroid, dim, unit) rows that partially aggregate
+    before the one (centroid, dim) exchange. Three rounds = a linear
+    DAG of those stages; at 100 TB each round is the same two
+    exchanges PageRank pays per iteration, with the centroid side
+    always broadcast-sized."""
+    u_vec = F.expr("transform(embedding, x -> " + _UNIT.format(x="x") + ")")
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", u_vec.alias("uvec")
+    )
+    cents = e.filter(F.col("vec_id") % KM_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("uvec").alias("carr")
+    )
+    d2 = (
+        "aggregate(zip_with(uvec, carr, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (s, v) -> s + v)"
+    )
+    for _ in range(KM3_ROUNDS):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "uvec", "cent_id", F.expr(d2).alias("d2")
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cent_id")).alias("m"),
+                F.first("uvec").alias("uvec"),
+            )
+            .select("vec_id", "uvec", F.col("m.cent_id").alias("cent_id"))
+        )
+        dimmean = (
+            assign.select("cent_id", F.posexplode("uvec").alias("dim", "u"))
+            .groupBy("cent_id", "dim")
+            .agg(
+                F.expr("CAST(floor(sum(u) * 1.0 / count(*) + 0.5) AS BIGINT)").alias(
+                    "mu"
+                ),
+                F.count("*").alias("n"),
+            )
+        )
+        cents = dimmean.groupBy("cent_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, mu))), s -> s.mu)"
+            ).alias("carr"),
+            F.max("n").alias("n_assigned"),
+        )
+    return cents.select(
+        "cent_id",
+        "n_assigned",
+        F.expr("array_join(transform(carr, x -> CAST(x AS STRING)), ',')").alias(
+            "centroid_mu"
+        ),
+    )

@@ -332,3 +332,44 @@ def test_rrf_fuses_both_legs(run, spark, sf_dir):
     for r in rows:
         assert (r.rank_bm25 or None) == bm_rank.get(r.doc_id)
         assert (r.rank_cos or None) == cos_rank.get(r.doc_id)
+
+
+# --------------------------------------------- iterative k-means
+
+def test_kmeans3_matches_python_reference(run, spark, sf_dir):
+    """Full 3-round integer Lloyd recomputation in Python — every
+    centroid coordinate must match to the exact micro-unit."""
+    import math
+
+    from kafka_to_parquet_spark.llm.clustering import KM3_ROUNDS, KM_MOD
+
+    e = load(spark, sf_dir, "embeddings").collect()
+    uvecs = {
+        r.vec_id: [math.floor(float(x) * 1e6 + 0.5) for x in r.embedding]
+        for r in e
+    }
+    cents = {vid: v[:] for vid, v in uvecs.items() if vid % KM_MOD == 0}
+    n_assigned: dict[int, int] = {}
+    for _ in range(KM3_ROUNDS):
+        groups: dict[int, list] = {}
+        for vid, uv in uvecs.items():
+            best = min(
+                cents.items(),
+                key=lambda c: (sum((a - b) ** 2 for a, b in zip(uv, c[1])), c[0]),
+            )
+            groups.setdefault(best[0], []).append(uv)
+        cents = {}
+        n_assigned = {}
+        for cid, vs in groups.items():
+            n = len(vs)
+            cents[cid] = [
+                math.floor(sum(v[d] for v in vs) * 1.0 / n + 0.5)
+                for d in range(len(vs[0]))
+            ]
+            n_assigned[cid] = n
+    rows = {r.cent_id: r for r in run("q_kmeans3").collect()}
+    assert set(rows) == set(cents)
+    for cid, arr in cents.items():
+        assert rows[cid].n_assigned == n_assigned[cid]
+        assert [int(x) for x in rows[cid].centroid_mu.split(",")] == arr
+    assert sum(n_assigned.values()) == len(uvecs)
