@@ -79,10 +79,10 @@ def _gram_sql(n: int) -> str:
     oracle=f"""
 WITH t AS (SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks FROM documents),
 g AS (SELECT doc_id, lang, source, unnest({_gram_sql(DECON_N)}) AS s FROM t),
-bench AS (SELECT DISTINCT s FROM g WHERE doc_id % {BENCH_MOD} = 0)
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 23 = 0)
 SELECT g.doc_id, g.lang, g.source, CAST(count(*) AS BIGINT) AS n_hits
 FROM g JOIN bench USING (s)
-WHERE g.doc_id % {BENCH_MOD} <> 0
+WHERE g.doc_id % 23 <> 0
 GROUP BY g.doc_id, g.lang, g.source
 """,
 )
@@ -561,3 +561,103 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("_off") + F.col("_rk")).cast("long").alias("shuffle_rank"))
     )
 
+
+# ---------------------------------------------------------------------------
+# Pipeline yield report: the whole curation funnel as one plan
+# ---------------------------------------------------------------------------
+
+from kafka_to_parquet_spark.functions.text import _STOP_SQL  # noqa: E402
+
+# Quality gate: stopword ratio ≥ 1/25 of tokens (integer predicate;
+# the fixture's ratio distribution has p25 ≈ 4.4%, so the gate is a
+# real split at every SF).
+YIELD_STOP_NUM, YIELD_STOP_DEN = 1, 25
+
+
+@query(
+    "q_pipeline_yield",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS toks FROM documents),
+keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY sha256(text)),
+g AS (SELECT doc_id, unnest({_gram_sql(DECON_N)}) AS s FROM t),
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id % {BENCH_MOD} = 0),
+hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (s)
+        WHERE g.doc_id % {BENCH_MOD} <> 0),
+f AS (
+  SELECT t.doc_id, t.source,
+         (t.doc_id IN (SELECT keep_id FROM keep)) AS uniq,
+         ({YIELD_STOP_DEN} * len(list_filter(toks, x -> x IN {_STOP_SQL}))
+          >= {YIELD_STOP_NUM} * len(toks)) AS q_ok,
+         (t.doc_id % {BENCH_MOD} = 0) AS is_bench,
+         (t.doc_id IN (SELECT doc_id FROM hit)) AS hit
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN uniq AND q_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(sum(CASE WHEN uniq AND q_ok AND NOT is_bench AND NOT hit
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM f GROUP BY source
+""",
+)
+def q_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel yield report: per source, how many documents
+    survive each pipeline stage — exact dedup (sha-256 keeper), the
+    stopword-ratio quality gate, and benchmark decontamination — in
+    ONE declarative plan. This is the dashboard a data curator reads
+    after every corpus rebuild; it also demonstrates that the
+    operator library composes: the dedup keeper, the quality
+    predicate, and the decontamination semi-join reuse the same
+    module fragments the dedicated queries use (shared constants, so
+    thresholds cannot drift).
+
+    Shape: three flag inputs — a content-hash keeper table (narrow
+    32-byte-key aggregate), an in-row integer quality predicate (no
+    shuffle at all), and the broadcast benchmark n-gram semi-join
+    (corpus never shuffles; only hit doc_ids survive) — are joined
+    onto the doc table as booleans, then ONE source-keyed aggregate
+    of conditional counts collapses everything map-side. Monotone by
+    construction: n_total ≥ n_unique ≥ n_quality ≥ n_clean."""
+    docs = load(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.sha2(F.col("text"), 256))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    t = docs.select(
+        "doc_id", "source", tokens_col(F.col("text")).alias("toks")
+    )
+    grams = t.select("doc_id", F.explode(F.expr(_gram_expr(DECON_N))).alias("s"))
+    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+    hit = (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumnRenamed("doc_id", "hit_id")
+    )
+    n_stop = F.expr(f"size(filter(toks, x -> x IN {_STOP_SQL}))")
+    f = (
+        t.join(F.broadcast(keep), t.doc_id == F.col("keep_id"), "left")
+        .join(F.broadcast(hit), t.doc_id == F.col("hit_id"), "left")
+        .select(
+            "source",
+            F.col("keep_id").isNotNull().alias("uniq"),
+            (YIELD_STOP_DEN * n_stop >= YIELD_STOP_NUM * F.size("toks")).alias(
+                "q_ok"
+            ),
+            (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+            F.col("hit_id").isNotNull().alias("hit"),
+        )
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        one(F.col("uniq")).alias("n_unique"),
+        one(F.col("uniq") & F.col("q_ok")).alias("n_quality"),
+        one(
+            F.col("uniq") & F.col("q_ok") & ~F.col("is_bench") & ~F.col("hit")
+        ).alias("n_clean"),
+    )

@@ -373,3 +373,17 @@ def test_kmeans3_matches_python_reference(run, spark, sf_dir):
         assert rows[cid].n_assigned == n_assigned[cid]
         assert [int(x) for x in rows[cid].centroid_mu.split(",")] == arr
     assert sum(n_assigned.values()) == len(uvecs)
+
+
+# ------------------------------------------------ pipeline yield
+
+def test_pipeline_yield_monotone_and_conserves(run, spark, sf_dir):
+    rows = run("q_pipeline_yield").collect()
+    docs = load(spark, sf_dir, "documents")
+    assert sum(r.n_total for r in rows) == docs.count()
+    for r in rows:
+        assert r.n_total >= r.n_unique >= r.n_quality >= r.n_clean >= 0
+    # dedup stage agrees with the dedicated exact-dedup operator:
+    # total keepers across sources == distinct text count
+    n_unique_total = sum(r.n_unique for r in rows)
+    assert n_unique_total == docs.select("text").distinct().count()
