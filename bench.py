@@ -94,6 +94,10 @@ HEADLINE = [
     "q_tpch_q21",          # per-order countDistinct/max + join-back chain
     "q_kmeans_step",       # Lloyd step: broadcast assign + dim-wise mean update
     "q_text_unigram_logprob",  # corpus-unigram LM quality score
+    "q_kmeans3",           # 3-round integer fixed-point k-means
+    "q_graph_triangles",   # degree-ordered triangle count (oriented wedge join)
+    "q_text_bigram_logprob",  # bigram conditional-LM score
+    "q_pipeline_yield",    # dedup+quality+decontam funnel in one plan
 ]
 
 
