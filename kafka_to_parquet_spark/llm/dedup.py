@@ -688,3 +688,68 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= EMBED_NEAR_TAU)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new crawl batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+# The "new batch" slice analog (today's crawl): every 10th doc, offset 7.
+INCR_MOD, INCR_REM = 10, 7
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+WITH b AS (SELECT doc_id, sha256(text) AS h FROM documents
+           WHERE doc_id % {INCR_MOD} = {INCR_REM}),
+c AS (SELECT DISTINCT sha256(text) AS h FROM documents
+      WHERE doc_id % {INCR_MOD} <> {INCR_REM}),
+k AS (SELECT h, min(doc_id) AS keep FROM b GROUP BY h)
+SELECT b.doc_id,
+       CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b.doc_id <> k.keep THEN 'dup_within_batch'
+            ELSE 'new' END AS status
+FROM b LEFT JOIN c USING (h) JOIN k USING (h)
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) dedup — the daily-ingest form of X1: a new
+    crawl batch is classified against the ALREADY-INGESTED corpus
+    without re-deduplicating the corpus itself. Every batch document
+    is labeled 'dup_of_corpus' (content hash already ingested),
+    'dup_within_batch' (first seen in this batch but not its keeper),
+    or 'new' (the batch keeper of an unseen hash) — exactly the
+    decision a continuously-updated training corpus makes per delivery.
+
+    Shape: both sides reduce to 32-byte sha-256 digests before any
+    join — the corpus contributes a distinct-hash set (at 100 TB this
+    is the persisted dedup index, not a rescan; here it derives from
+    the same table), and the join shuffles digests, never bodies. The
+    within-batch keeper is a batch-sized hash aggregate. The batch is
+    typically ~1000× smaller than the corpus, so the planner
+    broadcast-joins it against the index scan; nothing is ever
+    corpus × batch."""
+    docs = load(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCR_MOD == INCR_REM
+    b = docs.filter(is_batch).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h")
+    )
+    c = (
+        docs.filter(~is_batch)
+        .select(F.sha2(F.col("text"), 256).alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    k = b.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    return (
+        b.join(c, "h", "left")
+        .join(k, "h")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus").isNotNull(), "dup_of_corpus")
+            .when(F.col("doc_id") != F.col("keep"), "dup_within_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )

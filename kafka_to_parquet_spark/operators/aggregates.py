@@ -319,3 +319,44 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val_raw",
     ).select("l_returnflag", "metric", F.round("val_raw", 2).alias("val"))
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True GROUPING SETS (A3's general form): two NON-hierarchical
+    sets — by returnflag alone and by linestatus alone — which neither
+    rollup nor cube can express (rollup is the prefix chain, cube the
+    full lattice). The grouping() indicator columns disambiguate which
+    set produced each row, since NULL group keys are also how Spark
+    and DuckDB render the "not in this set" columns.
+
+    Plan: one scan feeding an Expand node (one copy per grouping set,
+    here 2×) into a single hash aggregate — the same shape as rollup/
+    cube; map-side partials collapse each copy to ≤ |distinct keys|
+    rows before the one exchange. Expressed through spark.sql on a
+    registered view: grouping sets are a SQL-surface feature with no
+    DataFrame-API equivalent, and the engine's SQL entry point is part
+    of the declared surface."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_grouping_sets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM li_grouping_sets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )

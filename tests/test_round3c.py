@@ -387,3 +387,66 @@ def test_pipeline_yield_monotone_and_conserves(run, spark, sf_dir):
     # total keepers across sources == distinct text count
     n_unique_total = sum(r.n_unique for r in rows)
     assert n_unique_total == docs.select("text").distinct().count()
+
+
+# --------------------------------- incremental dedup + grouping sets
+
+def test_incremental_dedup_brute_force(run, spark, sf_dir):
+    from collections import Counter
+
+    from kafka_to_parquet_spark.llm.dedup import INCR_MOD, INCR_REM
+
+    rows = {r.doc_id: r.status for r in run("q_dedup_incremental").collect()}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    batch = {r.doc_id: r.text for r in docs if r.doc_id % INCR_MOD == INCR_REM}
+    corpus = {r.text for r in docs if r.doc_id % INCR_MOD != INCR_REM}
+    keepers = {}
+    for did in sorted(batch):
+        keepers.setdefault(batch[did], did)
+    want = {
+        did: (
+            "dup_of_corpus"
+            if t in corpus
+            else ("new" if keepers[t] == did else "dup_within_batch")
+        )
+        for did, t in batch.items()
+    }
+    assert rows == want
+    # the batch partitions into the three classes
+    assert Counter(rows.values()).total() == len(batch)
+
+
+def test_grouping_sets_is_union_of_single_key_aggs(run, spark, sf_dir):
+    rows = run("q_agg_grouping_sets").collect()
+    li = load(spark, sf_dir, "lineitem")
+    by_rf = {
+        r.l_returnflag: (r.sq, r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    by_ls = {
+        r.l_linestatus: (r.sq, r.n)
+        for r in li.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    got_rf = {
+        r.l_returnflag: (r.sum_qty, r.n)
+        for r in rows
+        if r.g_ls == 1
+    }
+    got_ls = {
+        r.l_linestatus: (r.sum_qty, r.n)
+        for r in rows
+        if r.g_rf == 1
+    }
+    assert got_rf == by_rf
+    assert got_ls == by_ls
+    assert len(rows) == len(by_rf) + len(by_ls)
