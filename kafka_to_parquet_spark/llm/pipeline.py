@@ -74,15 +74,42 @@ def _gram_sql(n: int) -> str:
     )
 
 
+# Shared decontamination stage — ONE definition per engine of the
+# per-doc n-gram table and the benchmark n-gram set, used by both
+# q_decontaminate and q_pipeline_yield (same discipline as
+# corpus_stats._DW_CTE). `t` carries text/lang/source so either
+# consumer can project what it needs.
+_G_BENCH_CTES = f"""t AS (
+  SELECT doc_id, lang, source, text, {_TOKENS_SQL} AS toks FROM documents
+),
+g AS (SELECT doc_id, lang, source, unnest({_gram_sql(DECON_N)}) AS s FROM t),
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id % {BENCH_MOD} = 0)"""
+
+
+def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the `g` CTE: (doc_id, lang, source, s)."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", tokens_col(F.col("text")).alias("toks")
+    )
+    return t.select(
+        "doc_id", "lang", "source", F.explode(F.expr(_gram_expr(DECON_N))).alias("s")
+    )
+
+
+def _bench_grams(grams: DataFrame) -> DataFrame:
+    """Spark twin of the `bench` CTE: the benchmark slice's distinct
+    n-grams (small by construction — eval suites don't scale with the
+    corpus), always broadcast."""
+    return grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+
+
 @query(
     "q_decontaminate",
     oracle=f"""
-WITH t AS (SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks FROM documents),
-g AS (SELECT doc_id, lang, source, unnest({_gram_sql(DECON_N)}) AS s FROM t),
-bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 23 = 0)
+WITH {_G_BENCH_CTES}
 SELECT g.doc_id, g.lang, g.source, CAST(count(*) AS BIGINT) AS n_hits
 FROM g JOIN bench USING (s)
-WHERE g.doc_id % 23 <> 0
+WHERE g.doc_id % {BENCH_MOD} <> 0
 GROUP BY g.doc_id, g.lang, g.source
 """,
 )
@@ -98,15 +125,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hit rows (≈ near-dups of benchmark docs) reach the count agg.
     The kept corpus is then ``documents LEFT ANTI JOIN this`` (same
     broadcastable output)."""
-    t = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", tokens_col(F.col("text")).alias("toks")
-    )
-    grams = t.select(
-        "doc_id", "lang", "source", F.explode(F.expr(_gram_expr(DECON_N))).alias("s")
-    )
-    bench = (
-        grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
-    )
+    grams = _grams(spark, sf_dir)
+    bench = _bench_grams(grams)
     return (
         grams.filter(F.col("doc_id") % BENCH_MOD != 0)
         .join(F.broadcast(bench), "s")
@@ -566,7 +586,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pipeline yield report: the whole curation funnel as one plan
 # ---------------------------------------------------------------------------
 
-from kafka_to_parquet_spark.functions.text import _STOP_SQL  # noqa: E402
+from kafka_to_parquet_spark.functions.text import STOPWORDS, _STOP_SQL  # noqa: E402
 
 # Quality gate: stopword ratio ≥ 1/25 of tokens (integer predicate;
 # the fixture's ratio distribution has p25 ≈ 4.4%, so the gate is a
@@ -577,15 +597,12 @@ YIELD_STOP_NUM, YIELD_STOP_DEN = 1, 25
 @query(
     "q_pipeline_yield",
     oracle=f"""
-WITH t AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS toks FROM documents),
-keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY sha256(text)),
-g AS (SELECT doc_id, unnest({_gram_sql(DECON_N)}) AS s FROM t),
-bench AS (SELECT DISTINCT s FROM g WHERE doc_id % {BENCH_MOD} = 0),
+WITH {_G_BENCH_CTES},
 hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (s)
         WHERE g.doc_id % {BENCH_MOD} <> 0),
 f AS (
   SELECT t.doc_id, t.source,
-         (t.doc_id IN (SELECT keep_id FROM keep)) AS uniq,
+         (t.doc_id = min(t.doc_id) OVER (PARTITION BY sha256(text))) AS uniq,
          ({YIELD_STOP_DEN} * len(list_filter(toks, x -> x IN {_STOP_SQL}))
           >= {YIELD_STOP_NUM} * len(toks)) AS q_ok,
          (t.doc_id % {BENCH_MOD} = 0) AS is_bench,
@@ -608,29 +625,24 @@ def q_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-ratio quality gate, and benchmark decontamination — in
     ONE declarative plan. This is the dashboard a data curator reads
     after every corpus rebuild; it also demonstrates that the
-    operator library composes: the dedup keeper, the quality
-    predicate, and the decontamination semi-join reuse the same
-    module fragments the dedicated queries use (shared constants, so
-    thresholds cannot drift).
+    operator library composes: the decontamination stage IS
+    q_decontaminate's shared fragment (_grams/_bench_grams and
+    _G_BENCH_CTES — one definition per engine), so the funnel cannot
+    drift from the dedicated operator.
 
-    Shape: three flag inputs — a content-hash keeper table (narrow
-    32-byte-key aggregate), an in-row integer quality predicate (no
-    shuffle at all), and the broadcast benchmark n-gram semi-join
-    (corpus never shuffles; only hit doc_ids survive) — are joined
-    onto the doc table as booleans, then ONE source-keyed aggregate
-    of conditional counts collapses everything map-side. Monotone by
-    construction: n_total ≥ n_unique ≥ n_quality ≥ n_clean."""
+    Shape: the doc table is reduced in-row to a narrow flag record
+    (doc_id, source, 32-byte digest, integer quality bit, benchmark
+    bit) — bodies never travel; the dedup keeper flag is a min-window
+    over the digest partition (ONE body-free exchange, no
+    corpus-sized join side — an explicit broadcast of a keeper table
+    would be the 100 TB failure mode); the contamination flag joins
+    the genuinely-small hit-id set by broadcast. One source-keyed
+    aggregate of conditional counts collapses everything map-side.
+    Monotone by construction: n_total ≥ n_unique ≥ n_quality ≥
+    n_clean."""
     docs = load(spark, sf_dir, "documents")
-    keep = (
-        docs.groupBy(F.sha2(F.col("text"), 256))
-        .agg(F.min("doc_id").alias("keep_id"))
-        .select("keep_id")
-    )
-    t = docs.select(
-        "doc_id", "source", tokens_col(F.col("text")).alias("toks")
-    )
-    grams = t.select("doc_id", F.explode(F.expr(_gram_expr(DECON_N))).alias("s"))
-    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+    grams = _grams(spark, sf_dir)
+    bench = _bench_grams(grams)
     hit = (
         grams.filter(F.col("doc_id") % BENCH_MOD != 0)
         .join(F.broadcast(bench), "s")
@@ -638,17 +650,24 @@ def q_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumnRenamed("doc_id", "hit_id")
     )
-    n_stop = F.expr(f"size(filter(toks, x -> x IN {_STOP_SQL}))")
+    toks = tokens_col(F.col("text"))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    narrow = docs.select(
+        "doc_id",
+        "source",
+        F.sha2(F.col("text"), 256).alias("h"),
+        (YIELD_STOP_DEN * n_stop >= YIELD_STOP_NUM * F.size(toks)).alias("q_ok"),
+        (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+    )
+    w = Window.partitionBy("h")
     f = (
-        t.join(F.broadcast(keep), t.doc_id == F.col("keep_id"), "left")
-        .join(F.broadcast(hit), t.doc_id == F.col("hit_id"), "left")
+        narrow.withColumn("uniq", F.col("doc_id") == F.min("doc_id").over(w))
+        .join(F.broadcast(hit), F.col("doc_id") == F.col("hit_id"), "left")
         .select(
             "source",
-            F.col("keep_id").isNotNull().alias("uniq"),
-            (YIELD_STOP_DEN * n_stop >= YIELD_STOP_NUM * F.size("toks")).alias(
-                "q_ok"
-            ),
-            (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+            "uniq",
+            "q_ok",
+            "is_bench",
             F.col("hit_id").isNotNull().alias("hit"),
         )
     )

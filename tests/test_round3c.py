@@ -287,10 +287,10 @@ def test_bigram_logprob_matches_python_reference(run, spark, sf_dir):
         want = sum(lp[b] for b in bs) / (1e6 * len(bs))
         assert rows[did].n_bigrams == len(bs)
         assert abs(rows[did].avg_bigram_logprob - want) < 1e-12
-    # conditional probabilities are sharper than unigram marginals on
-    # transition-breaking text; both are negative log-probs
+    # ln p(w2|w1) is 0 for a deterministic transition (c2 == c1), so
+    # a doc of only such bigrams can legitimately average exactly 0
     for r in rows.values():
-        assert r.avg_bigram_logprob < 0.0
+        assert r.avg_bigram_logprob <= 0.0
 
 
 def test_rrf_fuses_both_legs(run, spark, sf_dir):
