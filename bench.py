@@ -98,6 +98,12 @@ HEADLINE = [
     "q_graph_triangles",   # degree-ordered triangle count (oriented wedge join)
     "q_text_bigram_logprob",  # bigram conditional-LM score
     "q_pipeline_yield",    # dedup+quality+decontam funnel in one plan
+    "q_dedup_minhash",     # deterministic MinHash-LSH (oracle-checked twin)
+    "q_semdedup",          # k-means-bucketed semantic dedup
+    "q_heavy_hitters_cms", # count-min sketch frequency estimation
+    "q_scd2_intervals",    # SCD-2 dimension build from the event log
+    "q_quality_checks",    # 8-constraint validation suite
+    "q_zorder_stats",      # Morton-code layout stats
 ]
 
 

@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_to_parquet_spark.functions.vectors import duck_sqdist, sqdist_expr
+from kafka_to_parquet_spark.functions.vectors import (
+    duck_cosine,
+    duck_sqdist,
+    sqdist_expr,
+)
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
@@ -152,6 +156,116 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(transform(array_sort(collect_list(struct(dim, mu))),"
             " s -> CAST(s.mu AS STRING)), ',')"
         ).alias("centroid_mu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = cluster the embedding space, prune
+# near-duplicates WITHIN each cluster only
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.15  # same demo threshold as llm/dedup.py's EMBED_NEAR_TAU
+
+_DUCK_COS = duck_cosine("a.embedding", "b.embedding")
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cente
+  FROM embeddings WHERE vec_id % {KM_MOD} = 0
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         round({duck_sqdist('e.embedding', 'c.cente')}, 6) AS d2
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, embedding, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE {_DUCK_COS} >= {SEMDEDUP_TAU}
+)
+SELECT s.vec_id, s.cent_id,
+       CASE WHEN p.vec_id IS NOT NULL THEN 'pruned' ELSE 'kept' END AS status
+FROM assign s LEFT JOIN pruned p ON s.vec_id = p.vec_id
+""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023's pipeline
+    shape): k-means-cluster the embedding space, then prune a vector
+    if a LOWER-id vector in the SAME cluster is closer than the cosine
+    threshold. The cluster is the blocking bucket — pairwise cosine is
+    confined to Σ cluster², never corpus², and the keep-lowest-id rule
+    is deterministic (it can over-prune a similarity chain relative to
+    a connected-components grouping; that is the documented,
+    oracle-mirrored semantics — llm/components.py holds the exact
+    grouping form).
+
+    Plan: the assignment is q_kmeans_step's broadcast-centroid argmin
+    (map-side-combinable min(struct) — shuffle carries N pre-reduced
+    rows); the assigned table materializes ONCE (localCheckpoint) and
+    self-joins on cent_id with hoisted norms, one dot fold per pair;
+    the prune set distincts to ≤N ids and left-joins back. At 100 TB
+    the centroid count k scales so N/k (cluster size) stays bounded —
+    cost is the assignment scan plus Σ (N/k)² per cluster, the exact
+    SemDeDup recipe."""
+    from kafka_to_parquet_spark.functions.vectors import dot_expr, norm_expr
+
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % KM_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cent_id")).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id",
+            F.col("m.cent_id").alias("cent_id"),
+            "embedding",
+            F.expr(norm_expr("embedding")).alias("nrm"),
+        )
+        # one materialization feeding three subtrees (both self-join
+        # sides + the final left join) — without it the broadcast
+        # argmin pipeline re-runs per subtree
+        .localCheckpoint()
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    cos = F.expr(dot_expr("a.embedding", "b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("p_vec"))
+        .distinct()
+    )
+    return assign.join(
+        pruned, assign.vec_id == pruned.p_vec, "left"
+    ).select(
+        "vec_id",
+        "cent_id",
+        F.when(F.col("p_vec").isNotNull(), "pruned").otherwise("kept").alias("status"),
     )
 
 

@@ -498,3 +498,107 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: constant-memory frequency estimation (heavy hitters)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # cells per row
+CMS_TOPK = 20
+
+
+def _cms_coeffs() -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients per sketch row —
+    the llm/minhash.py discipline (md5-derived, inlined as literals in
+    both engines' SQL)."""
+    import hashlib
+
+    from kafka_to_parquet_spark.llm.minhash import MH_P
+
+    out = []
+    for j in range(CMS_D):
+        a = int.from_bytes(hashlib.md5(f"cms_a_{j}".encode()).digest()[:8], "big")
+        b = int.from_bytes(hashlib.md5(f"cms_b_{j}".encode()).digest()[:8], "big")
+        out.append((a % (MH_P - 1) + 1, b % MH_P))
+    return out
+
+
+def _cms_cell_exprs() -> list[str]:
+    """One cell expression per sketch row — valid in BOTH dialects."""
+    from kafka_to_parquet_spark.llm.minhash import MH_P
+
+    return [f"(({a} * hw + {b}) % {MH_P}) % {CMS_W}" for a, b in _cms_coeffs()]
+
+
+def _cms_oracle() -> str:
+    from kafka_to_parquet_spark.llm.minhash import duck_h31
+
+    cells = ", ".join(_cms_cell_exprs())
+    return f"""
+WITH tokcnt AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY word
+),
+h AS (SELECT word, cnt, ({duck_h31('word')}) AS hw FROM tokcnt),
+cells AS (
+  SELECT word, cnt, CAST(generate_subscripts(cs, 1) - 1 AS INTEGER) AS j,
+         unnest(cs) AS cell
+  FROM (SELECT word, cnt, [{cells}] AS cs FROM h)
+),
+sketch AS (SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS c FROM cells GROUP BY j, cell),
+top AS (SELECT word, cnt FROM tokcnt ORDER BY cnt DESC, word LIMIT {CMS_TOPK}),
+tcells AS (
+  SELECT c.word, c.cnt, c.j, c.cell FROM cells c JOIN top t ON c.word = t.word
+)
+SELECT tc.word, tc.cnt AS exact_cnt, CAST(min(s.c) AS BIGINT) AS cms_est
+FROM tcells tc JOIN sketch s ON tc.j = s.j AND tc.cell = s.cell
+GROUP BY tc.word, tc.cnt
+"""
+
+
+@query("q_heavy_hitters_cms", oracle=_cms_oracle())
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch, cross-checked against the
+    exact counts: build a d×w = 4×1024 CMS over all token occurrences
+    (deterministic md5-based universal hashes, coefficients inlined
+    into both engines), then report the top-{K} tokens by exact count
+    with both their exact frequency and the sketch's estimate (est ≥
+    exact always; equal when the token's 4 cells saw no collisions).
+
+    Why it matters at 100 TB: the sketch is CONSTANT memory (4 096
+    cells) regardless of corpus size, and cell updates are
+    map-side-combinable sums — partial sketches merge by cell-wise
+    addition exactly like any hash aggregate, so frequency estimation
+    over an arbitrarily large corpus costs one narrow shuffle of ≤
+    4 096·#tasks partial rows. The exact count pass here exists only
+    to expose the estimation error as data; a production pipeline
+    ships the sketch alone.
+
+    Plan: token counts (one explode + hash agg) feed both the sketch
+    build (posexplode to (row, cell, cnt) then a 4 096-group agg) and
+    the exact top-k (TakeOrderedAndProject); the estimate join
+    broadcasts the {K}·4 lookup rows against the tiny sketch."""
+    from kafka_to_parquet_spark.llm.minhash import spark_h31
+
+    d = load(spark, sf_dir, "documents")
+    tokcnt = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    h = tokcnt.select("word", "cnt", F.expr(spark_h31("word")).alias("hw"))
+    cell_arr = F.array(*[F.expr(c) for c in _cms_cell_exprs()])
+    cells = h.select(
+        "word", "cnt", F.posexplode(cell_arr).alias("j", "cell")
+    )
+    sketch = cells.groupBy("j", "cell").agg(F.sum("cnt").alias("c"))
+    top = tokcnt.orderBy(F.desc("cnt"), "word").limit(CMS_TOPK)
+    tcells = cells.join(F.broadcast(top.select("word")), "word")
+    return (
+        tcells.join(sketch, ["j", "cell"])
+        .groupBy("word", F.col("cnt").alias("exact_cnt"))
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )

@@ -1,0 +1,190 @@
+"""Deterministic MinHash + LSH near-dup detection — the oracle-checked
+twin of llm/dedup.py's MLlib ``q_dedup_minhash_lsh``.
+
+Why a second MinHash: the MLlib path (``MinHashLSH.approxSimilarityJoin``)
+is the library-grade implementation, but its hash family lives inside
+Spark ML, so the driver can only rows-check it. This module builds the
+identical algorithm — k universal hash functions over shingle hashes,
+min-signature per document, banded candidate join, exact-Jaccard verify
+— out of expressions BOTH engines evaluate bit-identically (md5 nibble
+folds + integer linear hashes mod a Mersenne prime), so the full
+candidate set and verified similarity are value-checked against DuckDB.
+
+100 TB shape: one explode to (doc, shingle) rows; the signature is a
+single map-side-combinable hash aggregate (16 ``min`` columns — each
+doc collapses to one row before the exchange); banding fans each doc
+into 8 narrow (band, key) rows; candidate generation is an equi-join on
+(band, key) whose quadratic term is confined to one band bucket, with
+buckets above ``MAX_BAND_BUCKET`` dropped (mirrored in the oracle — a
+bucket that hot means exact dedup upstream was skipped). Shingle
+arrays are only re-joined onto the (far smaller) verified candidate
+set, so the wide rows never enter the pairwise shuffle.
+
+Reference parity: the reference (src/main.rs:59-294) has no similarity
+surface; this is part of the mandated LLM-pipeline extension
+(SURVEY §2.11 X3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
+from kafka_to_parquet_spark.llm.dedup import (
+    _SHINGLES_SQL,
+    MAX_BAND_BUCKET,
+    shingled_documents,
+)
+from kafka_to_parquet_spark.registry import query
+
+# Mersenne prime 2^31 - 1: hash values stay < 2^31, so a*h + b < 2^62
+# and band keys m_even * P + m_odd < P^2 < 2^62 — every intermediate
+# fits a signed 64-bit integer in both engines, no overflow semantics
+# to reconcile.
+MH_P = 2_147_483_647
+MH_NUM_HASHES = 16
+MH_BANDS = 8  # 8 bands × 2 rows: P(candidate) = 1-(1-s^2)^8 — ~0.92 at s=0.5
+MH_ROWS = 2
+
+
+def _mh_coeffs() -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash function, 1 ≤ a < P, 0 ≤ b < P —
+    derived from md5 of the function index (the _hyperplane_signs
+    discipline: generated once in Python, inlined as literals into BOTH
+    engines' SQL, so there is no cross-engine RNG to reconcile)."""
+    out = []
+    for i in range(MH_NUM_HASHES):
+        a = int.from_bytes(hashlib.md5(f"mh_a_{i}".encode()).digest()[:8], "big")
+        b = int.from_bytes(hashlib.md5(f"mh_b_{i}".encode()).digest()[:8], "big")
+        out.append((a % (MH_P - 1) + 1, b % MH_P))
+    return out
+
+
+# First 8 hex chars of md5(col) as an integer, reduced mod P — the
+# base hash every linear hash function is applied to. The DuckDB form
+# folds the 8 nibbles (same idiom as the SimHash oracle); the Spark
+# form decodes them with conv(). Shared with the count-min sketch in
+# llm/corpus_stats.py.
+
+
+def spark_h31(col: str) -> str:
+    return f"CAST(conv(substring(md5({col}), 1, 8), 16, 10) AS BIGINT) % {MH_P}"
+
+
+def duck_h31(col: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(range(1, 9),"
+        f" i -> CAST(strpos('0123456789abcdef', substr(md5({col}), i, 1)) - 1 AS BIGINT))),"
+        f" (a, c) -> a * 16 + c) % {MH_P}"
+    )
+
+
+_SPARK_H = spark_h31("s")
+_DUCK_H = duck_h31("s")
+
+_JACCARD_DUCK = (
+    "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+    " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+)
+
+
+def _minhash_oracle() -> str:
+    coeffs = _mh_coeffs()
+    mins = ",\n         ".join(
+        f"min(({a} * hm + {b}) % {MH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    keys = ", ".join(
+        f"m{2 * j} * CAST({MH_P} AS BIGINT) + m{2 * j + 1}" for j in range(MH_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+h AS (SELECT doc_id, ({_DUCK_H}) AS hm FROM ex),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM h GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, CAST(generate_subscripts(ks, 1) - 1 AS INTEGER) AS b, unnest(ks) AS k
+  FROM (SELECT doc_id, [{keys}] AS ks FROM sig)
+),
+cnt AS (SELECT b, k, count(*) AS c FROM bands GROUP BY b, k),
+kept AS (SELECT bands.* FROM bands JOIN cnt USING (b, k) WHERE c <= {MAX_BAND_BUCKET}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM kept x JOIN kept y ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       {floor_round_sql(_JACCARD_DUCK, 6)} AS jaccard
+FROM cand
+JOIN sh sa ON cand.doc_a = sa.doc_id
+JOIN sh sb ON cand.doc_b = sb.doc_id
+"""
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3c': deterministic MinHash-LSH near-dup candidates with exact
+    Jaccard verification — value-checked against the oracle (unlike the
+    MLlib twin, whose hash family is library-internal).
+
+    Algorithm: per distinct word-3-gram shingle, base hash = first 32
+    md5 bits mod P (P = 2^31-1); 16 universal hashes h_i = (a_i·h +
+    b_i) mod P; signature = per-doc min of each h_i (one hash
+    aggregate, map-side combinable); 8 bands of 2 rows, band key =
+    m_even·P + m_odd (integer-exact, collision-free within a band);
+    candidates share ≥1 band key; each candidate pair is verified with
+    the exact Jaccard of the full shingle sets. The LSH s-curve
+    (1-(1-s²)^8) is the only recall loss, and the oracle implements
+    the identical banding, so correctness is exact.
+
+    Hot-bucket control: band buckets holding more than MAX_BAND_BUCKET
+    docs are dropped (a bucket that hot is a mass-duplicate family that
+    exact dedup upstream should have removed); the bucket-stats join
+    keys on (band, key) — the SAME key as the candidate self-join, so
+    the exchange is reused, and no corpus-sized table is broadcast."""
+    base = shingled_documents(spark, sf_dir)
+    ex = base.select("doc_id", F.explode("sh").alias("s"))
+    h = ex.select("doc_id", F.expr(_SPARK_H).alias("hm"))
+    mins = [
+        F.min(F.expr(f"({a} * hm + {b}) % {MH_P}")).alias(f"m{i}")
+        for i, (a, b) in enumerate(_mh_coeffs())
+    ]
+    sig = h.groupBy("doc_id").agg(*mins)
+    keys = F.array(
+        *[
+            F.expr(f"m{2 * j} * CAST({MH_P} AS BIGINT) + m{2 * j + 1}")
+            for j in range(MH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(keys).alias("b", "k"))
+    cnt = bands.groupBy("b", "k").agg(F.count(F.lit(1)).alias("c"))
+    kept = (
+        bands.join(cnt, ["b", "k"])
+        .filter(F.col("c") <= MAX_BAND_BUCKET)
+        .drop("c")
+    )
+    x, y = kept.alias("x"), kept.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = base.select("doc_id", "sh")
+    inter = F.expr("CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)")
+    union = F.expr(
+        "size(sa.sh) + size(sb.sh) - size(array_intersect(sa.sh, sb.sh))"
+    )
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", floor_round(inter / union, 6).alias("jaccard"))
+    )

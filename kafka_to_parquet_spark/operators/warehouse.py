@@ -1,0 +1,299 @@
+"""Warehouse-maintenance operators: SCD-2 dimension versioning,
+expectations-style data-quality validation, and Z-order layout
+statistics — the table-management surface a lakehouse user expects
+around the reference's plain parquet sink (src/main.rs:99-139 writes
+files and stops there; everything here is the mandated extension
+tier).
+
+All three are pure DataFrame plans with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# SCD-2: slowly-changing-dimension validity intervals from an event log
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+changes AS (
+  SELECT * FROM (
+    SELECT user_id, event_type, es, event_id,
+           lag(event_type) OVER w AS prev_attr
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+  ) WHERE prev_attr IS NULL OR prev_attr <> event_type
+)
+SELECT user_id,
+       event_type AS attr,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       es AS eff_from_es,
+       lead(es) OVER w AS eff_to_es,
+       CAST(CASE WHEN lead(es) OVER w IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each user's
+    event stream into attribute *versions* — a new version whenever the
+    tracked attribute (event_type) changes, each valid over
+    [eff_from, eff_to) with an open current row. This is the standard
+    change-data-capture → dimension-table derivation (the table an
+    as-of join like q_join_asof consumes).
+
+    Shape: ONE shuffle on user_id; the change filter (lag), version
+    numbering, and interval close (lead) are all computed inside that
+    single partition pass — the second window reuses the first's
+    partitioning and sort, so Catalyst plans one Exchange + one Sort.
+    Per-key state is one previous row; 100 TB of events stream through
+    in a sorted scan per user shard. Times are epoch seconds (the
+    engine-stable serialization for the ns-precision fixture ts)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    changes = (
+        ev.withColumn("prev_attr", F.lag("event_type").over(w))
+        .filter(F.col("prev_attr").isNull() | (F.col("prev_attr") != F.col("event_type")))
+        .drop("prev_attr")
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("es").alias("eff_from_es"),
+        F.lead("es").over(w).alias("eff_to_es"),
+        F.when(F.lead("es").over(w).isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality validation report (dbt-test / Great-Expectations style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quality_checks",
+    oracle="""
+WITH li AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+         CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+         CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+  FROM lineitem
+),
+od AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_dup
+  FROM orders
+),
+dc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+  FROM documents
+),
+fk1 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+fk2 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+fk3 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+SELECT 'dom_lineitem_discount_in_0_1' AS check_name, v_disc AS n_violations, n AS n_checked FROM li
+UNION ALL SELECT 'dom_lineitem_price_positive', v_price, n FROM li
+UNION ALL SELECT 'dom_lineitem_qty_positive', v_qty, n FROM li
+UNION ALL SELECT 'pk_orders_orderkey_unique', v_dup, n FROM od
+UNION ALL SELECT 'nn_documents_text_nonempty', v_empty, n FROM dc
+UNION ALL SELECT 'fk_lineitem_orderkey', fk1.v, li.n FROM fk1, li
+UNION ALL SELECT 'fk_orders_custkey', fk2.v, od.n FROM fk2, od
+UNION ALL SELECT 'fk_lineitem_partkey', fk3.v, li.n FROM fk3, li
+""",
+)
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style validation suite — one report row per
+    constraint (domain bounds, primary-key uniqueness, non-null/empty,
+    referential integrity), each as (check_name, n_violations,
+    n_checked). The pipeline-gate pattern: run after ingest, fail the
+    batch when any n_violations > 0.
+
+    Shape discipline: all domain checks over one table are evaluated
+    in a SINGLE scan as conditional aggregates (one pass over lineitem
+    computes three checks), not one scan per check; FK checks are
+    left-anti joins whose dimension sides broadcast (orders⋈customer,
+    lineitem⋈part) or hash-join on the fact key — each check's cost is
+    one scan + one exchange at most, and the report union is 8 one-row
+    plans. At 100 TB the whole suite is O(#tables) scans, not
+    O(#checks)."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    pt = load(spark, sf_dir, "part")
+    dc = load(spark, sf_dir, "documents")
+
+    def cnt(cond):  # conditional count as a long
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    li_stats = li.agg(
+        F.count("*").alias("n"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("v_disc"),
+        cnt(F.col("l_extendedprice") <= 0).alias("v_price"),
+        cnt(F.col("l_quantity") <= 0).alias("v_qty"),
+    )
+    od_stats = od.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("v_dup"),
+    )
+    dc_stats = dc.agg(
+        F.count("*").alias("n"),
+        cnt(F.col("text").isNull() | (F.col("text") == "")).alias("v_empty"),
+    )
+    fk1 = li.join(od, li.l_orderkey == od.o_orderkey, "left_anti").agg(
+        F.count("*").cast("long").alias("v")
+    )
+    fk2 = od.join(cu, od.o_custkey == cu.c_custkey, "left_anti").agg(
+        F.count("*").cast("long").alias("v")
+    )
+    fk3 = li.join(pt, li.l_partkey == pt.p_partkey, "left_anti").agg(
+        F.count("*").cast("long").alias("v")
+    )
+
+    def row(name: str, stats: DataFrame, v_col: str, n_from: DataFrame | None = None):
+        out = stats if n_from is None else stats.crossJoin(n_from.select("n"))
+        return out.select(
+            F.lit(name).alias("check_name"),
+            F.col(v_col).alias("n_violations"),
+            F.col("n").alias("n_checked"),
+        )
+
+    return (
+        row("dom_lineitem_discount_in_0_1", li_stats, "v_disc")
+        .unionByName(row("dom_lineitem_price_positive", li_stats, "v_price"))
+        .unionByName(row("dom_lineitem_qty_positive", li_stats, "v_qty"))
+        .unionByName(row("pk_orders_orderkey_unique", od_stats, "v_dup"))
+        .unionByName(row("nn_documents_text_nonempty", dc_stats, "v_empty"))
+        .unionByName(row("fk_lineitem_orderkey", fk1, "v", li_stats))
+        .unionByName(row("fk_orders_custkey", fk2, "v", od_stats))
+        .unionByName(row("fk_lineitem_partkey", fk3, "v", li_stats))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout statistics (multi-dimensional clustering for data skipping)
+# ---------------------------------------------------------------------------
+
+ZBITS = 8  # 8 bits per dimension → 16-bit z-values
+ZFILES_SHIFT = 10  # file_id = z >> 10 → 64 z-range buckets
+
+
+def _interleave(bx: str, by: str, duck: bool) -> str:
+    """Bit-interleaved Morton code: x occupies even bits, y odd bits.
+    Pure integer arithmetic, written once per engine dialect."""
+    shr = (lambda c, k: f"({c} >> {k})") if duck else (
+        lambda c, k: f"shiftright({c}, {k})"
+    )
+    terms = []
+    for k in range(ZBITS):
+        terms.append(f"(({shr(bx, k)} & 1) * {1 << (2 * k)})")
+        terms.append(f"(({shr(by, k)} & 1) * {1 << (2 * k + 1)})")
+    return " + ".join(terms)
+
+
+def _zbucket(v: str, lo: str, hi: str) -> str:
+    """Quantize v into [0, 2^ZBITS): integer inputs scaled through one
+    exact double division (values ≪ 2^53, floor identical both
+    engines)."""
+    return (
+        f"CAST(floor((({v}) - ({lo})) * {1 << ZBITS}.0 / (({hi}) - ({lo}) + 1)) AS BIGINT)"
+    )
+
+
+@query(
+    "q_zorder_stats",
+    oracle=f"""
+WITH stats AS (
+  SELECT min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+         min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+  FROM lineitem
+),
+coded AS (
+  SELECT l_partkey, l_suppkey,
+         {_interleave(_zbucket('l_partkey', 'min_p', 'max_p'),
+                      _zbucket('l_suppkey', 'min_s', 'max_s'), duck=True)} AS z
+  FROM lineitem CROSS JOIN stats
+)
+SELECT CAST(z >> {ZFILES_SHIFT} AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS min_p,
+       CAST(max(l_partkey) AS BIGINT) AS max_p,
+       CAST(min(l_suppkey) AS BIGINT) AS min_s,
+       CAST(max(l_suppkey) AS BIGINT) AS max_s
+FROM coded GROUP BY z >> {ZFILES_SHIFT}
+""",
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout statistics: quantize two scan
+    dimensions to {ZBITS} bits each, bit-interleave them into a z-value,
+    bucket rows by z-range (the would-be output files of an OPTIMIZE
+    ZORDER BY (l_partkey, l_suppkey)), and report each bucket's
+    min/max footer stats on BOTH dimensions. Because a z-range fixes
+    the leading interleaved bits, every bucket's bounding box spans
+    ≈ 1/2^(ZFILES_SHIFT/2) of EACH dimension's domain — so a filter on
+    either column prunes most buckets by footer min/max alone. That is
+    the data-skipping argument for multi-dimensional clustering
+    (single-column sort gives tight stats on one dimension only);
+    tests/test_warehouse.py writes the layout and measures it.
+
+    Plan: one 1-row min/max aggregate broadcast back over the scan
+    (two scans total), the Morton code is pure integer expression work
+    inside codegen, and the bucket stats are a single hash aggregate on
+    the derived file_id — at 100 TB this is exactly the stats pass an
+    OPTIMIZE job runs before writing, with the write replaced by the
+    report."""
+    li = load(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_partkey").alias("min_p"),
+        F.max("l_partkey").alias("max_p"),
+        F.min("l_suppkey").alias("min_s"),
+        F.max("l_suppkey").alias("max_s"),
+    )
+    coded = li.crossJoin(F.broadcast(stats)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            _interleave(
+                _zbucket("l_partkey", "min_p", "max_p"),
+                _zbucket("l_suppkey", "min_s", "max_s"),
+                duck=False,
+            )
+        ).alias("z"),
+    )
+    return (
+        coded.groupBy(
+            F.expr(f"shiftright(z, {ZFILES_SHIFT})").cast("long").alias("file_id")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("min_p"),
+            F.max("l_partkey").cast("long").alias("max_p"),
+            F.min("l_suppkey").cast("long").alias("min_s"),
+            F.max("l_suppkey").cast("long").alias("max_s"),
+        )
+    )

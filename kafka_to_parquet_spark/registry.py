@@ -159,6 +159,7 @@ def load_all() -> None:
     from kafka_to_parquet_spark.operators import tpch_more  # noqa: F401
     from kafka_to_parquet_spark.operators import tpch_batch3  # noqa: F401
     from kafka_to_parquet_spark.operators import tpch_batch4  # noqa: F401
+    from kafka_to_parquet_spark.operators import warehouse  # noqa: F401
     from kafka_to_parquet_spark.operators import windows  # noqa: F401
     from kafka_to_parquet_spark.functions import scalar  # noqa: F401
     from kafka_to_parquet_spark.functions import text  # noqa: F401
@@ -176,6 +177,7 @@ def load_all() -> None:
     from kafka_to_parquet_spark.llm import components  # noqa: F401
     from kafka_to_parquet_spark.llm import corpus_stats  # noqa: F401
     from kafka_to_parquet_spark.llm import dedup  # noqa: F401
+    from kafka_to_parquet_spark.llm import minhash  # noqa: F401
     from kafka_to_parquet_spark.llm import search  # noqa: F401
     from kafka_to_parquet_spark.llm import similarity  # noqa: F401
     from kafka_to_parquet_spark.llm import multimodal  # noqa: F401

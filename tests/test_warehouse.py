@@ -1,0 +1,201 @@
+"""Invariant tests for the warehouse-maintenance family
+(q_scd2_intervals, q_quality_checks, q_zorder_stats) and the
+deterministic MinHash-LSH (q_dedup_minhash)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.tables import load
+
+
+# ----------------------------------------------------------- scd2
+
+
+def test_scd2_intervals_tile_each_user_timeline(run):
+    rows = run("q_scd2_intervals").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        # versions are contiguous from 1
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        # exactly one open (current) version, and it is the last
+        assert [r.is_current for r in vs] == [0] * (len(vs) - 1) + [1]
+        assert vs[-1].eff_to_es is None
+        for a, b in zip(vs, vs[1:]):
+            # intervals chain with no gap or overlap
+            assert a.eff_to_es == b.eff_from_es
+            assert a.eff_from_es < a.eff_to_es
+            # consecutive versions really differ in the tracked attribute
+            assert a.attr != b.attr
+
+
+def test_scd2_change_count_matches_lag_scan(run, spark, sf_dir):
+    ev = load(spark, sf_dir, "events").orderBy("user_id", "ts", "event_id").collect()
+    prev: dict[int, str] = {}
+    n_changes = 0
+    for r in ev:
+        if prev.get(r.user_id) != r.event_type:
+            n_changes += 1
+        prev[r.user_id] = r.event_type
+    assert len(run("q_scd2_intervals").collect()) == n_changes
+
+
+# ----------------------------------------------------------- quality
+
+
+def test_quality_checks_shape_and_sanity(run, spark, sf_dir):
+    rows = {r.check_name: r for r in run("q_quality_checks").collect()}
+    assert len(rows) == 8
+    n_li = load(spark, sf_dir, "lineitem").count()
+    n_od = load(spark, sf_dir, "orders").count()
+    for r in rows.values():
+        assert 0 <= r.n_violations <= r.n_checked
+    assert rows["fk_lineitem_orderkey"].n_checked == n_li
+    assert rows["pk_orders_orderkey_unique"].n_checked == n_od
+    # the synthetic star schema is referentially intact and in-domain
+    for name in (
+        "fk_lineitem_orderkey",
+        "fk_orders_custkey",
+        "fk_lineitem_partkey",
+        "dom_lineitem_discount_in_0_1",
+        "pk_orders_orderkey_unique",
+    ):
+        assert rows[name].n_violations == 0, name
+
+
+# ----------------------------------------------------------- zorder
+
+
+def test_zorder_buckets_have_tight_bounding_boxes(run, spark, sf_dir):
+    """The data-skipping claim itself: every z-bucket's min/max span on
+    EACH dimension is ≈ 1/8 of that dimension's domain (file_id fixes
+    the top 3 interleaved bits of both dimensions)."""
+    rows = run("q_zorder_stats").collect()
+    li = load(spark, sf_dir, "lineitem")
+    n = li.count()
+    g = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    dom_p = g[1] - g[0] + 1
+    dom_s = g[3] - g[2] + 1
+    assert sum(r.n_rows for r in rows) == n
+    for r in rows:
+        assert 0 <= r.file_id < 64
+        # +1 covers the quantization cell boundary
+        assert r.max_p - r.min_p <= dom_p / 8 + dom_p / 256 + 1
+        assert r.max_s - r.min_s <= dom_s / 8 + dom_s / 256 + 1
+
+
+# ----------------------------------------------------------- minhash
+
+
+def test_minhash_pairs_are_ordered_and_bounded(run):
+    rows = run("q_dedup_minhash").collect()
+    assert rows, "fixture corpus contains near-dup pairs"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_minhash_recalls_identical_shingle_sets(run, spark, sf_dir):
+    """Two docs with identical shingle sets have identical signatures,
+    hence share every band — they MUST be candidates (no cap bucket is
+    hot in the fixture)."""
+    from kafka_to_parquet_spark.llm.dedup import shingled_documents
+
+    sh = {
+        r.doc_id: frozenset(r.sh)
+        for r in shingled_documents(spark, sf_dir).collect()
+    }
+    expected = set()
+    by_set: dict[frozenset, int] = {}
+    for doc_id in sorted(sh):
+        s = sh[doc_id]
+        if s in by_set:
+            expected.add((by_set[s], doc_id))
+        else:
+            by_set[s] = doc_id
+    got = {(r.doc_a, r.doc_b) for r in run("q_dedup_minhash").collect()}
+    missing = {
+        (a, b)
+        for (a, b) in expected
+        if not any(p in got for p in [(a, b)] + [(min(a, c), max(a, c)) for c in [b]])
+    }
+    assert expected <= got, f"identical-shingle pairs missed: {missing}"
+
+
+def test_minhash_jaccard_matches_exact_set_jaccard(run, spark, sf_dir):
+    from kafka_to_parquet_spark.llm.dedup import shingled_documents
+
+    sh = {
+        r.doc_id: set(r.sh) for r in shingled_documents(spark, sf_dir).collect()
+    }
+    for r in run("q_dedup_minhash").collect():
+        a, b = sh[r.doc_a], sh[r.doc_b]
+        exact = len(a & b) / len(a | b)
+        assert abs(r.jaccard - exact) < 1e-6
+
+
+# ----------------------------------------------------------- semdedup
+
+
+def test_semdedup_partitions_corpus_and_prunes_correctly(run, spark, sf_dir):
+    from kafka_to_parquet_spark.llm.clustering import SEMDEDUP_TAU
+
+    rows = run("q_semdedup").collect()
+    e = load(spark, sf_dir, "embeddings")
+    assert len(rows) == e.count()
+    # brute-force recompute: a vec is pruned iff a lower-id vec in the
+    # same cluster has cosine >= tau
+    import math
+
+    emb = {r.vec_id: [float(x) for x in r.embedding] for r in e.collect()}
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cent_id].append(r.vec_id)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    status = {r.vec_id: r.status for r in rows}
+    for cid, vids in by_cluster.items():
+        vids.sort()
+        for i, v in enumerate(vids):
+            expect = any(
+                cos(emb[u], emb[v]) >= SEMDEDUP_TAU for u in vids[:i]
+            )
+            assert status[v] == ("pruned" if expect else "kept"), v
+
+
+# ----------------------------------------------------------- CMS
+
+
+def test_cms_estimate_dominates_exact_count(run):
+    rows = run("q_heavy_hitters_cms").collect()
+    from kafka_to_parquet_spark.llm.corpus_stats import CMS_TOPK
+
+    assert len(rows) == CMS_TOPK
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt  # CMS never underestimates
+
+
+def test_cms_error_within_sketch_bound(run, spark, sf_dir):
+    """Deterministic CMS bound: per row j the estimate's excess is at
+    most the total mass hashed into the same cell; summed over the
+    whole stream, excess ≤ N/w on average — assert a generous 8·N/w."""
+    from kafka_to_parquet_spark.functions.text import tokens_col
+    from kafka_to_parquet_spark.llm.corpus_stats import CMS_W
+
+    n_tokens = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .count()
+    )
+    for r in run("q_heavy_hitters_cms").collect():
+        assert r.cms_est - r.exact_cnt <= 8 * n_tokens / CMS_W
