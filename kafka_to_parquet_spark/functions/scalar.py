@@ -173,3 +173,34 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmap.getItem("k").alias("k_int"),
         F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
     )
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS k_sum
+FROM events
+GROUP BY 1
+""",
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the open VARIANT type (Spark 4):
+    parse the JSON props column ONCE into a binary variant value, then
+    extract typed fields with variant_get — the modern replacement for
+    repeated get_json_object string re-parsing (q_json_funcs holds the
+    classic form). At 100 TB the difference is material: VARIANT
+    parses each row once into a compact binary encoding and every
+    extraction is a cheap path lookup, where N get_json_object calls
+    re-parse the string N times. Aggregating by a derived bucket
+    proves the extracted value is a real typed column (groupable,
+    summable) rather than a string."""
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k_val"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.sum("k_val").cast("long").alias("k_sum"))
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from kafka_to_parquet_spark.functions.text import _TOKENS_SQL, tokens_col
 from kafka_to_parquet_spark.functions.vectors import duck_cosine
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
@@ -82,4 +83,53 @@ def q_udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.filter(F.col("vec_id") != 0)
         .select("vec_id", F.round(cos_to_query("embedding"), 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4): table function emitting multiple rows per input
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_udtf_wordcounts",
+    oracle=f"""
+SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)
+GROUP BY doc_id, word
+""",
+)
+def q_udtf_wordcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 (beyond survey): per-document word histogram as a Python
+    UDTF — Spark 4's user-defined TABLE function surface, the expansion
+    counterpart of the scalar pandas UDF above. Each input row (a
+    document's token array, tokenized JVM-side by the canonical shared
+    tokenizer so token semantics can't drift from the SQL family)
+    fans out to one row per distinct word with its in-doc count,
+    aggregated in Python.
+
+    The LATERAL correlated call is the plan shape to note: the UDTF is
+    a per-row generator — no shuffle at all; Spark pipelines the
+    Python worker inside the scan stage, so at 100 TB this scales like
+    any map-side explode (the Python hop is the cost, which is why the
+    HOF/explode form in functions/text.py remains the default; this
+    query exists to keep the UDTF path exercised for logic that
+    genuinely needs per-row Python, e.g. a real tokenizer library)."""
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, cnt: bigint")
+    class WordHist:
+        def eval(self, toks):
+            for w, c in Counter(toks or []).items():
+                yield (w, c)
+
+    spark.udtf.register("word_hist", WordHist)
+    load(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT d.doc_id, t.word, t.cnt "
+        "FROM udtf_docs_v d, LATERAL word_hist(d.toks) t"
     )
