@@ -104,6 +104,8 @@ HEADLINE = [
     "q_scd2_intervals",    # SCD-2 dimension build from the event log
     "q_quality_checks",    # 8-constraint validation suite
     "q_zorder_stats",      # Morton-code layout stats
+    "q_dedup_jaccard_prefix",  # prefix-filtered set-similarity self-join
+    "q_udtf_wordcounts",   # Python UDTF lateral fan-out
 ]
 
 

@@ -199,3 +199,25 @@ def test_cms_error_within_sketch_bound(run, spark, sf_dir):
     )
     for r in run("q_heavy_hitters_cms").collect():
         assert r.cms_est - r.exact_cnt <= 8 * n_tokens / CMS_W
+
+
+# ----------------------------------------------------------- prefix join
+
+
+def test_prefix_filter_is_lossless(run, spark, sf_dir):
+    """Brute-force ground truth: the prefix-filtered join must return
+    EXACTLY the pairs with shingle Jaccard >= tau (the lemma says the
+    candidate set is a superset; verification trims it to equality)."""
+    from kafka_to_parquet_spark.llm.dedup import shingled_documents
+    from kafka_to_parquet_spark.llm.minhash import PREFIX_TAU
+
+    sh = {r.doc_id: set(r.sh) for r in shingled_documents(spark, sf_dir).collect()}
+    ids = sorted(sh)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= PREFIX_TAU:
+                expected.add((a, b))
+    got = {(r.doc_a, r.doc_b) for r in run("q_dedup_jaccard_prefix").collect()}
+    assert got == expected
