@@ -106,6 +106,7 @@ HEADLINE = [
     "q_zorder_stats",      # Morton-code layout stats
     "q_dedup_jaccard_prefix",  # prefix-filtered set-similarity self-join
     "q_udtf_wordcounts",   # Python UDTF lateral fan-out
+    "q_table_checksum",    # order-insensitive table fingerprint
 ]
 
 

@@ -360,3 +360,21 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+
+
+@query("q_agg_approx_quantile")  # rows-only: KLL/GK sketch internals differ per engine
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2c: approximate percentiles (Greenwald-Khanna sketch via
+    percentile_approx, accuracy 1/1e4) per group — the bounded-memory
+    companion to the exact q_agg_percentile. Sketch state is
+    O(accuracy·log n) per group regardless of group size, and partial
+    sketches merge associatively — the 100 TB answer to quantiles
+    (exact percentiles need a per-group sort). No oracle: sketch
+    internals are engine-specific; tests bound the rank error vs the
+    exact per-group percentiles instead."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
+        F.count("*").alias("n_rows"),
+    )

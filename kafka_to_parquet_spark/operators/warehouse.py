@@ -297,3 +297,77 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("long").alias("max_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive table checksum (cross-replica verification)
+# ---------------------------------------------------------------------------
+
+CK_P = 2_147_483_647  # Mersenne prime — final reduction of the row-hash sum
+
+# Canonical row serialization: keys + flags as-is, money fenced to
+# integer cents, quantity to integer units — every piece renders
+# identically in both engines (no raw doubles in the string).
+_CK_ROW = (
+    "concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),"
+    " l_returnflag, l_linestatus,"
+    " CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING),"
+    " CAST(CAST(round(l_quantity) AS BIGINT) AS STRING))"
+)
+
+_CK_ROW_DUCK = (
+    "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),"
+    " l_returnflag, l_linestatus,"
+    " CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),"
+    " CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR))"
+)
+
+
+@query(
+    "q_table_checksum",
+    oracle=f"""
+WITH h AS (
+  SELECT l_returnflag,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, 16),
+             i -> CAST(strpos('0123456789abcdef',
+                              substr(md5({_CK_ROW_DUCK}), i, 1)) - 1 AS BIGINT))),
+           (a, c) -> a * 16 + c) AS rh
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rh) % {CK_P} AS BIGINT) AS checksum
+FROM h GROUP BY l_returnflag
+""",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint — the cross-replica /
+    post-migration verification primitive: serialize each row
+    canonically (keys + flags verbatim, money fenced to integer cents
+    so no raw double ever enters the string), hash it (first 60 md5
+    bits), and SUM the hashes per l_returnflag group, reduced mod a
+    Mersenne prime. Addition commutes, so the checksum is independent
+    of row order, partitioning, and file layout — two replicas match
+    iff their row multisets match (up to hash collisions).
+
+    Scale shape: this is a pure map + hash-aggregate — one narrow
+    shuffle of per-task partial (flag, count, sum) rows. The partial
+    sums are the mergeable unit: at 100 TB each executor contributes
+    one 128-bit-safe partial (sums are accumulated as DECIMAL(38,0) /
+    HUGEINT, exact up to ~1e12 rows × 2^60), and verifying two
+    replicas costs one scan each plus a 3-row compare. Grouping by a
+    low-cardinality column yields per-group sub-checksums, so a
+    mismatch localizes without a second pass."""
+    li = load(spark, sf_dir, "lineitem")
+    rh = F.expr(
+        f"CAST(conv(substring(md5({_CK_ROW}), 1, 15), 16, 10) AS DECIMAL(38,0))"
+    )
+    return (
+        li.select("l_returnflag", rh.alias("rh"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum("rh") % CK_P).cast("long").alias("checksum"),
+        )
+    )

@@ -221,3 +221,99 @@ def test_prefix_filter_is_lossless(run, spark, sf_dir):
                 expected.add((a, b))
     got = {(r.doc_a, r.doc_b) for r in run("q_dedup_jaccard_prefix").collect()}
     assert got == expected
+
+
+# ----------------------------------------------------------- checksum
+
+
+def test_checksum_is_order_insensitive_and_reproducible(run, spark, sf_dir):
+    """Python recompute of one group's checksum from raw rows (any
+    iteration order) must match the distributed aggregate."""
+    import hashlib
+
+    from kafka_to_parquet_spark.operators.warehouse import CK_P
+
+    got = {r.l_returnflag: (r.n_rows, r.checksum) for r in run("q_table_checksum").collect()}
+    li = load(spark, sf_dir, "lineitem").collect()
+    by_flag: dict[str, list] = defaultdict(list)
+    for r in li:
+        by_flag[r.l_returnflag].append(r)
+    for flag, rows in by_flag.items():
+        total = 0
+        for r in rows:
+            s = "|".join(
+                [
+                    str(r.l_orderkey),
+                    str(r.l_linenumber),
+                    r.l_returnflag,
+                    r.l_linestatus,
+                    str(int(round(r.l_extendedprice * 100))),
+                    str(int(round(r.l_quantity))),
+                ]
+            )
+            total += int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        assert got[flag] == (len(rows), total % CK_P), flag
+
+
+def test_checksum_detects_single_row_change(run, spark, sf_dir):
+    """Flipping one row's quantity changes that group's checksum —
+    the fingerprint is sensitive, not just order-insensitive."""
+    from kafka_to_parquet_spark.operators.warehouse import _CK_ROW, CK_P
+
+    li = load(spark, sf_dir, "lineitem")
+    base = run("q_table_checksum").collect()
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture
+    # — pick a pair that provably identifies exactly one row
+    uniq = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"), F.first("l_returnflag").alias("flag"))
+        .filter(F.col("c") == 1)
+        .orderBy("l_orderkey", "l_linenumber")
+        .first()
+    )
+    mutated = li.withColumn(
+        "l_quantity",
+        F.when(
+            (F.col("l_orderkey") == uniq.l_orderkey)
+            & (F.col("l_linenumber") == uniq.l_linenumber),
+            F.col("l_quantity") + 1,
+        ).otherwise(F.col("l_quantity")),
+    )
+    rh = F.expr(f"CAST(conv(substring(md5({_CK_ROW}), 1, 15), 16, 10) AS DECIMAL(38,0))")
+    mut = (
+        mutated.select("l_returnflag", rh.alias("rh"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), (F.sum("rh") % CK_P).cast("long").alias("checksum"))
+        .collect()
+    )
+    flag0 = uniq.flag
+    base_map = {r.l_returnflag: r.checksum for r in base}
+    mut_map = {r.l_returnflag: r.checksum for r in mut}
+    assert base_map[flag0] != mut_map[flag0]
+    for f in base_map:
+        if f != flag0:
+            assert base_map[f] == mut_map[f]
+
+
+# ----------------------------------------------------------- approx quantile
+
+
+def test_approx_quantile_rank_error_bounded(run, spark, sf_dir):
+    rows = run("q_agg_approx_quantile").collect()
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice").collect()
+    by_flag = defaultdict(list)
+    for r in li:
+        by_flag[r.l_returnflag].append(r.l_extendedprice)
+    for r in rows:
+        vals = sorted(by_flag[r.l_returnflag])
+        n = len(vals)
+        assert r.n_rows == n
+        for target, approx in ((0.5, r.p50_approx), (0.9, r.p90_approx)):
+            # rank of the returned value must be within eps*n of target
+            import bisect
+
+            lo = bisect.bisect_left(vals, approx)
+            hi = bisect.bisect_right(vals, approx)
+            target_rank = target * n
+            eps = n / 10000 + 1  # accuracy=10000 → eps=1e-4 (+1 slack)
+            assert lo - eps <= target_rank <= hi + eps
