@@ -107,6 +107,7 @@ HEADLINE = [
     "q_dedup_jaccard_prefix",  # prefix-filtered set-similarity self-join
     "q_udtf_wordcounts",   # Python UDTF lateral fan-out
     "q_table_checksum",    # order-insensitive table fingerprint
+    "q_rerank_mmr",        # MMR diversity reranking over the top-20 pool
 ]
 
 

@@ -256,3 +256,129 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fused_units"), F.asc("doc_id"))
         .limit(RRF_OUT_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR: maximal-marginal-relevance diversity reranking
+# ---------------------------------------------------------------------------
+
+MMR_QV = 0  # query vector (same convention as the RRF cosine leg)
+MMR_POOL = 20  # candidate pool = cosine top-20
+MMR_K = 5  # final reranked selection size
+MMR_LAM10 = 7  # lambda = 0.7, carried as integer tenths
+
+
+def _mmr_oracle() -> str:
+    cqu = int_units(duck_cosine("e.embedding", "qv.qe"))
+    cu = int_units(duck_cosine("x.embedding", "y.embedding"))
+    parts = [
+        f"qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {MMR_QV})",
+        f"""cs AS (
+  SELECT e.vec_id, {cqu} AS cqu
+  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> {MMR_QV}
+)""",
+        f"pool AS (SELECT * FROM cs ORDER BY cqu DESC, vec_id LIMIT {MMR_POOL})",
+        """pe AS (
+  SELECT p.vec_id, p.cqu, e.embedding
+  FROM pool p JOIN embeddings e USING (vec_id)
+)""",
+        f"""pair AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, {cu} AS cu
+  FROM pe x JOIN pe y ON x.vec_id <> y.vec_id
+)""",
+        f"""s1 AS (
+  SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+         CAST({MMR_LAM10} * cqu AS BIGINT) AS score_u
+  FROM pool ORDER BY cqu DESC, vec_id LIMIT 1
+)""",
+    ]
+    for r in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM s{i}" for i in range(1, r))
+        parts.append(
+            f"""s{r} AS (
+  SELECT CAST({r} AS BIGINT) AS rank, p.vec_id,
+         CAST({MMR_LAM10} * p.cqu - {10 - MMR_LAM10} *
+              (SELECT max(cu) FROM pair
+               WHERE pair.a = p.vec_id AND pair.b IN ({prev})) AS BIGINT) AS score_u
+  FROM pool p WHERE p.vec_id NOT IN ({prev})
+  ORDER BY score_u DESC, p.vec_id LIMIT 1
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1))
+    return "WITH " + ",\n".join(parts) + f"\n{union}"
+
+
+@query("q_rerank_mmr", oracle=_mmr_oracle())
+def q_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein
+    1998): from the cosine top-{POOL} candidate pool, iteratively pick
+    the item maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the
+    diversity-aware second stage every retrieval pipeline runs after
+    the recall stage. Scores are integer micro-unit cosines with λ in
+    tenths (7/3), so every comparison is integer-exact across engines;
+    empty-selection max term is 0 (round 1 score = λ·rel), ties break
+    on vec_id — fully deterministic, mirrored in a chained-CTE oracle
+    (the kmeans3/pagerank iteration discipline).
+
+    Scale shape: the pool selection is the only corpus-sized stage
+    (broadcast query vector → TakeOrderedAndProject top-{POOL}); the
+    rerank itself touches {POOL}² pairwise cosines and {K} argmax
+    rounds over ≤{POOL} rows — constant work regardless of corpus
+    size, which is exactly why rerank-after-recall is the production
+    ANN architecture. The iteration is pure plan composition (chained
+    joins, no driver collect); each round's argmax is a
+    min(struct(-score, id)) single-row aggregate."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == MMR_QV).select(F.col("embedding").alias("qe"))
+    cqu = F.expr(int_units(cosine_expr("embedding", "qe")))
+    cs = (
+        e.filter(F.col("vec_id") != MMR_QV)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cqu.alias("cqu"))
+    )
+    pool = cs.orderBy(F.desc("cqu"), F.asc("vec_id")).limit(MMR_POOL).localCheckpoint()
+    pe = pool.join(e, "vec_id").select("vec_id", "cqu", "embedding").localCheckpoint()
+    cu = F.expr(int_units(cosine_expr("x.embedding", "y.embedding")))
+    pair = (
+        pe.alias("x")
+        .join(pe.alias("y"), F.col("x.vec_id") != F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"), cu.alias("cu")
+        )
+        .localCheckpoint()
+    )
+    first = (
+        pool.orderBy(F.desc("cqu"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            (F.lit(MMR_LAM10) * F.col("cqu")).cast("long").alias("score_u"),
+        )
+    )
+    sel = first
+    for r in range(2, MMR_K + 1):
+        remaining = pool.join(sel.select("vec_id"), "vec_id", "left_anti")
+        maxsim = (
+            pair.join(sel.select(F.col("vec_id").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.max("cu").alias("ms"))
+        )
+        scored = remaining.join(
+            maxsim, remaining.vec_id == maxsim.a
+        ).select(
+            "vec_id",
+            (F.lit(MMR_LAM10) * F.col("cqu") - F.lit(10 - MMR_LAM10) * F.col("ms"))
+            .cast("long")
+            .alias("score_u"),
+        )
+        pick = (
+            scored.agg(F.min(F.struct((-F.col("score_u")).alias("neg"), F.col("vec_id"))).alias("m"))
+            .select(
+                F.lit(r).cast("long").alias("rank"),
+                F.col("m.vec_id").alias("vec_id"),
+                (-F.col("m.neg")).cast("long").alias("score_u"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel

@@ -41,3 +41,49 @@ def test_variant_buckets_partition_events(run, spark, sf_dir):
     # every contributing k ≡ k_bucket (mod 10), so k_sum ≡ n·k_bucket
     for r in rows:
         assert (r.k_sum - r.n * r.k_bucket) % 10 == 0
+
+
+# ----------------------------------------------------------- MMR
+
+
+def test_mmr_matches_bruteforce_recompute(run, spark, sf_dir):
+    """Python recompute of the full MMR selection (pool, integer
+    micro-unit scores, tiebreaks) must reproduce the distributed
+    plan's picks exactly."""
+    import math
+
+    from kafka_to_parquet_spark.llm.search import (
+        MMR_K,
+        MMR_LAM10,
+        MMR_POOL,
+        MMR_QV,
+    )
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[MMR_QV]
+
+    def cos_u(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        c = d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+        return int(math.floor(c * 1e6 + 0.5))
+
+    cqu = {v: cos_u(emb[v], q) for v in emb if v != MMR_QV}
+    pool = sorted(cqu, key=lambda v: (-cqu[v], v))[:MMR_POOL]
+    sel = []
+    expected = []
+    for r in range(1, MMR_K + 1):
+        best = None
+        for v in pool:
+            if v in sel:
+                continue
+            ms = max((cos_u(emb[v], emb[s]) for s in sel), default=0)
+            score = MMR_LAM10 * cqu[v] - (10 - MMR_LAM10) * ms if sel else MMR_LAM10 * cqu[v]
+            if best is None or (-score, v) < best[0]:
+                best = ((-score, v), v, score)
+        sel.append(best[1])
+        expected.append((r, best[1], best[2]))
+    got = sorted((r.rank, r.vec_id, r.score_u) for r in run("q_rerank_mmr").collect())
+    assert got == expected
