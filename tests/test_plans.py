@@ -243,3 +243,53 @@ def test_skew_salted_join_shuffles_on_key_and_salt(run):
     ex = re.search(r"hashpartitioning\(([^)]*)\)", plan)
     assert ex and "_salt" in ex.group(1), "salt not in the join exchange keys"
     assert "BroadcastHashJoin" not in plan
+
+
+# ------------------------------------------------- round-3 late additions
+
+
+def test_minhash_band_join_is_hash_not_nested_loop(run):
+    """Candidate generation must be an equi join on (band, key) —
+    never a nested-loop pair scan. (At fixture scale the bucket-stats
+    side may auto-broadcast; at scale AQE shuffle-joins it — either is
+    an equi join.)"""
+    plan = plan_of(run("q_dedup_minhash"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_semdedup_pairwise_is_equi_join_on_cluster(run):
+    """The within-cluster pairwise stage must be an equi join on
+    cent_id (the assignment itself materializes behind an eager
+    localCheckpoint, so the visible plan starts from its RDD)."""
+    plan = plan_of(run("q_semdedup"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "HashJoin" in plan
+
+
+def test_checksum_is_single_exchange(run):
+    """Map + hash-aggregate: exactly one shuffle (partial sums merge)."""
+    plan = plan_of(run("q_table_checksum"))
+    assert plan.count("Exchange") <= 2  # partial→final agg + AQE read
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_stats_keeps_morton_code_in_codegen(run):
+    """The Morton interleave is pure integer expression work — no
+    Python anywhere, one broadcast of the 1-row min/max stats."""
+    plan = plan_of(run("q_zorder_stats"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_prefix_join_prefilters_postings(run):
+    """The prefix self-join must consume the rank-filtered postings —
+    a window filter (rk <= prefix_len) below the join, and the join
+    itself an equi join on the shingle."""
+    plan = plan_of(run("q_dedup_jaccard_prefix"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan

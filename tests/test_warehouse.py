@@ -206,12 +206,23 @@ def test_cms_error_within_sketch_bound(run, spark, sf_dir):
 
 def test_prefix_filter_is_lossless(run, spark, sf_dir):
     """Brute-force ground truth: the prefix-filtered join must return
-    EXACTLY the pairs with shingle Jaccard >= tau (the lemma says the
-    candidate set is a superset; verification trims it to equality)."""
-    from kafka_to_parquet_spark.llm.dedup import shingled_documents
-    from kafka_to_parquet_spark.llm.minhash import PREFIX_TAU
+    EXACTLY the pairs with hashed-shingle Jaccard >= tau (the lemma
+    says the candidate set is a superset; verification trims it to
+    equality). Sets are 31-bit md5 shingle hashes — the query's
+    declared universe."""
+    import hashlib
 
-    sh = {r.doc_id: set(r.sh) for r in shingled_documents(spark, sf_dir).collect()}
+    from kafka_to_parquet_spark.llm.dedup import shingled_documents
+    from kafka_to_parquet_spark.llm.minhash import MH_P, PREFIX_TAU
+
+    def h31(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MH_P
+
+    sh = {
+        r.doc_id: {h31(s) for s in r.sh}
+        for r in shingled_documents(spark, sf_dir).collect()
+        if r.sh
+    }
     ids = sorted(sh)
     expected = set()
     for i, a in enumerate(ids):
