@@ -108,6 +108,7 @@ HEADLINE = [
     "q_udtf_wordcounts",   # Python UDTF lateral fan-out
     "q_table_checksum",    # order-insensitive table fingerprint
     "q_rerank_mmr",        # MMR diversity reranking over the top-20 pool
+    "q_copurchase_pmi",    # PMI association mining over co-order pairs
 ]
 
 

@@ -365,3 +365,67 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tri)
         .select("n_nodes", "n_edges", "max_out", "n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase PMI: association strength normalized by item popularity
+# ---------------------------------------------------------------------------
+
+PMI_MIN_SUP = 3  # pairs below this are noise-dominated (PMI of rare pairs explodes)
+PMI_K = 30
+
+
+@query(
+    "q_copurchase_pmi",
+    oracle=f"""
+WITH {_PAIRS_CTE},
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem),
+ic AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM pl GROUP BY p)
+SELECT pa, pb, support,
+       CAST(floor(ln(support * n_orders * 1.0 / (ca.c * cb.c)) * 1000000 + 0.5)
+            AS BIGINT) AS pmi_mu
+FROM pairs
+JOIN ic ca ON pairs.pa = ca.p
+JOIN ic cb ON pairs.pb = cb.p
+CROSS JOIN n
+WHERE support >= {PMI_MIN_SUP}
+ORDER BY pmi_mu DESC, pa, pb
+LIMIT {PMI_K}
+""",
+)
+def q_copurchase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over co-purchase pairs — the
+    popularity-normalized association measure (raw support just
+    rediscovers the bestsellers; PMI surfaces pairs bought together
+    MORE than their popularities predict, the signal a
+    recommender/substitution analysis actually wants):
+    PMI = ln( p(a,b) / (p(a)·p(b)) ) = ln( support·N / (c_a·c_b) ).
+
+    Engine stability: the ln argument is a single double division of
+    exact 63-bit integer products (support·N and c_a·c_b both ≪ 2^62),
+    identical in both engines, and the result is fenced to integer
+    micro-nats — the corpus_stats.py log-prob discipline. A minimum
+    support of PMI_MIN_SUP keeps the rare-pair PMI explosion out of the
+    ranking (declared, oracle-mirrored).
+
+    Shape: reuses _part_pairs (order-keyed self-join, per-order-bounded
+    blow-up); item counts are one hash agg over the distinct (order,
+    part) list; the 1-row order count and the item-count table
+    broadcast into the pair stream; TakeOrderedAndProject emits the
+    top-PMI_K."""
+    pairs = _part_pairs(spark, sf_dir).filter(F.col("support") >= PMI_MIN_SUP)
+    li = load(spark, sf_dir, "lineitem")
+    pl = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ic = pl.groupBy("p").agg(F.count("*").alias("c"))
+    pmi = F.expr(
+        "CAST(floor(ln(support * n_orders * 1.0 / (ca_c * cb_c)) * 1000000 + 0.5) AS BIGINT)"
+    )
+    return (
+        pairs.join(F.broadcast(ic.select(F.col("p").alias("pa"), F.col("c").alias("ca_c"))), "pa")
+        .join(F.broadcast(ic.select(F.col("p").alias("pb"), F.col("c").alias("cb_c"))), "pb")
+        .crossJoin(F.broadcast(n))
+        .select("pa", "pb", "support", pmi.alias("pmi_mu"))
+        .orderBy(F.desc("pmi_mu"), F.asc("pa"), F.asc("pb"))
+        .limit(PMI_K)
+    )

