@@ -109,6 +109,7 @@ HEADLINE = [
     "q_table_checksum",    # order-insensitive table fingerprint
     "q_rerank_mmr",        # MMR diversity reranking over the top-20 pool
     "q_copurchase_pmi",    # PMI association mining over co-order pairs
+    "q_winsorize",         # percentile-clipped robust aggregation
 ]
 
 

@@ -246,3 +246,64 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").alias("n_rows"),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+WITH pct AS (
+  SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.05) AS p05,
+         quantile_cont(l_quantity, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN l_quantity < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN l_quantity > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       CAST(sum(CAST(round(least(greatest(l_quantity, p05), p95) * 100) AS BIGINT))
+            AS BIGINT) AS sum_wins_c
+FROM lineitem l JOIN pct ON l.l_returnflag = pct.l_returnflag
+GROUP BY l.l_returnflag
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier-robust feature transform: clip each
+    group's values to its exact [p05, p95] percentile band and report
+    the clipped-tail counts plus the winsorized sum (integer
+    centi-units, the rounding.py discipline, so the sum is
+    order-independent and engine-exact even though the interpolated
+    percentile is a general double).
+
+    Shape: one per-group exact-percentile pass (distributed per-group
+    sort), then the 3-row percentile table broadcasts back over the
+    scan for the clip + aggregate — two scans, one tiny broadcast, no
+    row ever leaves its group's partition twice. At 100 TB the
+    percentile pass is the cost; swap in the q_agg_approx_quantile
+    sketch for a single-scan approximate variant."""
+    li = load(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.05)").alias("p05"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+    )
+    return (
+        li.join(F.broadcast(pct), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("l_quantity") < F.col("p05"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_lo"),
+            F.sum(F.when(F.col("l_quantity") > F.col("p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_hi"),
+            F.sum(
+                F.expr(
+                    "CAST(round(least(greatest(l_quantity, p05), p95) * 100)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("sum_wins_c"),
+        )
+    )

@@ -136,3 +136,30 @@ def test_pmi_surfaces_nonbestseller_pairs(run):
     assert len(rows) > 0
     sups = [r.support for r in rows]
     assert min(sups) >= 3
+
+
+# ----------------------------------------------------------- winsorize
+
+
+def test_winsorize_matches_python_recompute(run, spark, sf_dir):
+    rows = {r.l_returnflag: r for r in run("q_winsorize").collect()}
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity").collect()
+    by_flag = defaultdict(list)
+    for r in li:
+        by_flag[r.l_returnflag].append(r.l_quantity)
+
+    def pct(vals, p):  # linear interpolation, numpy 'linear' convention
+        vs = sorted(vals)
+        h = (len(vs) - 1) * p
+        lo = int(h)
+        frac = h - lo
+        return vs[lo] if lo + 1 >= len(vs) else vs[lo] * (1 - frac) + vs[lo + 1] * frac
+
+    for flag, vals in by_flag.items():
+        p05, p95 = pct(vals, 0.05), pct(vals, 0.95)
+        r = rows[flag]
+        assert r.n == len(vals)
+        assert r.n_clip_lo == sum(1 for v in vals if v < p05)
+        assert r.n_clip_hi == sum(1 for v in vals if v > p95)
+        expected = sum(int(round(min(max(v, p05), p95) * 100)) for v in vals)
+        assert abs(r.sum_wins_c - expected) <= len(vals)  # half-even vs half-up slack
