@@ -110,6 +110,8 @@ HEADLINE = [
     "q_rerank_mmr",        # MMR diversity reranking over the top-20 pool
     "q_copurchase_pmi",    # PMI association mining over co-order pairs
     "q_winsorize",         # percentile-clipped robust aggregation
+    "q_snapshot_diff",     # CDF-style version diff (full-outer key join)
+    "q_join_dpp",          # dynamic partition pruning star join
 ]
 
 

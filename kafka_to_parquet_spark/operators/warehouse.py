@@ -371,3 +371,82 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("rh") % CK_P).cast("long").alias("checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (change data feed between two table versions)
+# ---------------------------------------------------------------------------
+
+# Deterministic version slices of orders: v1 lacks keys ≡7, v2 drops
+# keys ≡4 and bumps o_totalprice by 100 for keys ≡3 (mod 10).
+SD_ADD, SD_DEL, SD_MOD = 7, 4, 3
+
+
+@query(
+    "q_snapshot_diff",
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 10 <> {SD_ADD}
+),
+v2 AS (
+  SELECT o_orderkey,
+         CAST(round((o_totalprice + CASE WHEN o_orderkey % 10 = {SD_MOD}
+                                         THEN 100 ELSE 0 END) * 100) AS BIGINT)
+           AS price_c
+  FROM orders WHERE o_orderkey % 10 <> {SD_DEL}
+)
+SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+            WHEN v2.o_orderkey IS NULL THEN 'removed'
+            ELSE 'modified' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+   OR v1.price_c <> v2.price_c
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two table snapshots — the diff a
+    lakehouse time-travel/CDF reader emits: full-outer join the
+    versions on the primary key, classify each key as added / removed /
+    modified (value comparison in integer cents so a double-rendering
+    difference can never masquerade as a change), and emit only
+    changed keys. This is the verification/replication primitive:
+    auditing a MERGE (q_merge_upsert) or feeding an incremental
+    downstream (q_incr_agg) without rescanning unchanged rows.
+
+    Shape: both sides reduce to (key, cents) before the join — the
+    shuffle carries 16 bytes/row; the full-outer join shuffles on the
+    key once, and the change filter drops the unchanged majority
+    before any further stage. At 100 TB both snapshots scan once;
+    nothing else is corpus-sized."""
+    od = load(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    v1 = od.filter(F.col("o_orderkey") % 10 != SD_ADD).select(
+        "o_orderkey", cents.alias("price_c")
+    )
+    bumped = F.expr(
+        f"CAST(round((o_totalprice + CASE WHEN o_orderkey % 10 = {SD_MOD}"
+        " THEN 100 ELSE 0 END) * 100) AS BIGINT)"
+    )
+    v2 = od.filter(F.col("o_orderkey") % 10 != SD_DEL).select(
+        "o_orderkey", bumped.alias("price_c")
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.when(F.col("a.o_orderkey").isNull(), "added")
+            .when(F.col("b.o_orderkey").isNull(), "removed")
+            .otherwise("modified")
+            .alias("change"),
+            F.col("a.price_c").alias("p1"),
+            F.col("b.price_c").alias("p2"),
+        )
+        .filter(
+            F.col("p1").isNull() | F.col("p2").isNull() | (F.col("p1") != F.col("p2"))
+        )
+        .select("o_orderkey", "change")
+    )

@@ -216,3 +216,39 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(
         F.col("event_date").between(F.lit("2024-01-02"), F.lit("2024-01-03"))
     ).select("event_id", "user_id", "event_type", "event_date")
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE day(ts) <= 3
+GROUP BY 1
+""",
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the runtime companion to
+    q_partition_pruning's static directory pruning: the fact side is
+    the date-partitioned events layout, the dim side is a small
+    filtered date list that only exists at runtime, and Catalyst
+    injects the dim's build-side values as a partition filter
+    (``dynamicpruningexpression``) into the fact scan — so the fact
+    reads ONLY the partitions the dim join can match, without any
+    static predicate on the fact. At 100 TB this is the star-join
+    scan lever: a selective dim filter prunes the fact's partition
+    tree before a single fact row is read. Plan pinned in
+    tests/test_plans.py."""
+    fact = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    dim = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .filter(F.dayofmonth("d") <= 3)
+    )
+    return (
+        fact.join(dim, fact.event_date == dim.d)
+        .groupBy("event_date")
+        .agg(F.count("*").alias("n"))
+    )

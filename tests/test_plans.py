@@ -293,3 +293,11 @@ def test_prefix_join_prefilters_postings(run):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_dpp_injects_runtime_partition_filter(run):
+    """The dim-side values must reach the fact scan as a
+    dynamicpruningexpression inside PartitionFilters."""
+    plan = plan_of(run("q_join_dpp"))
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan

@@ -328,3 +328,20 @@ def test_approx_quantile_rank_error_bounded(run, spark, sf_dir):
             target_rank = target * n
             eps = n / 10000 + 1  # accuracy=10000 → eps=1e-4 (+1 slack)
             assert lo - eps <= target_rank <= hi + eps
+
+
+# ----------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_classes_match_slice_definition(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.warehouse import SD_ADD, SD_DEL, SD_MOD
+
+    rows = run("q_snapshot_diff").collect()
+    od = {r.o_orderkey for r in load(spark, sf_dir, "orders").select("o_orderkey").collect()}
+    expected = {
+        k: ("added" if k % 10 == SD_ADD else "removed" if k % 10 == SD_DEL else "modified")
+        for k in od
+        if k % 10 in (SD_ADD, SD_DEL, SD_MOD)
+    }
+    got = {r.o_orderkey: r.change for r in rows}
+    assert got == expected
