@@ -301,3 +301,37 @@ def test_dpp_injects_runtime_partition_filter(run):
     plan = plan_of(run("q_join_dpp"))
     assert "dynamicpruning" in plan.lower()
     assert "PartitionFilters" in plan
+
+
+def test_runtime_bloom_filter_injects_might_contain(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the shuffle-reduction lever
+    for selective big×big joins at scale: the filtered build side's
+    keys compile into a BloomFilterMightContain predicate applied to
+    the probe side BEFORE its shuffle. (The fixture scans sit below the
+    default 10 GB application-side threshold, so the test lowers it —
+    the driver session keeps stock confs.)"""
+    from pyspark.sql import functions as F
+
+    from kafka_to_parquet_spark.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        od = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, sf_dir, "lineitem")
+        j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy("l_returnflag").count()
+        plan = plan_of(j)
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
