@@ -112,6 +112,7 @@ HEADLINE = [
     "q_winsorize",         # percentile-clipped robust aggregation
     "q_snapshot_diff",     # CDF-style version diff (full-outer key join)
     "q_join_dpp",          # dynamic partition pruning star join
+    "q_dedup_window",      # time-windowed first-event dedup
 ]
 
 

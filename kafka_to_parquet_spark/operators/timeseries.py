@@ -535,3 +535,49 @@ def q_ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).cast("long").alias("v_filled"),
         )
     )
+
+
+@query(
+    "q_dedup_window",
+    oracle="""
+WITH b AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr
+  FROM events
+)
+SELECT event_id, user_id, event_type, es
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, hr
+                                   ORDER BY es, event_id) AS rn
+      FROM b)
+WHERE rn = 1
+""",
+)
+def q_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed deduplication: keep only the FIRST event per
+    (user, type) within each hour bucket — the batch twin of streaming
+    ``dropDuplicatesWithinWatermark`` (q_stream_dedup holds the
+    streaming form), and the standard at-least-once-ingest repair:
+    retries and producer re-sends land in the same window and collapse
+    to one row.
+
+    Shape: one shuffle on (user, type, hour) and a per-group first-row
+    window — per-key state is one row, and the hour bucket bounds how
+    long any key's state lives, exactly like a watermark bounds the
+    streaming version. At 100 TB this is a single exchange of narrow
+    rows; the windowed key keeps any hot (user, type) pair from
+    concentrating more than one hour of its traffic in one task."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    w = Window.partitionBy(
+        "user_id", "event_type", F.expr("es DIV 3600")
+    ).orderBy("es", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "es")
+    )

@@ -163,3 +163,18 @@ def test_winsorize_matches_python_recompute(run, spark, sf_dir):
         assert r.n_clip_hi == sum(1 for v in vals if v > p95)
         expected = sum(int(round(min(max(v, p05), p95) * 100)) for v in vals)
         assert abs(r.sum_wins_c - expected) <= len(vals)  # half-even vs half-up slack
+
+
+# ----------------------------------------------------------- windowed dedup
+
+
+def test_dedup_window_keeps_first_per_hour(run, spark, sf_dir):
+    rows = run("q_dedup_window").collect()
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.floor(F.unix_timestamp("ts")).cast("long").alias("es")
+    ).collect()
+    first = {}
+    for r in sorted(ev, key=lambda r: (r.es, r.event_id)):
+        key = (r.user_id, r.event_type, r.es // 3600)
+        first.setdefault(key, r.event_id)
+    assert {r.event_id for r in rows} == set(first.values())
