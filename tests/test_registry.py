@@ -22,6 +22,7 @@ def test_rows_only_set_is_intentional():
     rows_only = set(registry.QUERIES) - set(registry.ORACLE_SQL)
     assert rows_only == {
         "q_agg_approx_distinct",  # HLL++ sketch ≠ DuckDB's sketch
+        "q_agg_approx_quantile",  # GK sketch internals ≠ DuckDB's
         "q_dedup_minhash_lsh",    # LSH banding not SQL-expressible
         "q_stream_watermark",     # emission depends on watermark progression
     }
