@@ -378,3 +378,49 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       CAST(min(CASE WHEN rn = 1 THEN q END) AS BIGINT)   AS mode_qty,
+       CAST(min(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS mode_n
+FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY cnt DESC, q) AS rn
+      FROM c)
+GROUP BY l_returnflag
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent value, smallest-value
+    tiebreak) — the argmax-as-aggregate idiom: count pairs in one hash
+    agg, then min(struct(-cnt, value)) collapses each group WITHOUT a
+    window sort. Values are integer-rounded quantities so counts and
+    ties are engine-exact.
+
+    Shape: two hash aggregates, both map-side combinable — the second
+    reduces each group's (value, count) pairs to one struct before its
+    exchange (contrast the oracle's row_number formulation, which would
+    shuffle every pair to sort it; Spark-side we keep the aggregate
+    form — the plans differ, the value semantics are identical)."""
+    li = load(spark, sf_dir, "lineitem")
+    c = (
+        li.select("l_returnflag", F.expr("CAST(round(l_quantity) AS BIGINT)").alias("q"))
+        .groupBy("l_returnflag", "q")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("q"))).alias("m"))
+        .select(
+            "l_returnflag",
+            F.col("m.q").cast("long").alias("mode_qty"),
+            (-F.col("m.neg")).cast("long").alias("mode_n"),
+        )
+    )

@@ -27,7 +27,11 @@ COPIES = 10
 QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalable",
            "q_agg_salted", "q_agg_percentile", "q_agg_stats", "q_count_batcher",
            "q_join_asof", "q_join_range_binned", "q_join_skew_salted",
-           "q_tpch_q1", "q_tpch_q9", "q_tpch_q21"]
+           "q_tpch_q1", "q_tpch_q9", "q_tpch_q21",
+           # round-3 late additions on the replicated tables
+           "q_table_checksum", "q_winsorize", "q_zorder_stats",
+           "q_quality_checks", "q_snapshot_diff", "q_scd2_intervals",
+           "q_dedup_window"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
