@@ -113,6 +113,9 @@ HEADLINE = [
     "q_snapshot_diff",     # CDF-style version diff (full-outer key join)
     "q_join_dpp",          # dynamic partition pruning star join
     "q_dedup_window",      # time-windowed first-event dedup
+    "q_dedup_containment", # asymmetric prefix×full-posting subset join
+    "q_ann_recall",        # IVF-vs-brute recall audit (both ANN plans)
+    "q_text_entropy",      # micro-nat-fenced per-doc token entropy
 ]
 
 
@@ -140,6 +143,12 @@ def main() -> None:
             run_one(spark, name, "/root/testdata/sf0.001")
         except Exception:
             pass
+    # The warm-up sf_dir's memoized intermediates served their purpose
+    # (JIT/codegen); free that storage before the timed sweeps so it
+    # can't cache-pressure them.
+    from kafka_to_parquet_spark.cache import clear_caches
+
+    clear_caches(spark, "/root/testdata/sf0.001")
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
@@ -177,6 +186,14 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # Teardown: evict every memoized/persisted intermediate (shingle
+    # tables, edge lists, converged labels, temp-dataset paths) so a
+    # caller embedding bench in a longer-lived session doesn't inherit
+    # executor storage pinned to this sf_dir.
+    from kafka_to_parquet_spark.cache import clear_caches
+
+    clear_caches(spark)
     print(json.dumps(out))
 
 

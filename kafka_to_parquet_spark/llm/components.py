@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import register_cache
 from kafka_to_parquet_spark.llm.dedup import SIMHASH_PAIRS_CTE, q_dedup_simhash_pairs
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
@@ -46,7 +47,7 @@ edges AS (
 # executes the full SimHash banded pair join (~2.3 s at sf0.1), so
 # repeated invocations in one session (bench sweeps, components +
 # downstream dedup queries) must not re-run it.
-_EDGE_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache({})
 
 
 def near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,7 +85,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expensive part, and both q_dedup_components and q_dedup_keep need it
 # in one driver/bench sweep. The cached frame is a localCheckpoint —
 # already materialized and lineage-free.
-_LABELS_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_LABELS_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache({})
 
 
 def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

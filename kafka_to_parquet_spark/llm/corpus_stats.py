@@ -292,6 +292,62 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_entropy",
+    oracle=f"""
+WITH {_DW_CTE},
+sized AS (
+  SELECT doc_id, tf_doc,
+         CAST(sum(tf_doc) OVER (PARTITION BY doc_id) AS BIGINT) AS n_toks
+  FROM dw
+)
+SELECT doc_id, CAST(max(n_toks) AS BIGINT) AS n_toks,
+       -CAST(sum(tf_doc * CAST(floor(ln(tf_doc * 1.0 / n_toks) * 1000000 + 0.5)
+                               AS BIGINT)) AS BIGINT)
+         / (1000000.0 * max(n_toks)) AS entropy
+FROM sized GROUP BY doc_id
+""",
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the document's OWN token
+    distribution, H = −Σ (tf/n)·ln(tf/n) — the information-density
+    quality signal: template/repetition junk collapses toward 0,
+    natural prose sits in a band, and random-token salad maxes out at
+    ln(n_distinct). Complements q_text_repetition (which catches
+    n-gram loops) with a distribution-level view.
+
+    Engine stability: the one transcendental, ln(tf/n), is evaluated
+    on an identical IEEE double (ratio of two exact integers) in both
+    engines and immediately fenced to integer micro-nats; the per-doc
+    accumulation is exact integer arithmetic with a single shared
+    final division — the corpus_stats micro-nat discipline.
+
+    Plan: token instances collapse map-side into (doc, word, tf)
+    before any exchange; doc length comes from the same aggregate
+    re-keyed by doc (a window in the oracle, an agg-join here — both
+    doc-keyed, no token-instance shuffle). At 100 TB it is one
+    (doc, word) exchange plus one doc-keyed combine."""
+    dw = _doc_word_tf(spark, sf_dir)
+    n = dw.groupBy("doc_id").agg(F.sum("tf_doc").alias("n_toks"))
+    return (
+        dw.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_toks").cast("long").alias("n_toks"),
+            (
+                -F.sum(
+                    F.col("tf_doc")
+                    * F.expr(
+                        "CAST(floor(ln(tf_doc * 1.0 / n_toks) * 1000000 + 0.5)"
+                        " AS BIGINT)"
+                    )
+                ).cast("long")
+                / (1000000.0 * F.max("n_toks"))
+            ).alias("entropy"),
+        )
+    )
+
+
 # DSIR importance weighting: the target domain is the English slice of
 # the corpus (a stand-in for "high-quality target distribution" — a
 # real run would read the target from a second table). Laplace +1

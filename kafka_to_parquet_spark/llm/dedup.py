@@ -24,6 +24,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import register_cache
 from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
 from kafka_to_parquet_spark.functions.text import tokens_col, _TOKENS_SQL
 from kafka_to_parquet_spark.functions.vectors import duck_cosine
@@ -49,7 +50,7 @@ MAX_BAND_BUCKET = 256  # LSH band buckets above this sub-split by the next band,
 # Keyed on the SparkSession object itself (not id(): CPython reuses
 # ids after GC, which could hand a new session a DataFrame bound to a
 # stopped one). The strong session ref is deliberate.
-_SHINGLE_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache({})
 
 
 def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,7 +373,7 @@ kept AS (SELECT keyed.* FROM keyed JOIN s2 USING (b, k) WHERE c2 <= {cap})"""
 # re-runs the full tokenize+hash+vote pipeline (the dominant cost of
 # q_dedup_simhash_pairs in round 2's bench). Same keying discipline as
 # _SHINGLE_CACHE.
-_FP_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_FP_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache({})
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,7 +592,7 @@ WHERE {duck_cosine('ea.embedding', 'eb.embedding')} >= {EMBED_NEAR_TAU}
 # Memoized+persisted angular signatures — same multi-subtree argument
 # as _FP_CACHE (the capped band join reads signatures from 3 subtrees,
 # each of which would otherwise re-run 32 dot-product folds per vector).
-_ANGULAR_SIG_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_ANGULAR_SIG_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache({})
 
 
 def angular_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,6 +32,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import register_cache
 from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
 from kafka_to_parquet_spark.llm.dedup import (
     _SHINGLES_SQL,
@@ -46,7 +47,7 @@ from kafka_to_parquet_spark.registry import query
 # to reconcile.
 MH_P = 2_147_483_647
 MH_NUM_HASHES = 16
-MH_BANDS = 8  # 8 bands × 2 rows: P(candidate) = 1-(1-s^2)^8 — ~0.92 at s=0.5
+MH_BANDS = 8  # 8 bands × 2 rows: P(candidate) = 1-(1-s^2)^8 — ~0.90 at s=0.5
 MH_ROWS = 2
 
 
@@ -199,7 +200,7 @@ PREFIX_TAU = 0.5  # Jaccard threshold; ceil(tau*n) == (n+1) DIV 2 — pure integ
 # Memoized+persisted hashed shingle sets — the verification stage reads
 # them from two subtrees and bench sweeps re-call the query; the same
 # keying discipline as dedup.py's _SHINGLE_CACHE.
-_HASHED_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_HASHED_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache({})
 
 
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,4 +310,99 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hsh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", floor_round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= PREFIX_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment: near-subset detection (doc quoted inside doc)
+# ---------------------------------------------------------------------------
+
+CONT_TAU_NUM, CONT_TAU_DEN = 4, 5  # containment threshold 0.8
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hs AS (
+  SELECT doc_id, list_distinct(list_transform(sh, s -> {duck_h31('s')})) AS hs
+  FROM sh WHERE len(sh) > 0
+),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+common AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id <> y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b,
+       {floor_round_sql('CAST(n_common AS DOUBLE) / len(sa.hs)', 6)} AS containment
+FROM common
+JOIN hs sa ON common.doc_a = sa.doc_id
+WHERE n_common * {CONT_TAU_DEN} >= len(sa.hs) * {CONT_TAU_NUM}
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment self-join: ordered pairs (a, b) where at
+    least {CONT_TAU_NUM}/{CONT_TAU_DEN} of a's distinct shingles also
+    appear in b — the near-SUBSET detector (boilerplate wrapping,
+    quoted articles, doc-inside-doc) that symmetric Jaccard misses: a
+    short doc fully embedded in a long one has tiny Jaccard but
+    containment 1.0.
+
+    Same prefix-filter lemma as q_dedup_jaccard_prefix, asymmetric
+    form: C(a→b) >= tau needs overlap >= ceil(tau·|a|), so a must
+    share an element of its FIRST |a| - ceil(tau·|a|) + 1 canonical-
+    order (rarest-first) shingles with b — join a-PREFIX postings
+    against b-FULL postings (no prefix on the containing side: b may
+    be arbitrarily larger), then verify candidates on the int hash
+    arrays. The only length constraint is |b| >= tau·|a| (the
+    intersection fits in b); there is NO upper bound on |b| — that
+    asymmetry is the point. The threshold predicate is pure integer
+    cross-multiplication on both engines; the reported containment is
+    floor-rounded to 6 dp only for display."""
+    from pyspark.sql import Window
+
+    hsh = _hashed_shingles(spark, sf_dir)
+    ex = hsh.select("doc_id", F.explode("hs").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    sized = hsh.select("doc_id", F.size("hs").alias("n"))
+    # ceil(tau*n) = (NUM*n + DEN - 1) DIV DEN in integers.
+    prefix = (
+        ex.join(dfreq, "h")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sized, "doc_id")
+        .filter(
+            F.col("rk")
+            <= F.expr(
+                f"n - (({CONT_TAU_NUM} * n + {CONT_TAU_DEN - 1}) DIV {CONT_TAU_DEN}) + 1"
+            )
+        )
+        .select("doc_id", "h", "n")
+    )
+    full = ex.join(sized, "doc_id").select(
+        F.col("doc_id").alias("b_id"), F.col("h").alias("bh"), F.col("n").alias("bn")
+    )
+    cand = (
+        prefix.join(
+            full,
+            (F.col("h") == F.col("bh"))
+            & (F.col("doc_id") != F.col("b_id"))
+            # |b| >= tau*|a| or the intersection can't reach tau*|a|
+            & (F.col("bn") * CONT_TAU_DEN >= F.col("n") * CONT_TAU_NUM),
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = F.expr("size(array_intersect(sa.hs, sb.hs))")
+    return (
+        cand.join(hsh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(hsh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(inter * CONT_TAU_DEN >= F.expr("size(sa.hs)") * CONT_TAU_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            floor_round(
+                inter.cast("double") / F.expr("CAST(size(sa.hs) AS DOUBLE)"), 6
+            ).alias("containment"),
+        )
     )

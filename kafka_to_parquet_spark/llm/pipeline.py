@@ -471,24 +471,32 @@ def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PACK_CAP = 128  # tokens per pack; fixture docs are 10-99 tokens
+PACK_SHARDS = 16  # hash shards — parallelism independent of any data skew
+# Portable LCG hash (same constants as q_corpus_shuffle's _SHUF_HASH):
+# identical integer arithmetic in Spark SQL and DuckDB, unlike
+# engine-private hash() builtins.
+_LCG_HASH = "(doc_id * 1103515245 + 12345) % 2147483648"
 
 
 @query(
     "q_pack_greedy",
     oracle=f"""
 WITH RECURSIVE
-t AS (SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tok,
-             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-      FROM (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents)),
-walk(lang, rn, doc_id, n_tok, pack_id, acc) AS (
-  SELECT lang, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok FROM t WHERE rn = 1
+t AS (SELECT doc_id, shard, CAST(len(toks) AS INTEGER) AS n_tok,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM (SELECT doc_id,
+                   CAST(({_LCG_HASH}) % {PACK_SHARDS} AS BIGINT) AS shard,
+                   {_TOKENS_SQL} AS toks
+            FROM documents)),
+walk(shard, rn, doc_id, n_tok, pack_id, acc) AS (
+  SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok FROM t WHERE rn = 1
   UNION ALL
-  SELECT t.lang, t.rn, t.doc_id, t.n_tok,
+  SELECT t.shard, t.rn, t.doc_id, t.n_tok,
          CASE WHEN w.acc + t.n_tok > {PACK_CAP} THEN w.pack_id + 1 ELSE w.pack_id END,
          CASE WHEN w.acc + t.n_tok > {PACK_CAP} THEN t.n_tok ELSE w.acc + t.n_tok END
-  FROM walk w JOIN t ON t.lang = w.lang AND t.rn = w.rn + 1
+  FROM walk w JOIN t ON t.shard = w.shard AND t.rn = w.rn + 1
 )
-SELECT doc_id, lang, n_tok, pack_id FROM walk
+SELECT doc_id, shard, n_tok, pack_id FROM walk
 """,
 )
 def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,14 +510,20 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pack boundary depends on the running remainder, which resets
     data-dependently), so this is the sanctioned ``applyInPandas``
     path: one Arrow batch per shard, a linear scan inside. The shard
-    key here is ``lang`` so the DuckDB recursive-CTE oracle can walk
-    the identical order; at 100 TB the shard key is
-    ``pmod(hash(doc_id), n_shards)`` — packing is per-shard by design
-    (cross-shard order is meaningless for training), so parallelism is
-    n_shards regardless of corpus size and each scan is
-    |corpus|/n_shards rows."""
+    key is ``lcg_hash(doc_id) % {PACK_SHARDS}`` — packing is per-shard
+    by design (cross-shard order is meaningless for training), so the
+    shards are hash-uniform regardless of corpus skew: no language or
+    source ever concentrates a corpus-sized Arrow group on one task
+    (the earlier ``lang``-sharded form had parallelism capped at
+    #languages, an OOM cliff once one language dominates). At 100 TB
+    raise PACK_SHARDS with the cluster; each scan stays
+    |corpus|/n_shards rows and the DuckDB recursive-CTE oracle walks
+    the identical per-shard (doc_id) order because the LCG shard hash
+    is engine-portable integer arithmetic."""
     t = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(tokens_col(F.col("text"))).alias("n_tok")
+        "doc_id",
+        F.expr(f"CAST(({_LCG_HASH}) % {PACK_SHARDS} AS BIGINT)").alias("shard"),
+        F.size(tokens_col(F.col("text"))).alias("n_tok"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -525,10 +539,10 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 acc += n
             pack_ids.append(pack_id)
         pdf["pack_id"] = pack_ids
-        return pdf[["doc_id", "lang", "n_tok", "pack_id"]]
+        return pdf[["doc_id", "shard", "n_tok", "pack_id"]]
 
-    return t.groupBy("lang").applyInPandas(
-        pack, schema="doc_id long, lang string, n_tok int, pack_id long"
+    return t.groupBy("shard").applyInPandas(
+        pack, schema="doc_id long, shard long, n_tok int, pack_id long"
     )
 
 
@@ -537,7 +551,7 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SHUFFLE_BUCKETS = 32
-_SHUF_HASH = "(doc_id * 1103515245 + 12345) % 2147483648"
+_SHUF_HASH = _LCG_HASH
 
 
 @query(

@@ -166,3 +166,87 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "c_id", "cos", "rank")
     )
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+bpairs AS (
+  SELECT q.q_id, e.vec_id AS c_id,
+         round({duck_cosine('q.qe', 'e.embedding')}, 6) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.q_id
+),
+brute AS (
+  SELECT q_id, c_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+        FROM bpairs)
+  WHERE rn <= {TOP_K}
+),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cente
+  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         round({duck_cosine('e.embedding', 'c.cente')}, 6) AS cs
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, embedding, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+iq AS (SELECT vec_id AS q_id, embedding AS qe, cent_id AS qc
+       FROM assign WHERE vec_id < {N_QUERIES}),
+ipairs AS (
+  SELECT iq.q_id, a.vec_id AS c_id,
+         round({duck_cosine('iq.qe', 'a.embedding')}, 6) AS cos
+  FROM iq JOIN assign a ON a.cent_id = iq.qc AND a.vec_id <> iq.q_id
+),
+ivf AS (
+  SELECT q_id, c_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+        FROM ipairs)
+  WHERE rn <= {TOP_K}
+)
+SELECT b.q_id,
+       CAST(count(i.c_id) AS BIGINT) AS n_hit,
+       CAST(count(i.c_id) * 10000 / {TOP_K} AS BIGINT) AS recall_bp
+FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+GROUP BY b.q_id
+""",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality governance: per-query recall@{TOP_K} of the IVF
+    probe against the exact brute-force ground truth — the metric that
+    decides how many cells to probe / how many centroids to use before
+    anyone trusts the fast path. Expressed as a composition of the two
+    declared operators (their plans are reused verbatim), joined on
+    (query, candidate); recall is reported in integer basis points so
+    the cross-engine comparison never touches a float ratio.
+
+    Scale: the brute side is the one that doesn't scale (that's WHY
+    IVF exists) — at 100 TB this query runs on a sampled query set
+    (|Q| queries, O(|Q|·N) with the corpus scanned once, broadcast
+    queries, no corpus shuffle), which is exactly how production ANN
+    recall is audited: a small random probe set against exact search,
+    not an all-pairs evaluation."""
+    brute = q_sim_topk(spark, sf_dir).select("q_id", "c_id")
+    ivf = q_sim_ivf(spark, sf_dir).select(
+        F.col("q_id").alias("i_q"), F.col("c_id").alias("i_c")
+    )
+    return (
+        brute.join(
+            ivf,
+            (F.col("q_id") == F.col("i_q")) & (F.col("c_id") == F.col("i_c")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("i_c").alias("n_hit"),
+            (F.count("i_c") * 10000 / TOP_K).cast("long").alias("recall_bp"),
+        )
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import register_cache
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
@@ -267,7 +268,7 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set three times (e1, e2, e3); without a materialization boundary
 # each reference re-runs the pair self-join + degree join upstream.
 # Same keying discipline as llm/dedup.py's _FP_CACHE.
-_ORIENT_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_ORIENT_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache({})
 
 
 def _oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -253,15 +253,17 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pct AS (
   SELECT l_returnflag,
-         quantile_cont(l_quantity, 0.05) AS p05,
-         quantile_cont(l_quantity, 0.95) AS p95
+         CAST(round(quantile_cont(l_quantity, 0.05) * 100) AS BIGINT) AS p05c,
+         CAST(round(quantile_cont(l_quantity, 0.95) * 100) AS BIGINT) AS p95c
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l.l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CASE WHEN l_quantity < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
-       CAST(sum(CASE WHEN l_quantity > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
-       CAST(sum(CAST(round(least(greatest(l_quantity, p05), p95) * 100) AS BIGINT))
+       CAST(sum(CASE WHEN CAST(round(l_quantity * 100) AS BIGINT) < p05c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN CAST(round(l_quantity * 100) AS BIGINT) > p95c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       CAST(sum(least(greatest(CAST(round(l_quantity * 100) AS BIGINT), p05c), p95c))
             AS BIGINT) AS sum_wins_c
 FROM lineitem l JOIN pct ON l.l_returnflag = pct.l_returnflag
 GROUP BY l.l_returnflag
@@ -273,7 +275,12 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clipped-tail counts plus the winsorized sum (integer
     centi-units, the rounding.py discipline, so the sum is
     order-independent and engine-exact even though the interpolated
-    percentile is a general double).
+    percentile is a general double). The percentile CUTOFFS are fenced
+    to the same centi-unit integer grid on both engines before any
+    comparison — Spark ``percentile()`` and DuckDB ``quantile_cont()``
+    are not guaranteed ulp-identical in their interpolation, so the
+    clip predicate and the clipped value both work on
+    ``round(x * 100)`` integers, never raw doubles.
 
     Shape: one per-group exact-percentile pass (distributed per-group
     sort), then the 3-row percentile table broadcasts back over the
@@ -283,26 +290,26 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch for a single-scan approximate variant."""
     li = load(spark, sf_dir, "lineitem")
     pct = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.05)").alias("p05"),
-        F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+        F.expr(
+            "CAST(round(percentile(l_quantity, 0.05) * 100) AS BIGINT)"
+        ).alias("p05c"),
+        F.expr(
+            "CAST(round(percentile(l_quantity, 0.95) * 100) AS BIGINT)"
+        ).alias("p95c"),
     )
+    qty_c = F.expr("CAST(round(l_quantity * 100) AS BIGINT)")
     return (
         li.join(F.broadcast(pct), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.when(F.col("l_quantity") < F.col("p05"), 1).otherwise(0))
+            F.sum(F.when(qty_c < F.col("p05c"), 1).otherwise(0))
             .cast("long")
             .alias("n_clip_lo"),
-            F.sum(F.when(F.col("l_quantity") > F.col("p95"), 1).otherwise(0))
+            F.sum(F.when(qty_c > F.col("p95c"), 1).otherwise(0))
             .cast("long")
             .alias("n_clip_hi"),
-            F.sum(
-                F.expr(
-                    "CAST(round(least(greatest(l_quantity, p05), p95) * 100)"
-                    " AS BIGINT)"
-                )
-            )
+            F.sum(F.least(F.greatest(qty_c, F.col("p05c")), F.col("p95c")))
             .cast("long")
             .alias("sum_wins_c"),
         )

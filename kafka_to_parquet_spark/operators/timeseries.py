@@ -24,6 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import register_cache
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
@@ -368,7 +369,7 @@ def q_ts_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "freshly arrived" partition is days >= CUTOFF.
 INCR_CUTOFF = "2024-01-25"
 
-_STATE_CACHE: dict[tuple[SparkSession, str], str] = {}
+_STATE_CACHE: dict[tuple[SparkSession, str], str] = register_cache({})
 
 
 @query(
@@ -573,8 +574,12 @@ def q_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
     )
+    # floor-division bucket (not `DIV`, which truncates toward zero) so
+    # pre-epoch timestamps land in the same hour as the oracle's
+    # floor(es / 3600) — identical for the post-1970 fixture, but the
+    # operator shouldn't depend on that.
     w = Window.partitionBy(
-        "user_id", "event_type", F.expr("es DIV 3600")
+        "user_id", "event_type", F.floor(F.col("es") / 3600).cast("long")
     ).orderBy("es", "event_id")
     return (
         ev.withColumn("rn", F.row_number().over(w))

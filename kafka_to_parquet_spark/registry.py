@@ -95,6 +95,22 @@ CERTIFIED: set[str] = {
     "q_stream_tumbling", "q_stream_watermark", "q_synth_generator",
     "q_text_bpe_tokens", "q_text_fingerprint", "q_text_langid",
     "q_udf_pandas_cosine",
+    # round 3 (CORRECTNESS_r03.json): 49 hash-green + 1 accepted
+    # rows-only (q_agg_approx_quantile, allowlisted sketch).
+    "q_agg_grouping_sets", "q_agg_approx_quantile", "q_agg_mode",
+    "q_profile_table", "q_winsorize", "q_graph_pagerank",
+    "q_graph_degree", "q_copurchase_pairs", "q_graph_triangles",
+    "q_copurchase_pmi", "q_funnel", "q_ts_gapfill", "q_win_range_time",
+    "q_outliers_zscore", "q_sessionize", "q_ts_rollup_hier",
+    "q_incr_agg", "q_retention_cohort", "q_ts_locf", "q_dedup_window",
+    "q_tpch_q4", "q_tpch_q10", "q_tpch_q14", "q_tpch_q18", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q13", "q_tpch_q17", "q_tpch_q22", "q_tpch_q1",
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
+    "q_scd2_intervals", "q_quality_checks", "q_zorder_stats",
+    "q_table_checksum", "q_snapshot_diff", "q_json_variant",
+    "q_udtf_wordcounts", "q_merge_upsert", "q_join_dpp",
+    "q_jsonl_roundtrip", "q_csv_scan",
 }
 
 # Certified queries whose implementation (or a shared helper on their
@@ -107,6 +123,8 @@ RECERTIFY: set[str] = {
     "q_dedup_simhash_pairs",   # hot-bucket cap (round 3)
     "q_dedup_embedding_lsh",   # hot-bucket cap (round 3)
     "q_sim_ivf",               # argmin-as-aggregate assignment (round 3)
+    "q_dedup_window",          # floor-division hour bucket (round 4)
+    "q_winsorize",             # integer-fenced percentile cutoffs (round 4)
 }
 
 

@@ -25,6 +25,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import register_cache
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
@@ -38,7 +39,7 @@ FRAGMENT_FILES = 200
 # ceil(bytes / target)) is the production one.
 TARGET_BYTES = 256 * 1024
 
-_COMPACT_CACHE: dict[tuple[SparkSession, str], tuple[str, str]] = {}
+_COMPACT_CACHE: dict[tuple[SparkSession, str], tuple[str, str]] = register_cache({})
 
 
 def _layout_bytes(path: str) -> int:

@@ -23,11 +23,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import register_cache
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
-_JSONL_CACHE: dict[tuple[SparkSession, str], str] = {}
-_CSV_CACHE: dict[tuple[SparkSession, str], str] = {}
+_JSONL_CACHE: dict[tuple[SparkSession, str], str] = register_cache({})
+_CSV_CACHE: dict[tuple[SparkSession, str], str] = register_cache({})
 
 
 def _digest(sf_dir: str) -> str:
@@ -111,7 +112,7 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORC_CACHE: dict[tuple[SparkSession, str], str] = {}
+_ORC_CACHE: dict[tuple[SparkSession, str], str] = register_cache({})
 
 
 @query(

@@ -22,13 +22,14 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import register_cache
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
 # Session-object key (id() can be recycled after GC). Single-driver
 # assumption: concurrent processes sharing the same /tmp layout dir
 # would race overwrite-vs-read; the driver runs one process at a time.
-_CACHE: dict[tuple[SparkSession, str], str] = {}
+_CACHE: dict[tuple[SparkSession, str], str] = register_cache({})
 
 
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
@@ -49,7 +50,7 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
 
 DELETE_USER = 7
 
-_DELETE_CACHE: dict[tuple[SparkSession, str], str] = {}
+_DELETE_CACHE: dict[tuple[SparkSession, str], str] = register_cache({})
 
 
 @query(
@@ -119,7 +120,7 @@ MERGE_USER = 3
 MERGE_FROM, MERGE_TO = "2024-01-05", "2024-01-07"
 MERGE_OFFSET = 10_000_000
 
-_MERGE_CACHE: dict[tuple[SparkSession, str], str] = {}
+_MERGE_CACHE: dict[tuple[SparkSession, str], str] = register_cache({})
 
 
 @query(

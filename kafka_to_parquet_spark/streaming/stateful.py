@@ -233,6 +233,94 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join_outer",
+    oracle=f"""
+WITH wm AS (
+  SELECT least(
+           (SELECT max(ts) FROM events WHERE event_type = 'click'),
+           (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 2 HOUR AS w
+),
+matched AS (
+  SELECT a.event_id AS click_id,
+         b.event_id AS purchase_id,
+         a.user_id,
+         CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_s
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND a.event_type = 'click' AND b.event_type = 'purchase'
+   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {JOIN_WINDOW_MIN} MINUTE
+)
+SELECT click_id, purchase_id, user_id, gap_s FROM matched
+UNION ALL
+SELECT a.event_id AS click_id,
+       CAST(NULL AS BIGINT) AS purchase_id,
+       a.user_id,
+       CAST(NULL AS BIGINT) AS gap_s
+FROM events a
+WHERE a.event_type = 'click'
+  AND a.event_id NOT IN (SELECT click_id FROM matched)
+  AND a.ts + INTERVAL {JOIN_WINDOW_MIN} MINUTE < (SELECT w FROM wm)
+""",
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the watermark-expired
+    null-emission mode that completes the streaming-join surface next
+    to the inner form (q_stream_join): clicks joined to same-user
+    purchases within {JOIN_WINDOW_MIN} minutes; a click with no
+    matching purchase is emitted with NULLs, but only once the global
+    watermark (min of both sides' ``max event time − 2 h``) has passed
+    the end of its join window — before that Spark cannot know no
+    match is coming, so the row stays buffered in the state store.
+
+    That eviction rule is deterministic for a bounded availableNow run
+    (the trailing no-data micro-batch advances the watermark to its
+    final value and flushes expired state), which makes even the
+    null-extension oracle-checkable: the oracle emits an unmatched
+    click iff ``c_ts + {JOIN_WINDOW_MIN} min < final watermark`` —
+    clicks whose window is still open at stream end are exactly the
+    rows a real 24/7 run would still be buffering. State size and
+    sharding are identical to the inner join: O(rate × horizon) per
+    side, hash-partitioned by user_id across executors."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user AND p_ts >= c_ts
+            AND p_ts <= c_ts + INTERVAL {JOIN_WINDOW_MIN} MINUTES"""
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("c_user").alias("user_id"),
+        (F.floor(F.unix_timestamp("p_ts")) - F.floor(F.unix_timestamp("c_ts")))
+        .cast("long")
+        .alias("gap_s"),
+    )
+    return run_to_memory(joined, "append")
+
+
+@query(
     "q_stream_dedup",
     oracle="""
 SELECT event_id, user_id, event_type

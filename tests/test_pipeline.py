@@ -102,28 +102,32 @@ def test_pack_respects_cap_and_is_greedy(spark, sf_dir, run):
     """No pack exceeds the cap (unless a single oversized doc); packs
     are maximal — the first doc of pack k+1 would have overflowed pack
     k; pack ids are dense from 0 per shard."""
-    from kafka_to_parquet_spark.llm.pipeline import PACK_CAP
+    from kafka_to_parquet_spark.llm.pipeline import PACK_CAP, PACK_SHARDS
 
     out = run("q_pack_greedy").cache()
-    per_pack = out.groupBy("lang", "pack_id").agg(
+    # Hash-uniform sharding: every shard is populated, so the
+    # applyInPandas stage really runs PACK_SHARDS-way parallel (the
+    # lang-sharded form capped parallelism at #languages).
+    assert out.select("shard").distinct().count() == PACK_SHARDS
+    per_pack = out.groupBy("shard", "pack_id").agg(
         F.sum("n_tok").alias("tot"), F.count(F.lit(1)).alias("n")
     )
     oversized = per_pack.filter((F.col("tot") > PACK_CAP) & (F.col("n") > 1))
     assert oversized.count() == 0
     # Dense pack ids starting at 0.
-    per_lang = out.groupBy("lang").agg(
+    per_shard = out.groupBy("shard").agg(
         F.min("pack_id").alias("mn"),
         F.max("pack_id").alias("mx"),
         F.countDistinct("pack_id").alias("k"),
     )
-    assert per_lang.filter((F.col("mn") != 0) | (F.col("mx") != F.col("k") - 1)).count() == 0
+    assert per_shard.filter((F.col("mn") != 0) | (F.col("mx") != F.col("k") - 1)).count() == 0
     # Greedy maximality: first doc of pack k+1 overflows pack k's total.
-    w = Window.partitionBy("lang").orderBy("doc_id")
+    w = Window.partitionBy("shard").orderBy("doc_id")
     seq = out.withColumn("_prev_pack", F.lag("pack_id").over(w))
     firsts = seq.filter(
         (F.col("_prev_pack").isNotNull()) & (F.col("pack_id") != F.col("_prev_pack"))
-    ).select("lang", F.col("_prev_pack").alias("pack_id"), F.col("n_tok").alias("first_next"))
-    j = firsts.join(per_pack, ["lang", "pack_id"])
+    ).select("shard", F.col("_prev_pack").alias("pack_id"), F.col("n_tok").alias("first_next"))
+    j = firsts.join(per_pack, ["shard", "pack_id"])
     assert j.filter(F.col("tot") + F.col("first_next") <= PACK_CAP).count() == 0
     # Every doc packed exactly once.
     n = load(spark, sf_dir, "documents").count()

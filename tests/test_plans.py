@@ -295,6 +295,35 @@ def test_prefix_join_prefilters_postings(run):
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
+def test_containment_join_prefilters_probe_side(run):
+    """The asymmetric containment join must be an equi join on the
+    shingle hash (prefix postings × full postings) — never a nested
+    loop — with the prefix selection (rank window) below the join."""
+    plan = plan_of(run("q_dedup_containment"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_ann_recall_reuses_broadcast_query_plans(run):
+    """Both underlying ANN plans keep their shape inside the recall
+    audit: broadcast query set (no corpus-sized shuffle for the brute
+    side), no cartesian fallback anywhere."""
+    plan = plan_of(run("q_ann_recall"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_text_entropy_has_no_python_and_combines_map_side(run):
+    """Entropy is pure JVM expression work: no BatchEvalPython /
+    ArrowEvalPython anywhere, and the (doc, word) aggregate is a
+    partial_count HashAggregate before its exchange."""
+    plan = plan_of(run("q_text_entropy"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
 def test_dpp_injects_runtime_partition_filter(run):
     """The dim-side values must reach the fact scan as a
     dynamicpruningexpression inside PartitionFilters."""

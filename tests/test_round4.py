@@ -1,0 +1,92 @@
+"""Invariant tests for the round-4 additions: ANN recall audit,
+asymmetric containment dedup, token-distribution entropy."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.tables import load
+
+
+def test_ann_recall_bounds_and_coverage(run):
+    from kafka_to_parquet_spark.llm.similarity import N_QUERIES, TOP_K
+
+    rows = run("q_ann_recall").collect()
+    assert len(rows) == N_QUERIES  # every query audited, even 0-recall ones
+    for r in rows:
+        assert 0 <= r.n_hit <= TOP_K
+        assert r.recall_bp == r.n_hit * 10000 // TOP_K
+
+
+def test_ann_recall_matches_set_intersection(run):
+    brute = {
+        (r.q_id, r.c_id) for r in run("q_sim_topk").collect()
+    }
+    ivf = {(r.q_id, r.c_id) for r in run("q_sim_ivf").collect()}
+    got = {r.q_id: r.n_hit for r in run("q_ann_recall").collect()}
+    want = Counter(q for (q, c) in brute & ivf)
+    assert got == {q: want.get(q, 0) for q in got}
+
+
+def test_containment_is_asymmetric_and_bounded(run):
+    rows = run("q_dedup_containment").collect()
+    assert rows, "fixture should contain near-subset pairs"
+    for r in rows:
+        assert r.doc_a != r.doc_b
+        assert 0.8 <= r.containment <= 1.0
+    # Asymmetry is possible: a short doc contained in a long one need
+    # not contain it back. At minimum the pair set is ORDERED (the
+    # reverse direction is a distinct row when it qualifies at all).
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    assert len(pairs) == len(rows)  # no duplicate ordered pairs
+
+
+def test_containment_superset_of_high_jaccard_smaller_side(run, spark, sf_dir):
+    """J(a,b) >= 0.8 implies C(small->large) >= 0.8 (inter/|small| >=
+    inter/union = J), so every high-Jaccard pair's smaller side must
+    appear in the containment output."""
+    from kafka_to_parquet_spark.llm.minhash import _hashed_shingles
+
+    sizes = {
+        r.doc_id: r.n
+        for r in _hashed_shingles(spark, sf_dir)
+        .select("doc_id", F.size("hs").alias("n"))
+        .collect()
+    }
+    jp = [
+        r
+        for r in run("q_dedup_jaccard_prefix").collect()
+        if r.jaccard >= 0.8
+    ]
+    cont = {(r.doc_a, r.doc_b) for r in run("q_dedup_containment").collect()}
+    for r in jp:
+        small, large = sorted((r.doc_a, r.doc_b), key=lambda d: sizes[d])
+        assert (small, large) in cont, (r.doc_a, r.doc_b, r.jaccard)
+
+
+def test_entropy_bounds_and_exact_recompute(run, spark, sf_dir):
+    from kafka_to_parquet_spark.functions.text import tokens_col
+
+    out = {r.doc_id: r for r in run("q_text_entropy").collect()}
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .collect()
+    )
+    assert len(out) == sum(1 for d in docs if d.toks)
+    for d in docs[:50]:
+        if not d.toks:
+            continue
+        r = out[d.doc_id]
+        tf = Counter(d.toks)
+        n = sum(tf.values())
+        assert r.n_toks == n
+        # mirror the micro-nat fencing exactly
+        ent = -sum(
+            c * math.floor(math.log(c / n) * 1_000_000 + 0.5) for c in tf.values()
+        ) / (1_000_000.0 * n)
+        assert abs(r.entropy - ent) < 1e-9
+        assert -1e-9 <= r.entropy <= math.log(n) + 1e-6

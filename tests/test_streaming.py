@@ -33,6 +33,50 @@ def test_stream_watermark_agg_matches_batch_tumbling(spark, sf_dir, run):
         assert s == b
 
 
+def test_stream_join_outer_extends_inner_with_expired_nulls(spark, sf_dir, run):
+    """The left-outer interval join must (a) contain exactly the inner
+    join's matched pairs, and (b) additionally emit NULL-extended rows
+    only for clicks whose join window closed before the final
+    watermark — never for clicks still inside the horizon."""
+    from kafka_to_parquet_spark.streaming.stateful import JOIN_WINDOW_MIN
+    from kafka_to_parquet_spark.tables import load
+
+    outer = run("q_stream_join_outer").cache()
+    inner = run("q_stream_join").cache()
+    matched = outer.filter(F.col("purchase_id").isNotNull())
+    assert matched.count() == inner.count()
+    assert matched.exceptAll(inner).count() == 0
+
+    nulls = outer.filter(F.col("purchase_id").isNull()).cache()
+    # NULL rows carry NULL gap too, and their click ids are unmatched.
+    assert nulls.filter(F.col("gap_s").isNotNull()).count() == 0
+    assert (
+        nulls.join(inner, nulls.click_id == inner.click_id, "left_semi").count() == 0
+    )
+    # Eviction bound: every NULL-extended click's window end precedes
+    # the final watermark (min of both sides' max event time − 2 h).
+    ev = load(spark, sf_dir, "events")
+    wm = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg(F.min("mx").alias("wm"))
+        .collect()[0]["wm"]
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    late = (
+        nulls.join(clicks, "click_id")
+        .filter(
+            F.col("c_ts") + F.expr(f"INTERVAL {JOIN_WINDOW_MIN} MINUTES")
+            >= F.lit(wm) - F.expr("INTERVAL 2 HOURS")
+        )
+        .count()
+    )
+    assert late == 0
+
+
 def test_tumbling_windows_partition_time(spark, sf_dir, run):
     """Tumbling windows tile the timeline: Σ window counts == |events|."""
     from kafka_to_parquet_spark.tables import load

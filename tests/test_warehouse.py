@@ -35,7 +35,15 @@ def test_scd2_intervals_tile_each_user_timeline(run):
 
 
 def test_scd2_change_count_matches_lag_scan(run, spark, sf_dir):
-    ev = load(spark, sf_dir, "events").orderBy("user_id", "ts", "event_id").collect()
+    # Mirror q_scd2_intervals' declared ordering exactly — second-
+    # truncated (es, event_id), NOT raw ns-precision ts — so two
+    # same-second events tie-break identically in both scans.
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("es", F.floor(F.unix_timestamp("ts")).cast("long"))
+        .orderBy("user_id", "es", "event_id")
+        .collect()
+    )
     prev: dict[int, str] = {}
     n_changes = 0
     for r in ev:
