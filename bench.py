@@ -116,6 +116,7 @@ HEADLINE = [
     "q_dedup_containment", # asymmetric prefix×full-posting subset join
     "q_ann_recall",        # IVF-vs-brute recall audit (both ANN plans)
     "q_text_entropy",      # micro-nat-fenced per-doc token entropy
+    "q_sample_weighted",   # weighted A-Res sample via TakeOrdered
 ]
 
 

@@ -547,6 +547,65 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic weighted sampling (quality-weighted corpus selection)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 100
+# u in (0, 1]: portable LCG uniform from doc_id, identical rational in
+# both engines ((lcg % 2^31) + 1) / 2^31.
+_U_SQL = "((((doc_id * 1103515245 + 12345) % 2147483648) % 2147483647) + 1) / 2147483647.0"
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+SELECT doc_id, n_chars, key_mu,
+       CAST(row_number() OVER (ORDER BY key_mu DESC, doc_id) AS INTEGER) AS rank
+FROM (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(floor(ln({_U_SQL}) / n_chars * 1000000 + 0.5) AS BIGINT) AS key_mu
+  FROM documents WHERE n_chars > 0
+)
+ORDER BY key_mu DESC, doc_id
+LIMIT {SAMPLE_K}
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each document gets priority key
+    ln(u)/w — u a portable LCG uniform of doc_id, w = n_chars — and
+    the sample is the top-{SAMPLE_K} keys. Equivalent to ranking by
+    u^(1/w) but with ln's fencing precedent instead of a fractional
+    pow; inclusion probability is proportional to weight, the draw is
+    reproducible across runs AND engines (no rand()), and changing the
+    LCG constants reshuffles the draw like a seed.
+
+    Engine stability: u is an exact rational of integer arithmetic;
+    the single transcendental ln(u) is evaluated on an identical
+    double, divided by the integer weight, and fenced to micro-units
+    before ranking — ordering never compares raw engine doubles.
+
+    Plan: the key is a scan-side expression and the top-k compiles to
+    TakeOrderedAndProject — per-partition heaps of {SAMPLE_K} rows,
+    no global sort, no shuffle of the corpus; the classic reservoir
+    sample made embarrassingly parallel. At 100 TB this is one scan."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            f"CAST(floor(ln({_U_SQL}) / n_chars * 1000000 + 0.5) AS BIGINT)"
+        ).alias("key_mu"),
+    )
+    w = Window.orderBy(F.desc("key_mu"), F.asc("doc_id"))
+    return (
+        keyed.orderBy(F.desc("key_mu"), F.asc("doc_id"))
+        .limit(SAMPLE_K)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic corpus shuffle (training-order permutation)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,122 @@
+"""Losslessness of the prefix-filter candidate generation, checked on
+an ADVERSARIAL synthetic corpus (not the friendly fixture): many
+near-identical templates, full duplicates, containment chains (doc ⊂
+doc ⊂ doc), hot boilerplate shingles shared by everything, and tiny
+docs below the shingle width. The prefix/length filters of
+q_dedup_jaccard_prefix and q_dedup_containment are provably lossless;
+these tests check the implementation against brute-force set math on a
+corpus built to break them."""
+
+from __future__ import annotations
+
+import itertools
+import os
+import random
+import tempfile
+
+import pytest
+
+from kafka_to_parquet_spark import registry
+
+
+WORDS = [f"w{i}" for i in range(120)]
+
+
+def _mk_corpus() -> list[tuple[int, str]]:
+    rng = random.Random(20260814)
+    docs: list[tuple[int, str]] = []
+    did = itertools.count()
+    # hot boilerplate prefix shared by many docs (stress the df-ordered
+    # canonical prefix: hot shingles must not blow up candidates or get
+    # wrongly excluded)
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    for _ in range(12):
+        body = " ".join(rng.choices(WORDS, k=rng.randint(8, 30)))
+        docs.append((next(did), f"{boiler} {body}"))
+    # exact duplicates
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for _ in range(3):
+        docs.append((next(did), dup))
+    # containment chain: d1 ⊂ d2 ⊂ d3
+    base = " ".join(WORDS[10:30])
+    docs.append((next(did), base))
+    docs.append((next(did), base + " " + " ".join(WORDS[40:46])))
+    docs.append((next(did), base + " " + " ".join(WORDS[40:60])))
+    # near-duplicates: one-word edits of a template
+    tmpl = " ".join(WORDS[60:80])
+    for i in range(5):
+        toks = tmpl.split()
+        toks[i * 3 % len(toks)] = f"edit{i}"
+        docs.append((next(did), " ".join(toks)))
+    # tiny docs (below shingle width) and empty-ish docs
+    docs.append((next(did), "one two"))
+    docs.append((next(did), "solo"))
+    # random background
+    for _ in range(30):
+        docs.append((next(did), " ".join(rng.choices(WORDS, k=rng.randint(5, 40)))))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark):
+    d = tempfile.mkdtemp(prefix="ktps_adv_")
+    rows = [(i, t, "xx", "synthetic", len(t)) for (i, t) in _mk_corpus()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    yield d
+    from kafka_to_parquet_spark.cache import clear_caches
+
+    clear_caches(spark, d)
+
+
+def _hashed_sets(spark, sf_dir):
+    from kafka_to_parquet_spark.llm.minhash import _hashed_shingles
+
+    return {
+        r.doc_id: frozenset(r.hs)
+        for r in _hashed_shingles(spark, sf_dir).collect()
+    }
+
+
+def test_jaccard_prefix_is_lossless_on_adversarial_corpus(spark, adversarial_dir):
+    registry.load_all()
+    sets = _hashed_sets(spark, adversarial_dir)
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+            want.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["q_dedup_jaccard_prefix"](
+            spark, adversarial_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_containment_is_lossless_on_adversarial_corpus(spark, adversarial_dir):
+    registry.load_all()
+    sets = _hashed_sets(spark, adversarial_dir)
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter * 5 >= len(sets[a]) * 4:
+                want.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["q_dedup_containment"](
+            spark, adversarial_dir
+        ).collect()
+    }
+    assert got == want
+    # the containment chain must be fully detected, including the
+    # transitive (smallest ⊂ largest) pair
+    chain = [i for (i, t) in _mk_corpus() if t.startswith(" ".join(WORDS[10:12]))]
+    for small, large in itertools.combinations(chain, 2):
+        assert (small, large) in got

@@ -67,6 +67,35 @@ def test_containment_superset_of_high_jaccard_smaller_side(run, spark, sf_dir):
         assert (small, large) in cont, (r.doc_a, r.doc_b, r.jaccard)
 
 
+def test_weighted_sample_is_deterministic_and_weight_biased(run, spark, sf_dir):
+    from kafka_to_parquet_spark.llm.pipeline import SAMPLE_K
+
+    a = [(r.doc_id, r.rank) for r in run("q_sample_weighted").collect()]
+    b = [(r.doc_id, r.rank) for r in run("q_sample_weighted").collect()]
+    assert a == b  # reproducible draw, no rand()
+    assert len(a) == SAMPLE_K
+    ranks = sorted(r for (_, r) in a)
+    assert ranks == list(range(1, SAMPLE_K + 1))  # dense 1..K
+    # Inclusion probability ∝ n_chars: the sample must be char-heavier
+    # than the corpus average.
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_ids = {d for (d, _) in a}
+    sample_mean = (
+        docs.filter(F.col("doc_id").isin(sample_ids))
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
+
+
+def test_weighted_sample_plan_is_take_ordered(run):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(run("q_sample_weighted"))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_entropy_bounds_and_exact_recompute(run, spark, sf_dir):
     from kafka_to_parquet_spark.functions.text import tokens_col
 
