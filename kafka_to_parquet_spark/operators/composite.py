@@ -205,6 +205,113 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_nearest",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS is_p,
+         CASE WHEN event_type = 'view'
+              THEN {'t': CAST(floor(epoch(ts)) AS BIGINT), 'e': event_id} END AS vrec
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+carried AS (
+  SELECT *,
+         max(vrec) OVER (PARTITION BY user_id ORDER BY es, is_p, event_id
+                         ROWS UNBOUNDED PRECEDING) AS back,
+         min(vrec) OVER (PARTITION BY user_id ORDER BY es, is_p, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd
+  FROM tagged
+)
+SELECT event_id AS p_event, user_id,
+       CASE WHEN fwd IS NULL THEN back.e
+            WHEN back IS NULL THEN fwd.e
+            WHEN es - back.t <= fwd.t - es THEN back.e
+            ELSE fwd.e END AS view_event,
+       CASE WHEN fwd IS NULL THEN back.t - es
+            WHEN back IS NULL THEN fwd.t - es
+            WHEN es - back.t <= fwd.t - es THEN back.t - es
+            ELSE fwd.t - es END AS delta_s
+FROM carried
+WHERE is_p = 1 AND (back IS NOT NULL OR fwd IS NOT NULL)
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join, completing the as-of family next
+    to the backward form (q_join_asof): for every purchase, the
+    same-user view closest in time in EITHER direction — kdb's
+    ``aj``/pandas ``merge_asof(direction='nearest')`` semantics.
+
+    Declared tie-breaks (pinned identically in both engines): time is
+    second-truncated epoch; at equal distance backward wins; among
+    same-second views the backward candidate is the max event_id and
+    the forward candidate the min event_id (lexicographic struct
+    extremes); same-second views sort before purchases, so they are
+    always backward candidates with delta 0.
+
+    Scale shape: same as the backward form — NOT a range join. Union
+    both event kinds, ONE shuffle on user_id, then two running struct
+    extremes over the sorted partition (preceding max + following
+    min); per-key state is two structs however large the stream. The
+    nearest pick is a row-local CASE. At 100 TB this is a single hash
+    exchange, the Flink/kdb asof topology."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.when(F.col("event_type") == "view", F.lit(0)).otherwise(F.lit(1)).alias("is_p"),
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(
+                F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+                F.col("event_id").alias("e"),
+            ),
+        ).alias("vrec"),
+    )
+    order = [F.col("es"), F.col("is_p"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carried = tagged.withColumn("back", F.max("vrec").over(w_back)).withColumn(
+        "fwd", F.min("vrec").over(w_fwd)
+    )
+    back_wins = (
+        F.col("fwd").isNull()
+        | (
+            F.col("back").isNotNull()
+            & (F.col("es") - F.col("back.t") <= F.col("fwd.t") - F.col("es"))
+        )
+    )
+    return (
+        carried.filter(
+            (F.col("is_p") == 1)
+            & (F.col("back").isNotNull() | F.col("fwd").isNotNull())
+        )
+        .select(
+            F.col("event_id").alias("p_event"),
+            "user_id",
+            F.when(back_wins, F.col("back.e")).otherwise(F.col("fwd.e")).alias(
+                "view_event"
+            ),
+            F.when(back_wins, F.col("back.t") - F.col("es"))
+            .otherwise(F.col("fwd.t") - F.col("es"))
+            .alias("delta_s"),
+        )
+    )
+
+
+@query(
     "q_agg_salted",
     oracle=f"""
 SELECT l_returnflag,

@@ -343,6 +343,107 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(dedup, "append")
 
 
+from kafka_to_parquet_spark.cache import register_cache
+
+# Latest store path per (session, sf_dir) — path-only (no executor
+# storage), enrolled in the cache lifecycle like sources/partitioned.
+_UPSERT_STORES: dict[tuple[SparkSession, str], str] = register_cache({})
+
+
+@query(
+    "q_stream_upsert",
+    oracle="""
+SELECT user_id, last_es, last_event_id, last_type
+FROM (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS last_es,
+         event_id AS last_event_id,
+         event_type AS last_type,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert — the materialized-view form of the
+    reference's sink: a real ``readStream`` event flow merged per
+    micro-batch into a keyed store (one row per user: the latest event
+    by (second-truncated ts, event_id)), via ``foreachBatch`` with a
+    checkpoint. The merge keeps ``max(struct(es, event_id, type))``
+    per key — an ASSOCIATIVE, IDEMPOTENT reduction, so the final store
+    is independent of how the stream was split into batches and of
+    replayed batches after restart (checkpoint + idempotent merge =
+    exactly-once state). That batch-boundary independence is what
+    makes a genuinely stateful streaming sink oracle-checkable: the
+    oracle is the batch last-write-wins row_number over the whole
+    table.
+
+    Scale: per-key state is ONE narrow row; each micro-batch combines
+    map-side to |keys-in-batch| rows before the merge. The store
+    rewrite here is whole-table (fixture-scale simplicity); the
+    production form overwrites only touched partitions (the dynamic
+    partition-overwrite discipline of sources/partitioned.py) or a
+    Delta/Iceberg MERGE — the merge algebra is identical."""
+    import hashlib
+    import shutil
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_type",
+    )
+    digest = hashlib.md5(
+        f"{spark.sparkContext.applicationId}_{sf_dir}".encode()
+    ).hexdigest()[:8]
+    store = os.path.join(tempfile.gettempdir(), f"ktps_upsert_{digest}")
+    shutil.rmtree(store, ignore_errors=True)
+    _UPSERT_STORES[(spark, sf_dir)] = store
+    ckpt = tempfile.mkdtemp(prefix="ktps_upsert_ckpt_")
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        incoming = batch.groupBy("user_id").agg(
+            F.max(F.struct("es", "event_id", "event_type")).alias("m")
+        )
+        if os.path.isdir(store):
+            cur = s.read.parquet(store).select(
+                "user_id",
+                F.struct(
+                    F.col("last_es").alias("es"),
+                    F.col("last_event_id").alias("event_id"),
+                    F.col("last_type").alias("event_type"),
+                ).alias("m"),
+            )
+            incoming = incoming.unionByName(cur)
+        new = (
+            incoming.groupBy("user_id")
+            .agg(F.max("m").alias("m"))
+            .select(
+                "user_id",
+                F.col("m.es").alias("last_es"),
+                F.col("m.event_id").alias("last_event_id"),
+                F.col("m.event_type").alias("last_type"),
+            )
+            # materialize BEFORE overwriting the files it was read from
+            .localCheckpoint(eager=True)
+        )
+        new.write.mode("overwrite").parquet(store)
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store)
+
+
 @query(
     "q_stream_static_join",
     oracle="""

@@ -96,6 +96,77 @@ def test_weighted_sample_plan_is_take_ordered(run):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_asof_nearest_picks_closer_side_and_covers_backward(run, spark, sf_dir):
+    """Every purchase with any view must appear; the picked view is the
+    true nearest by |delta| under the declared tie-breaks — checked by
+    exact Python recompute over the fixture."""
+    rows = {r.p_event: r for r in run("q_join_asof_nearest").collect()}
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+            "event_type",
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_expected = 0
+    for user, rs in by_user.items():
+        views = [r for r in rs if r.event_type == "view"]
+        if not views:
+            continue
+        for p in rs:
+            if p.event_type != "purchase":
+                continue
+            n_expected += 1
+            back = [v for v in views if v.es <= p.es]
+            fwd = [v for v in views if v.es > p.es]
+            bc = max(back, key=lambda v: (v.es, v.event_id)) if back else None
+            fc = min(fwd, key=lambda v: (v.es, v.event_id)) if fwd else None
+            if bc is not None and (
+                fc is None or p.es - bc.es <= fc.es - p.es
+            ):
+                want, delta = bc.event_id, bc.es - p.es
+            else:
+                want, delta = fc.event_id, fc.es - p.es
+            got = rows[p.event_id]
+            assert (got.view_event, got.delta_s) == (want, delta), p.event_id
+    assert len(rows) == n_expected
+
+
+def test_stream_upsert_state_is_batch_boundary_independent(run, spark, sf_dir):
+    """The streaming store must equal the batch last-write-wins over
+    the whole table, and re-running the stream (replay) must leave the
+    state unchanged (idempotent merge)."""
+    a = sorted(
+        (r.user_id, r.last_es, r.last_event_id, r.last_type)
+        for r in run("q_stream_upsert").collect()
+    )
+    b = sorted(
+        (r.user_id, r.last_es, r.last_event_id, r.last_type)
+        for r in run("q_stream_upsert").collect()
+    )
+    assert a == b
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_type",
+    )
+    want = sorted(
+        (r.user_id, r.m.es, r.m.event_id, r.m.event_type)
+        for r in ev.groupBy("user_id")
+        .agg(F.max(F.struct("es", "event_id", "event_type")).alias("m"))
+        .collect()
+    )
+    assert a == want
+
+
 def test_entropy_bounds_and_exact_recompute(run, spark, sf_dir):
     from kafka_to_parquet_spark.functions.text import tokens_col
 
