@@ -220,6 +220,34 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _HASHED_CACHE[key]
 
 
+
+def _prefix_postings(spark: SparkSession, sf_dir: str, prefix_len_sql: str):
+    """Shared PPJoin-family machinery for the prefix-filtered joins:
+    returns (hashed-shingle table, full postings with set size, prefix
+    postings). Canonical shingle order is (document frequency, hash) —
+    rarest first — and ``prefix_len_sql`` is an integer expression in
+    ``n`` (the doc's distinct-shingle count) giving the per-doc prefix
+    length for the caller's threshold. One definition so the canonical
+    ordering and df computation can never drift between the Jaccard
+    and containment joins."""
+    from pyspark.sql import Window
+
+    hsh = _hashed_shingles(spark, sf_dir)
+    ex = hsh.select("doc_id", F.explode("hs").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    sized = hsh.select("doc_id", F.size("hs").alias("n"))
+    full = ex.join(sized, "doc_id")
+    prefix = (
+        ex.join(dfreq, "h")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sized, "doc_id")
+        .filter(F.col("rk") <= F.expr(prefix_len_sql))
+        .select("doc_id", "h", "n")
+    )
+    return hsh, full, prefix
+
+
 @query(
     "q_dedup_jaccard_prefix",
     oracle=f"""
@@ -276,19 +304,8 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix, so no df cap is needed); the per-doc prefix selection is a
     doc-keyed window; verification joins the int hash arrays onto the
     (far smaller) candidate set only."""
-    from pyspark.sql import Window
-
-    hsh = _hashed_shingles(spark, sf_dir)
-    ex = hsh.select("doc_id", F.explode("hs").alias("h"))
-    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "h")
-    sized = hsh.select("doc_id", F.size("hs").alias("n"))
-    prefix = (
-        ex.join(dfreq, "h")
-        .withColumn("rk", F.row_number().over(w))
-        .join(sized, "doc_id")
-        .filter(F.col("rk") <= F.expr("n - ((n + 1) DIV 2) + 1"))
-        .select("doc_id", "h", "n")
+    hsh, _, prefix = _prefix_postings(
+        spark, sf_dir, "n - ((n + 1) DIV 2) + 1"
     )
     x, y = prefix.alias("x"), prefix.alias("y")
     cand = (
@@ -359,27 +376,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetry is the point. The threshold predicate is pure integer
     cross-multiplication on both engines; the reported containment is
     floor-rounded to 6 dp only for display."""
-    from pyspark.sql import Window
-
-    hsh = _hashed_shingles(spark, sf_dir)
-    ex = hsh.select("doc_id", F.explode("hs").alias("h"))
-    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "h")
-    sized = hsh.select("doc_id", F.size("hs").alias("n"))
     # ceil(tau*n) = (NUM*n + DEN - 1) DIV DEN in integers.
-    prefix = (
-        ex.join(dfreq, "h")
-        .withColumn("rk", F.row_number().over(w))
-        .join(sized, "doc_id")
-        .filter(
-            F.col("rk")
-            <= F.expr(
-                f"n - (({CONT_TAU_NUM} * n + {CONT_TAU_DEN - 1}) DIV {CONT_TAU_DEN}) + 1"
-            )
-        )
-        .select("doc_id", "h", "n")
+    hsh, full_raw, prefix = _prefix_postings(
+        spark,
+        sf_dir,
+        f"n - (({CONT_TAU_NUM} * n + {CONT_TAU_DEN - 1}) DIV {CONT_TAU_DEN}) + 1",
     )
-    full = ex.join(sized, "doc_id").select(
+    full = full_raw.select(
         F.col("doc_id").alias("b_id"), F.col("h").alias("bh"), F.col("n").alias("bn")
     )
     cand = (

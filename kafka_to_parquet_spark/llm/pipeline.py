@@ -478,6 +478,19 @@ PACK_SHARDS = 16  # hash shards — parallelism independent of any data skew
 _LCG_HASH = "(doc_id * 1103515245 + 12345) % 2147483648"
 
 
+def _lcg_bucket_sql(n_buckets: int) -> str:
+    """Bucket id in [0, n_buckets) from the LCG's HIGH bits — valid in
+    both Spark SQL and DuckDB. `lcg % n` would pass doc_id's low-bit
+    structure straight through (one affine step mod 2^31 keeps low
+    bits affine: ids assigned as n·k+c upstream would all land in ONE
+    bucket); the high bits are the well-mixed ones, so take
+    floor(lcg / (2^31/n)). n must divide 2^31; the float division is
+    exact enough (q < n, r/div < 1) that floor can never cross."""
+    assert 2147483648 % n_buckets == 0
+    div = 2147483648 // n_buckets
+    return f"CAST(floor(({_LCG_HASH}) / {div}.0) AS BIGINT)"
+
+
 @query(
     "q_pack_greedy",
     oracle=f"""
@@ -485,7 +498,7 @@ WITH RECURSIVE
 t AS (SELECT doc_id, shard, CAST(len(toks) AS INTEGER) AS n_tok,
              row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
       FROM (SELECT doc_id,
-                   CAST(({_LCG_HASH}) % {PACK_SHARDS} AS BIGINT) AS shard,
+                   {_lcg_bucket_sql(PACK_SHARDS)} AS shard,
                    {_TOKENS_SQL} AS toks
             FROM documents)),
 walk(shard, rn, doc_id, n_tok, pack_id, acc) AS (
@@ -510,10 +523,14 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pack boundary depends on the running remainder, which resets
     data-dependently), so this is the sanctioned ``applyInPandas``
     path: one Arrow batch per shard, a linear scan inside. The shard
-    key is ``lcg_hash(doc_id) % {PACK_SHARDS}`` — packing is per-shard
+    key is high-bits ``lcg_hash(doc_id)`` into {PACK_SHARDS} shards —
+    packing is per-shard
     by design (cross-shard order is meaningless for training), so the
-    shards are hash-uniform regardless of corpus skew: no language or
-    source ever concentrates a corpus-sized Arrow group on one task
+    shards are hash-uniform regardless of corpus skew — the bucket id
+    comes from the LCG's HIGH bits, so even stride-structured doc_ids
+    (upstream often assigns n·k+c per source) spread evenly, and no
+    language or source ever concentrates a corpus-sized Arrow group on
+    one task
     (the earlier ``lang``-sharded form had parallelism capped at
     #languages, an OOM cliff once one language dominates). At 100 TB
     raise PACK_SHARDS with the cluster; each scan stays
@@ -522,7 +539,7 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-portable integer arithmetic."""
     t = load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.expr(f"CAST(({_LCG_HASH}) % {PACK_SHARDS} AS BIGINT)").alias("shard"),
+        F.expr(_lcg_bucket_sql(PACK_SHARDS)).alias("shard"),
         F.size(tokens_col(F.col("text"))).alias("n_tok"),
     )
 
@@ -618,7 +635,7 @@ _SHUF_HASH = _LCG_HASH
     oracle=f"""
 SELECT doc_id,
        CAST(row_number() OVER (
-         ORDER BY ({_SHUF_HASH}) % {SHUFFLE_BUCKETS}, {_SHUF_HASH}, doc_id
+         ORDER BY {_lcg_bucket_sql(SHUFFLE_BUCKETS)}, {_SHUF_HASH}, doc_id
        ) AS BIGINT) AS shuffle_rank
 FROM documents
 """,
@@ -633,13 +650,20 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level decomposition (same pattern as q_win_running_scalable):
     rank within {SHUFFLE_BUCKETS} hash buckets in parallel, prefix-sum
     the tiny per-bucket counts, add the bucket offset. The permutation
-    is defined as order-by (bucket, hash, id), so the decomposition is
+    is defined as order-by (bucket, hash, id) — the bucket from the
+    LCG's high bits (low-bit buckets would inherit stride structure
+    from upstream id assignment and skew the per-bucket ranking) — so
+    the decomposition is
     exact, and every stage is either per-bucket-parallel or operates on
     {SHUFFLE_BUCKETS} rows. At 100 TB buckets scale with the cluster;
     the offsets table stays tiny."""
     d = load(spark, sf_dir, "documents")
     h = F.expr(_SHUF_HASH)
-    base = d.select("doc_id", h.alias("_h"), (h % SHUFFLE_BUCKETS).alias("_bkt"))
+    base = d.select(
+        "doc_id",
+        h.alias("_h"),
+        F.expr(_lcg_bucket_sql(SHUFFLE_BUCKETS)).alias("_bkt"),
+    )
     w_in = Window.partitionBy("_bkt").orderBy("_h", "doc_id")
     ranked = base.withColumn("_rk", F.row_number().over(w_in))
     counts = base.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))

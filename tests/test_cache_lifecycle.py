@@ -38,7 +38,7 @@ def test_clear_is_scoped_by_sf_dir_and_unpersists(spark):
     assert df_b.storageLevel.useMemory
 
     # Second call is a no-op for A; full clear empties everything.
-    assert clear_caches(spark, SF_A) == 0 or (spark, SF_A) not in _HASHED_CACHE
+    assert clear_caches(spark, SF_A) == 0
     clear_caches(spark)
     assert _entries_for(SF_A) == 0 and _entries_for(SF_B) == 0
     assert not df_b.storageLevel.useMemory

@@ -117,6 +117,8 @@ def test_containment_is_lossless_on_adversarial_corpus(spark, adversarial_dir):
     assert got == want
     # the containment chain must be fully detected, including the
     # transitive (smallest ⊂ largest) pair
-    chain = [i for (i, t) in _mk_corpus() if t.startswith(" ".join(WORDS[10:12]))]
+    chain = [
+        i for (i, t) in _mk_corpus() if t.startswith(" ".join(WORDS[10:12]) + " ")
+    ]
     for small, large in itertools.combinations(chain, 2):
         assert (small, large) in got

@@ -56,7 +56,9 @@ def test_driver_rows_on_disk_are_certified():
             if name not in registry.QUERIES:
                 continue  # renamed/retired since that round
             accepted = (r.get("hash_match") is True) or (
-                r.get("err") == "no_oracle" and (r.get("spark_rows") or 0) >= 0
+                r.get("err") == "no_oracle"
+                and r.get("spark_rows") is not None
+                and r.get("spark_rows") >= 0
             )
             if accepted and name not in registry.CERTIFIED:
                 missing.setdefault(os.path.basename(path), []).append(name)

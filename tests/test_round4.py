@@ -167,6 +167,26 @@ def test_stream_upsert_state_is_batch_boundary_independent(run, spark, sf_dir):
     assert a == want
 
 
+def test_lcg_bucket_survives_stride_structured_ids():
+    """The shard/bucket id must come from the LCG's HIGH bits: a naive
+    `lcg % n` keeps doc_id's low-bit structure (one affine step mod
+    2^31 is still affine mod n), so upstream ids assigned as n·k+c
+    would all collapse into ONE shard. Python mirror of
+    _lcg_bucket_sql's integer arithmetic."""
+    from kafka_to_parquet_spark.llm.pipeline import PACK_SHARDS, SHUFFLE_BUCKETS
+
+    def bucket(doc_id: int, n: int) -> int:
+        lcg = (doc_id * 1103515245 + 12345) % 2_147_483_648
+        return lcg // (2_147_483_648 // n)
+
+    for n in (PACK_SHARDS, SHUFFLE_BUCKETS):
+        for stride, offset in ((n, 3), (2 * n, 0), (64, 7)):
+            ids = [stride * k + offset for k in range(2000)]
+            used = {bucket(i, n) for i in ids}
+            # the naive low-bit form would give exactly ONE bucket here
+            assert len(used) == n, (n, stride, offset, len(used))
+
+
 def test_entropy_bounds_and_exact_recompute(run, spark, sf_dir):
     from kafka_to_parquet_spark.functions.text import tokens_col
 

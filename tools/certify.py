@@ -34,7 +34,9 @@ def main() -> None:
             if name not in registry.QUERIES:
                 continue
             accepted = (r.get("hash_match") is True) or (
-                r.get("err") == "no_oracle" and (r.get("spark_rows") or 0) >= 0
+                r.get("err") == "no_oracle"
+                and r.get("spark_rows") is not None
+                and r.get("spark_rows") >= 0
             )
             if not accepted:
                 continue
