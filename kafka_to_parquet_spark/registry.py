@@ -125,6 +125,10 @@ RECERTIFY: set[str] = {
     "q_sim_ivf",               # argmin-as-aggregate assignment (round 3)
     "q_dedup_window",          # floor-division hour bucket (round 4)
     "q_winsorize",             # integer-fenced percentile cutoffs (round 4)
+    "q_stream_custom_state",   # HALF_UP state accumulation, was pandas
+                               # half-even (round 4)
+    "q_parquet_roundtrip",     # app-scoped sink dir + pre-clean +
+                               # checkpointed read-back (round 4)
 }
 
 

@@ -111,6 +111,11 @@ def streaming_sink(
     )
 
 
+# Directories already scheduled for exit-time cleanup (guard so repeat
+# invocations don't stack one atexit entry per call).
+_ROUNDTRIP_CLEANUPS: set[str] = set()
+
+
 @query(
     "q_parquet_roundtrip",
     oracle="""
@@ -124,19 +129,32 @@ def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded input: equality proves the sink is lossless (row count and
     values), including ""-decoded null payloads and the final partial
     batch the reference would drop."""
-    # Stable per-sf directory: repeated calls overwrite the same
-    # deterministically-named files instead of leaking one full copy
-    # of the dataset per invocation.
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Stable per-(application, sf) directory: repeated calls in one
+    # session overwrite the same deterministically-named files instead
+    # of leaking one dataset copy per invocation, while CONCURRENT
+    # processes (bench alongside pytest) get disjoint directories —
+    # a shared sf-only path let one process read files mid-rewrite by
+    # the other, and stale higher-numbered batch files from a previous
+    # layout could survive into the read-back.
+    digest = hashlib.md5(
+        f"{spark.sparkContext.applicationId}_{sf_dir}".encode()
+    ).hexdigest()[:8]
     out_dir = os.path.join(tempfile.gettempdir(), f"ktps_roundtrip_{digest}")
     try:
+        shutil.rmtree(out_dir, ignore_errors=True)  # drop any stale layout
         rec = kafka_records(spark, sf_dir)
         manifest = write_partition_batches(rec, out_dir, BATCH_SIZE)
         manifest.count()  # action: perform the distributed write
-        return spark.read.parquet(out_dir).select("b")
+        # Materialize the read-back (files are still genuinely read —
+        # the checkpoint just pins the rows) so the returned frame
+        # survives the next invocation's rmtree of the same directory.
+        return spark.read.parquet(out_dir).select("b").localCheckpoint(eager=True)
     finally:
-        # Files must outlive this call (the returned plan re-reads them
-        # lazily); register cleanup at exit instead of deleting now.
+        # Keep the layout on disk for post-hoc inspection during the
+        # process lifetime; clean at exit — once per directory, not
+        # once per invocation.
         import atexit
 
-        atexit.register(shutil.rmtree, out_dir, True)
+        if out_dir not in _ROUNDTRIP_CLEANUPS:
+            _ROUNDTRIP_CLEANUPS.add(out_dir)
+            atexit.register(shutil.rmtree, out_dir, True)

@@ -124,15 +124,24 @@ class PipelineListener(StreamingQueryListener):
 # one session must not stack duplicate listeners (each would receive —
 # and log — every event again). Keyed by applicationId, not id(spark),
 # so a re-created session object over the same app reuses the
-# registration.
+# registration. Lock-guarded: two threads starting sinks concurrently
+# on a fresh app must not both pass the missing-key check and register
+# twice (the loser would double-log every event forever).
 _ATTACHED: dict[str, PipelineListener] = {}
+_ATTACH_LOCK = threading.Lock()
 
 
 def attach_listener(spark: SparkSession) -> PipelineListener:
     """Register (once per app) and return the pipeline listener."""
     key = spark.sparkContext.applicationId
-    if key not in _ATTACHED:
-        listener = PipelineListener()
-        spark.streams.addListener(listener)
-        _ATTACHED[key] = listener
-    return _ATTACHED[key]
+    with _ATTACH_LOCK:
+        if key not in _ATTACHED:
+            # A long-lived process cycling through many SparkSessions
+            # would otherwise accumulate one orphaned listener per
+            # stopped application; drop entries for dead apps first.
+            for old in [k for k in _ATTACHED if k != key]:
+                del _ATTACHED[old]
+            listener = PipelineListener()
+            spark.streams.addListener(listener)
+            _ATTACHED[key] = listener
+        return _ATTACHED[key]

@@ -48,14 +48,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-            )
-        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-            # Normalize NTZ → TIMESTAMP (identity under the UTC session
-            # tz pinned above) so downstream epoch casts, window(), and
-            # watermarks behave identically across fixture generations.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_event_ts(df):
+    """Normalize events.ts to TIMESTAMP across fixture generations —
+    the ONE definition shared by the batch loader above and the
+    streaming reader (streaming/stateful.py::_stream_events), so the
+    next physical-type change is fixed in a single place:
+
+    - TIMESTAMP(NANOS) read as long under nanosAsLong → truncate to
+      µs (matches DuckDB's truncation, oracle-exact);
+    - TIMESTAMP(MICROS) inferred as NTZ under Spark 4 → cast to
+      TIMESTAMP (identity under the pinned UTC session tz)."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
