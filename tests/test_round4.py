@@ -210,3 +210,33 @@ def test_entropy_bounds_and_exact_recompute(run, spark, sf_dir):
         ) / (1_000_000.0 * n)
         assert abs(r.entropy - ent) < 1e-9
         assert -1e-9 <= r.entropy <= math.log(n) + 1e-6
+
+
+def test_duck_dot_literal_bit_equal():
+    """duck_dot_literal's unrolled sum must be bit-identical to the
+    duck_dot sequential fold it replaces (same IEEE op order), on real
+    embedding data and a ±1 hyperplane literal — the pair of shapes the
+    angular-LSH oracle uses."""
+    import duckdb
+
+    from kafka_to_parquet_spark.functions.vectors import duck_dot, duck_dot_literal
+    from kafka_to_parquet_spark.llm.dedup import _hyperplane_signs
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        " read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    signs = _hyperplane_signs(7)
+    lit = "[" + ",".join("1.0" if s > 0 else "-1.0" for s in signs) + "]"
+    fold = con.execute(
+        f"SELECT vec_id, {duck_dot('embedding', lit)} AS d,"
+        f" {duck_dot('embedding', 'embedding')} AS s"
+        " FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    unrolled = con.execute(
+        f"SELECT vec_id, {duck_dot_literal('embedding', signs)} AS d,"
+        f" {duck_dot('embedding', 'embedding')} AS s"
+        " FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    assert fold == unrolled
