@@ -776,3 +776,100 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (repeated-span) dedup — window fingerprinting
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 8  # tokens per window; production uses ~50-token windows
+
+
+def _substring_oracle() -> str:
+    # Lazy import: minhash imports names from this module at its top,
+    # so a top-level import here would be circular. By the time this
+    # builder runs (decoration, end of module body) minhash's
+    # dependencies are all defined.
+    from kafka_to_parquet_spark.llm.minhash import duck_h31
+
+    wh = duck_h31(f"array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+win AS MATERIALIZED (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - {SUBSTR_W} + 2),
+                                       i -> {wh})) AS wh
+  FROM toks WHERE len(t) >= {SUBSTR_W}
+),
+dup AS (SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+per AS (SELECT doc_id, count(*) AS n_windows FROM win GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS n_dup FROM win JOIN dup USING (wh) GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT)    AS doc_id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_dup AS BIGINT)     AS n_dup,
+       CAST(n_dup * 10000 // n_windows AS BIGINT) AS dup_bp
+FROM per JOIN hit USING (doc_id)
+"""
+
+
+@query("q_dedup_substring", oracle=_substring_oracle())
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3e: substring-level duplication profile — the window-
+    fingerprint analog of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    uses suffix arrays; suffix arrays don't distribute, sliding-window
+    fingerprints do and are what large-scale pipelines ship).
+
+    Every document contributes one fingerprint per consecutive
+    {SUBSTR_W}-token window (stride 1). A window position is
+    *duplicated* if its fingerprint also appears in at least one OTHER
+    document. Output, per document with at least one duplicated span:
+    total window positions, duplicated positions, and the duplication
+    ratio in integer basis points — the signal used to strip
+    boilerplate/licence spans or drop mostly-copied documents, which
+    doc-level dedup (q_dedup_exact .. q_dedup_minhash) cannot see.
+
+    Both engines work over the SAME 31-bit md5 window-hash universe
+    (spark_h31 ↔ duck_h31, the q_dedup_jaccard_prefix precedent), so a
+    hash collision merges the same two windows on both sides and the
+    driver's value check stays exact; all output columns are integers.
+
+    100 TB shape: explode to (doc, window-hash) longs — never window
+    STRINGS, an 8-word string shuffle would be ~50× the bytes — then
+    one groupBy(wh) for cross-doc counts, one hash join back on wh,
+    and one groupBy(doc). Linear in corpus token count, no pairwise
+    stage at all; the only scale knob is window stride (production
+    strides >1 trade span-boundary precision for proportionally fewer
+    rows). Skew-safe: a boilerplate window hash concentrates its
+    POSTINGS on one reducer only during the count, which is a
+    map-side-combinable sum, not a list materialization."""
+    from kafka_to_parquet_spark.llm.minhash import spark_h31
+
+    d = load(spark, sf_dir, "documents")
+    window_text = f"concat_ws(' ', slice(toks, i, {SUBSTR_W}))"
+    win = (
+        d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= SUBSTR_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SUBSTR_W} + 1),"
+                    f" i -> {spark_h31(window_text)})"
+                )
+            ).alias("wh"),
+        )
+    )
+    dup = (
+        win.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    per = win.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    hit = win.join(dup, "wh").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    return per.join(hit, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+        F.expr("CAST(n_dup * 10000 DIV n_windows AS BIGINT)").alias("dup_bp"),
+    )
