@@ -39,9 +39,18 @@ from kafka_to_parquet_spark.functions.vectors import (
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
-# Seed centroids: every KM_MOD-th vector (deterministic, sf-scaled:
-# 5 centroids at sf0.001, 50 at sf0.01, 500 at sf0.1).
+# Seed centroids for the Lloyd queries (q_kmeans_step, q_kmeans3):
+# every KM_MOD-th vector, capped at KM_K seeds — a FIXED k. k-means'
+# cluster count is a model hyperparameter, not a function of corpus
+# size; letting k grow with N made the broadcast-assign stage N·k =
+# O(N²/KM_MOD) and showed up as the round-4 SCALING.md exponent of
+# 1.21 for q_kmeans_step (5 centroids at sf0.01 but 20 at sf0.1).
+# With the cap the assign stage is k·N = linear, the Lloyd semantic.
+# q_semdedup deliberately keeps k ∝ N (uncapped) — there the centroid
+# set is a BLOCKING grid whose cluster size N/k must stay bounded for
+# the Σ(N/k)² pairwise stage, the SemDeDup recipe.
 KM_MOD = 100
+KM_K = 5
 
 
 @query(
@@ -49,7 +58,7 @@ KM_MOD = 100
     oracle=f"""
 WITH cent AS (
   SELECT vec_id AS cent_id, embedding AS cente
-  FROM embeddings WHERE vec_id % {KM_MOD} = 0
+  FROM embeddings WHERE vec_id % {KM_MOD} = 0 AND vec_id < {KM_MOD * KM_K}
 ),
 scored AS (
   SELECT e.vec_id, e.embedding, c.cent_id,
@@ -107,9 +116,9 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``floor(su/n + 0.5)`` is the identical two-FP-op sequence in both
     engines."""
     e = load(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") % KM_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
-    )
+    cent = e.filter(
+        (F.col("vec_id") % KM_MOD == 0) & (F.col("vec_id") < KM_MOD * KM_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"))
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
@@ -220,6 +229,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_to_parquet_spark.functions.vectors import dot_expr, norm_expr
 
     e = load(spark, sf_dir, "embeddings")
+    # No KM_K cap here, deliberately: semdedup's centroids are a
+    # blocking grid — k must grow with N so cluster size N/k stays
+    # bounded for the Σ(N/k)² within-cluster pairwise stage.
     cent = e.filter(F.col("vec_id") % KM_MOD == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
     )
@@ -291,7 +303,8 @@ def _km3_oracle() -> str:
   SELECT vec_id, list_transform(embedding, x -> {u}) AS uvec FROM embeddings
 )""",
         f"""c0 AS (
-  SELECT vec_id AS cent_id, uvec AS carr FROM uv WHERE vec_id % {KM_MOD} = 0
+  SELECT vec_id AS cent_id, uvec AS carr
+  FROM uv WHERE vec_id % {KM_MOD} = 0 AND vec_id < {KM_MOD * KM_K}
 )""",
     ]
     for k in range(1, KM3_ROUNDS + 1):
@@ -370,9 +383,9 @@ def q_kmeans3(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", u_vec.alias("uvec")
     )
-    cents = e.filter(F.col("vec_id") % KM_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("uvec").alias("carr")
-    )
+    cents = e.filter(
+        (F.col("vec_id") % KM_MOD == 0) & (F.col("vec_id") < KM_MOD * KM_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("uvec").alias("carr"))
     d2 = (
         "aggregate(zip_with(uvec, carr, (a, b) -> (a - b) * (a - b)),"
         " CAST(0 AS BIGINT), (s, v) -> s + v)"

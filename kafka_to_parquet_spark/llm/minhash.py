@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.cache import register_cache
+from kafka_to_parquet_spark.functions.hashes import H31_P, duck_h31, spark_h31
 from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
 from kafka_to_parquet_spark.llm.dedup import (
     _SHINGLES_SQL,
@@ -41,11 +42,11 @@ from kafka_to_parquet_spark.llm.dedup import (
 )
 from kafka_to_parquet_spark.registry import query
 
-# Mersenne prime 2^31 - 1: hash values stay < 2^31, so a*h + b < 2^62
-# and band keys m_even * P + m_odd < P^2 < 2^62 — every intermediate
-# fits a signed 64-bit integer in both engines, no overflow semantics
-# to reconcile.
-MH_P = 2_147_483_647
+# Mersenne prime 2^31 - 1 (see functions/hashes.py): hash values stay
+# < 2^31, so a*h + b < 2^62 and band keys m_even * P + m_odd < P^2 <
+# 2^62 — every intermediate fits a signed 64-bit integer in both
+# engines, no overflow semantics to reconcile.
+MH_P = H31_P
 MH_NUM_HASHES = 16
 MH_BANDS = 8  # 8 bands × 2 rows: P(candidate) = 1-(1-s^2)^8 — ~0.90 at s=0.5
 MH_ROWS = 2
@@ -64,25 +65,11 @@ def _mh_coeffs() -> list[tuple[int, int]]:
     return out
 
 
-# First 8 hex chars of md5(col) as an integer, reduced mod P — the
-# base hash every linear hash function is applied to. The DuckDB form
-# folds the 8 nibbles (same idiom as the SimHash oracle); the Spark
-# form decodes them with conv(). Shared with the count-min sketch in
-# llm/corpus_stats.py.
-
-
-def spark_h31(col: str) -> str:
-    return f"CAST(conv(substring(md5({col}), 1, 8), 16, 10) AS BIGINT) % {MH_P}"
-
-
-def duck_h31(col: str) -> str:
-    return (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
-        " list_transform(range(1, 9),"
-        f" i -> CAST(strpos('0123456789abcdef', substr(md5({col}), i, 1)) - 1 AS BIGINT))),"
-        f" (a, c) -> a * 16 + c) % {MH_P}"
-    )
-
+# The base hash every linear hash function is applied to is
+# spark_h31/duck_h31 from functions/hashes.py (hoisted there in round
+# 5 — it is shared with llm/dedup.py and llm/corpus_stats.py, and
+# importing it FROM here forced decoration-time lazy imports because
+# this module imports dedup at its top).
 
 _SPARK_H = spark_h31("s")
 _DUCK_H = duck_h31("s")

@@ -250,3 +250,74 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("i_c") * 10000 / TOP_K).cast("long").alias("recall_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph: top-k neighbors per vector (corpus × corpus, blocked)
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+@query(
+    "q_knn_graph",
+    oracle=f"""
+WITH p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, nbr_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+  FROM p
+)
+SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, cos
+FROM r WHERE rnk <= {KNN_K}
+""",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c: k-NN graph build — every vector's {KNN_K} nearest
+    neighbors WITHIN its blocking bucket (the label column, standing
+    in for an IVF cell / LSH bucket at scale), by cosine. This is the
+    corpus×corpus form of similarity search (q_sim_topk is
+    query×corpus): the k-NN graph feeds graph-based dedup, diversity
+    sampling, and ANN index construction (e.g. as the bottom layer of
+    an NSW-style graph index).
+
+    Ordering determinism across engines: neighbors are ranked on the
+    6-dp ROUNDED cosine with nbr_id as the tiebreak, so an ulp-level
+    float divergence between engines cannot flip a rank — the ordering
+    key equals the output column.
+
+    100 TB shape: pairwise work is blocked (Σ bucket², never N² —
+    the q_dedup_embedding discipline) with norms hoisted per vector;
+    the per-vector top-k is a rank-window inside the bucket partition,
+    so the shuffle key (vec_id within bucket) is already co-located
+    with the pair generation and AQE coalesces the small partitions.
+    Production swaps the label for learned IVF cells (q_sim_ivf) with
+    multi-probe; the operator shape is identical."""
+    e = load(spark, sf_dir, "embeddings")
+    en = e.select(
+        "vec_id", "label", "embedding", F.expr(norm_expr("embedding")).alias("nrm")
+    )
+    a, b = en.alias("a"), en.alias("b")
+    cos = F.expr(dot_expr("a.embedding", "b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr_id"),
+        F.round(cos, 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("vec_id", F.col("rnk").cast("long").alias("rnk"), "nbr_id", "cos")
+    )

@@ -450,3 +450,93 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "change")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (pre-shuffled) join — the shuffle-free co-located join path
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 16
+
+_BUCKETED_CACHE: dict = None  # populated lazily to avoid import cycle
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and customer ONCE per (session, sf) as bucketed
+    tables (bucketBy(N_BUCKETS, custkey), sorted within buckets) under
+    an explicit /tmp path, and return the two table names. Bucketing
+    is Spark's persisted pre-shuffle: both tables' files are already
+    hash-partitioned by the join key, so a key-equal join reads
+    bucket i of each side into the same task — no Exchange at query
+    time, amortized across every query that joins on that key."""
+    global _BUCKETED_CACHE
+    if _BUCKETED_CACHE is None:
+        from kafka_to_parquet_spark.cache import register_cache
+
+        _BUCKETED_CACHE = register_cache({})
+    key = (spark, sf_dir)
+    if key not in _BUCKETED_CACHE:
+        import hashlib
+        import os
+        import tempfile
+
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        t_ord = f"ktps_b_orders_{digest}"
+        t_cus = f"ktps_b_customer_{digest}"
+        base = os.path.join(tempfile.gettempdir(), f"ktps_bucketed_{digest}")
+        for tname, table, key_col, sort_col in (
+            (t_ord, "orders", "o_custkey", "o_orderkey"),
+            (t_cus, "customer", "c_custkey", "c_custkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            (
+                load(spark, sf_dir, table)
+                .write.mode("overwrite")
+                .option("path", os.path.join(base, tname))
+                .bucketBy(N_BUCKETS, key_col)
+                .sortBy(sort_col)
+                .saveAsTable(tname)
+            )
+        _BUCKETED_CACHE[key] = (t_ord, t_cus)
+    return _BUCKETED_CACHE[key]
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: orders ⋈ customer on custkey where
+    BOTH sides were written with ``bucketBy(N_BUCKETS, custkey)`` —
+    Spark's persisted pre-shuffle. The SortMergeJoin then has NO
+    Exchange on either side (each task zips bucket i of both layouts;
+    tests/test_warehouse.py pins the exchange-free plan), which is the
+    canonical 100 TB answer for a fact table joined on the same key by
+    many queries: pay the shuffle once at write time, never at read
+    time. The ``merge`` hint keeps the demonstration honest at demo
+    scale, where the planner would otherwise broadcast the small dim
+    and hide the bucketing. Values are the plain join+agg (revenue per
+    market segment, cents-fenced), oracle-checked against the
+    unbucketed tables — bucketing is a LAYOUT, it must not change a
+    single row."""
+    t_ord, t_cus = bucketed_tables(spark, sf_dir)
+    o = spark.table(t_ord)
+    c = spark.table(t_cus)
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_c"),
+        )
+    )

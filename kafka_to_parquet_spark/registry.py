@@ -111,6 +111,24 @@ CERTIFIED: set[str] = {
     "q_table_checksum", "q_snapshot_diff", "q_json_variant",
     "q_udtf_wordcounts", "q_merge_upsert", "q_join_dpp",
     "q_jsonl_roundtrip", "q_csv_scan",
+    # round 4 (CORRECTNESS_r04.json): 40 accepted rows (all hash-green;
+    # q_dedup_substring is deliberately NOT here — its r4 row was red
+    # from the duck_h31 lambda-shadowing oracle bug, fixed in round 5;
+    # it stays pending so the fixed oracle re-earns a green row).
+    "q_ann_recall", "q_bm25", "q_chunk_docs",
+    "q_compact_files", "q_corpus_mix", "q_corpus_shuffle",
+    "q_decontaminate", "q_dedup_containment", "q_dedup_incremental",
+    "q_dedup_jaccard_prefix", "q_dedup_keep", "q_dedup_minhash",
+    "q_dsir_logratio", "q_embed_quantize", "q_heavy_hitters_cms",
+    "q_join_asof_nearest", "q_kmeans3", "q_kmeans_step",
+    "q_orc_roundtrip", "q_pack_greedy", "q_pipeline_yield",
+    "q_rerank_mmr", "q_sample_weighted", "q_search_and",
+    "q_search_rrf", "q_semdedup", "q_sim_topk_int8",
+    "q_split_assign", "q_stream_join", "q_stream_join_outer",
+    "q_stream_static_join", "q_stream_upsert", "q_text_bigram_logprob",
+    "q_text_bigrams", "q_text_entropy", "q_text_pii",
+    "q_text_repetition", "q_text_unigram_logprob", "q_tfidf_top_term",
+    "q_vocab_topk",
 }
 
 # Certified queries whose implementation (or a shared helper on their
@@ -118,17 +136,24 @@ CERTIFIED: set[str] = {
 # queue so the change is re-verified in THIS round's window. Clear an
 # entry once the new round's row lands.
 RECERTIFY: set[str] = {
-    "q_join_range_binned",     # floor-division bin ids (round 3)
-    "q_dedup_ngram_jaccard",   # max-df shingle cap (round 3)
-    "q_dedup_simhash_pairs",   # hot-bucket cap (round 3)
-    "q_dedup_embedding_lsh",   # hot-bucket cap (round 3)
-    "q_sim_ivf",               # argmin-as-aggregate assignment (round 3)
-    "q_dedup_window",          # floor-division hour bucket (round 4)
-    "q_winsorize",             # integer-fenced percentile cutoffs (round 4)
-    "q_stream_custom_state",   # HALF_UP state accumulation, was pandas
-                               # half-even (round 4)
-    "q_parquet_roundtrip",     # app-scoped sink dir + pre-clean +
-                               # checkpointed read-back (round 4)
+    # (round-3/4 entries all landed green rows in CORRECTNESS_r04.json
+    # and were cleared at round-5 start.)
+    "q_dedup_components",      # iteration seeded from edge-incident
+                               # nodes only; singletons unioned back
+                               # after convergence (round 5)
+    "q_dedup_keep",            # consumes the same converged labels
+                               # (round 5)
+    # duck_h31/spark_h31 hoisted to functions/hashes.py with renamed
+    # DuckDB lambda variables (round 5) — identical values (pinned by
+    # tests/test_hashes.py) but these queries' oracle SQL text changed:
+    "q_dedup_minhash",
+    "q_dedup_jaccard_prefix",
+    "q_dedup_containment",
+    "q_heavy_hitters_cms",
+    # centroid count capped at KM_K (fixed k — kills the N²/KM_MOD
+    # assign stage behind round-4's 1.21 scaling exponent; round 5):
+    "q_kmeans_step",
+    "q_kmeans3",
 }
 
 

@@ -1,0 +1,209 @@
+"""Invariant tests for the round-5 additions: bag-of-words dedup,
+duplicated-span stripping, dup-cluster histogram, k-NN graph, and
+type-token ratio. (q_join_bucketed's plan + value tests live in
+tests/test_warehouse.py next to the other layout operators.)"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from kafka_to_parquet_spark.tables import load
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+# ----------------------------------------------------------- q_dedup_bag
+
+
+def test_bag_dedup_superset_of_exact_dup_members(run, spark, sf_dir):
+    """Byte-identical copies are trivially bag-identical, so every
+    member of an exact-dup group must appear in the bag output."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    by_text = Counter(r.text for r in docs)
+    exact_members = {r.doc_id for r in docs if by_text[r.text] >= 2}
+    bag_members = {r.doc_id for r in run("q_dedup_bag").collect()}
+    assert exact_members <= bag_members
+
+
+def test_bag_dedup_python_recompute(run, spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    groups: dict[tuple, list[int]] = {}
+    for r in docs:
+        groups.setdefault(tuple(sorted(_tokens(r.text))), []).append(r.doc_id)
+    want = {}
+    for ids in groups.values():
+        if len(ids) >= 2:
+            for d in ids:
+                want[d] = (min(ids), len(ids))
+    got = {r.doc_id: (r.keep_id, r.group_size) for r in run("q_dedup_bag").collect()}
+    assert got == want
+
+
+# ----------------------------------------------------- q_dedup_span_strip
+
+
+def test_span_strip_affected_set_matches_profile(run):
+    """The affected doc set must equal q_dedup_substring's output docs
+    with at least one duplicated window (both derive from the same
+    persisted fingerprint table, through different aggregations)."""
+    prof = {r.doc_id for r in run("q_dedup_substring").collect() if r.n_dup > 0}
+    strip = {r.doc_id for r in run("q_dedup_span_strip").collect()}
+    assert strip == prof
+
+
+def test_span_strip_output_is_subsequence(run, spark, sf_dir):
+    texts = {
+        r.doc_id: _tokens(r.text)
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    rows = run("q_dedup_span_strip").collect()
+    assert rows
+    for r in rows:
+        kept = _tokens(r.cleaned) if r.cleaned else []
+        assert r.n_kept == len(kept)
+        orig = texts[r.doc_id]
+        assert len(kept) < len(orig)  # something was stripped
+        # kept must be a subsequence of the original token stream
+        it = iter(orig)
+        assert all(tok in it for tok in kept)
+
+
+def test_span_strip_python_recompute(run, spark, sf_dir):
+    """Independent recompute of covered positions from raw text."""
+    from kafka_to_parquet_spark.llm.dedup import SUBSTR_W
+
+    import hashlib
+
+    P = 2_147_483_647
+
+    def h31(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % P
+
+    texts = {
+        r.doc_id: _tokens(r.text)
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    owners: dict[int, set[int]] = {}
+    wins: dict[int, list[tuple[int, int]]] = {}
+    for d, toks in texts.items():
+        ws = []
+        for i in range(len(toks) - SUBSTR_W + 1):
+            wh = h31(" ".join(toks[i : i + SUBSTR_W]))
+            ws.append((i + 1, wh))
+            owners.setdefault(wh, set()).add(d)
+        wins[d] = ws
+    dup = {wh for wh, ds in owners.items() if len(ds) >= 2}
+    want = {}
+    for d, toks in texts.items():
+        cov: set[int] = set()
+        for i, wh in wins[d]:
+            if wh in dup:
+                cov.update(range(i, i + SUBSTR_W))
+        if cov:
+            kept = [t for p, t in enumerate(toks, 1) if p not in cov]
+            want[d] = (len(kept), " ".join(kept))
+    got = {
+        r.doc_id: (r.n_kept, r.cleaned) for r in run("q_dedup_span_strip").collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------- q_dup_cluster_stats
+
+
+def test_cluster_stats_docs_sum_to_corpus(run, spark, sf_dir):
+    rows = run("q_dup_cluster_stats").collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_docs == r.group_size * r.n_clusters
+        assert r.group_size >= 1 and r.n_clusters >= 1
+
+
+def test_cluster_stats_matches_components(run):
+    sizes = Counter(
+        Counter(r.component for r in run("q_dedup_components").collect()).values()
+    )
+    got = {r.group_size: r.n_clusters for r in run("q_dup_cluster_stats").collect()}
+    assert got == dict(sizes)
+
+
+# ----------------------------------------------------------- q_knn_graph
+
+
+def test_knn_graph_shape_and_ranks(run, spark, sf_dir):
+    from kafka_to_parquet_spark.llm.similarity import KNN_K
+
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    block = Counter(labels.values())
+    rows = run("q_knn_graph").collect()
+    per = {}
+    for r in rows:
+        assert labels[r.nbr_id] == labels[r.vec_id]  # blocked
+        assert r.nbr_id != r.vec_id
+        assert -1.000001 <= r.cos <= 1.000001
+        per.setdefault(r.vec_id, []).append(r.rnk)
+    for v, lbl in labels.items():
+        want = min(KNN_K, block[lbl] - 1)
+        ranks = sorted(per.get(v, []))
+        assert ranks == list(range(1, want + 1)), (v, ranks, want)
+
+
+def test_knn_graph_neighbors_are_truly_nearest(run, spark, sf_dir):
+    """Python recompute on one block: the reported top-k (by rounded
+    cosine, id tiebreak) must equal the exhaustive ranking."""
+    import math
+
+    from kafka_to_parquet_spark.llm.similarity import KNN_K
+
+    vecs = {}
+    for r in load(spark, sf_dir, "embeddings").collect():
+        vecs.setdefault(r.label, {})[r.vec_id] = r.embedding
+    label = sorted(vecs)[0]
+    block = vecs[label]
+    rows = [r for r in run("q_knn_graph").collect() if r.vec_id in block]
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append((r.rnk, r.nbr_id, r.cos))
+    for v, emb in block.items():
+        nv = math.sqrt(sum(x * x for x in emb))
+        cand = []
+        for u, e2 in block.items():
+            if u == v:
+                continue
+            nu = math.sqrt(sum(x * x for x in e2))
+            c = sum(a * b for a, b in zip(emb, e2)) / (nv * nu)
+            cand.append((round(c, 6), u))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        want = [
+            (i + 1, u, c) for i, (c, u) in enumerate(cand[:KNN_K])
+        ]
+        have = sorted(by_vec.get(v, []))
+        assert [(r, u) for r, u, _ in have] == [(r, u) for r, u, _ in want], v
+        for (_, _, ch), (_, _, cw) in zip(have, want):
+            assert abs(ch - cw) <= 1e-6
+
+
+# ----------------------------------------------------------- q_ttr_source
+
+
+def test_ttr_python_recompute(run, spark, sf_dir):
+    agg: dict[tuple, tuple[set, int]] = {}
+    for r in load(spark, sf_dir, "documents").collect():
+        types, n = agg.setdefault((r.lang, r.source), (set(), 0))
+        toks = _tokens(r.text)
+        types.update(toks)
+        agg[(r.lang, r.source)] = (types, n + len(toks))
+    want = {
+        k: (len(ts), n, len(ts) * 10000 // n) for k, (ts, n) in agg.items() if n
+    }
+    got = {
+        (r.lang, r.source): (r.n_types, r.n_tokens, r.ttr_bp)
+        for r in run("q_ttr_source").collect()
+    }
+    assert got == want

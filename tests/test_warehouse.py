@@ -353,3 +353,47 @@ def test_snapshot_diff_classes_match_slice_definition(run, spark, sf_dir):
     }
     got = {r.o_orderkey: r.change for r in rows}
     assert got == expected
+
+
+# ----------------------------------------------------------- bucketed join
+
+
+def test_bucketed_join_plan_has_no_exchange(spark, sf_dir):
+    """The point of q_join_bucketed: both sides pre-shuffled at write
+    time, so the SortMergeJoin must read bucket files directly — zero
+    Exchange anywhere in the join subtree."""
+    from kafka_to_parquet_spark.operators.warehouse import bucketed_tables
+
+    t_ord, t_cus = bucketed_tables(spark, sf_dir)
+    o, c = spark.table(t_ord), spark.table(t_cus)
+    plan = (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert plan.count("Bucketed: true") == 2
+
+
+def test_bucketed_join_values_match_unbucketed(run, spark, sf_dir):
+    """Bucketing is a layout, not a semantic: the bucketed join must
+    produce exactly the rows of the plain join."""
+    rows = {r.c_mktsegment: (r.n_orders, r.revenue_c) for r in run("q_join_bucketed").collect()}
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    import pyspark.sql.functions as F
+
+    plain = {
+        r.c_mktsegment: (r.n, r.rc)
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rc"),
+        )
+        .collect()
+    }
+    assert rows == plain
