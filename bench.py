@@ -124,6 +124,9 @@ HEADLINE = [
     "q_knn_graph",         # blocked top-k neighbor graph
     "q_ttr_source",        # per-source type-token ratio
     "q_join_bucketed",     # zero-exchange bucketed SMJ
+    "q_lsh_recall",        # banded-LSH recall audit per J-decile
+    "q_knn_graph_ivf",     # IVF-cell k-NN graph (scale twin)
+    "q_dedup_minhash_incr",  # batch-vs-corpus-index near-dup probe
 ]
 
 

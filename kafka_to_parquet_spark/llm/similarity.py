@@ -321,3 +321,114 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= KNN_K)
         .select("vec_id", F.col("rnk").cast("long").alias("rnk"), "nbr_id", "cos")
     )
+
+
+# The scale twin of q_knn_graph: same top-k-neighbors semantics, but
+# the blocking bucket is an IVF CELL whose count grows with the corpus
+# (every KM_MOD-th vector seeds a cell, the q_semdedup discipline) so
+# cell size — and with it the per-vector pairwise work — stays bounded
+# as N grows. q_knn_graph's label blocks are FIXED in number, so its
+# block size (and measured scaling exponent) grows with N; this form
+# is what a 100 TB ANN-graph build actually runs.
+
+KNN_IVF_MOD = 100
+
+
+def _knn_ivf_oracle() -> str:
+    from kafka_to_parquet_spark.functions.vectors import duck_sqdist
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cente
+  FROM embeddings WHERE vec_id % {KNN_IVF_MOD} = 0
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         round({duck_sqdist('e.embedding', 'c.cente')}, 6) AS d2
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, embedding, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+  FROM assign a JOIN assign b
+    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, nbr_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+  FROM p
+)
+SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, cos
+FROM r WHERE rnk <= {KNN_K}
+"""
+
+
+@query("q_knn_graph_ivf", oracle=_knn_ivf_oracle())
+def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c': k-NN graph inside IVF cells — q_knn_graph with a blocking
+    scheme that SCALES: cells are seeded every {KNN_IVF_MOD}-th vector
+    (cell count ∝ N, so cell size stays ~{KNN_IVF_MOD} at any corpus
+    size), each vector joins its nearest cell (the q_kmeans_step
+    broadcast argmin — map-side-combinable min(struct), shuffle
+    carries N pre-reduced rows), and top-{KNN_K} neighbors are ranked
+    within the cell on the 6-dp rounded cosine with id tiebreak.
+
+    Why the twin exists: q_knn_graph blocks on the FIXED label column
+    — with block count constant, block size grows ∝ N and the pairwise
+    stage is Σ block² = N²/#labels (its SCALING.md exponent shows it).
+    Here pairwise cost is N·cell ≈ N·{KNN_IVF_MOD} — linear — at the
+    price of missing true neighbors that fall in an adjacent cell
+    (production adds multi-probe: rank against the nProbe nearest
+    cells; same plan shape, nProbe× the candidate rows). Both twins
+    are exact within their declared blocking, and both oracles mirror
+    the blocking term-for-term."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % KNN_IVF_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
+    )
+    from kafka_to_parquet_spark.functions.vectors import sqdist_expr
+
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cent_id")).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("m.cent_id").alias("cent_id"),
+            F.expr(norm_expr("embedding")).alias("nrm"),
+        )
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    cos = F.expr(dot_expr("a.embedding", "b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cent_id") == F.col("b.cent_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr_id"),
+        F.round(cos, 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("vec_id", F.col("rnk").cast("long").alias("rnk"), "nbr_id", "cos")
+    )

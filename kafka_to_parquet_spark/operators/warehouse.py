@@ -10,9 +10,14 @@ All three are pure DataFrame plans with exact DuckDB oracles.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import register_cache
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
@@ -458,7 +463,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_BUCKETS = 16
 
-_BUCKETED_CACHE: dict = None  # populated lazily to avoid import cycle
+_BUCKETED_CACHE: dict = register_cache({})
 
 
 def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -469,17 +474,8 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     hash-partitioned by the join key, so a key-equal join reads
     bucket i of each side into the same task — no Exchange at query
     time, amortized across every query that joins on that key."""
-    global _BUCKETED_CACHE
-    if _BUCKETED_CACHE is None:
-        from kafka_to_parquet_spark.cache import register_cache
-
-        _BUCKETED_CACHE = register_cache({})
     key = (spark, sf_dir)
     if key not in _BUCKETED_CACHE:
-        import hashlib
-        import os
-        import tempfile
-
         digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         t_ord = f"ktps_b_orders_{digest}"
         t_cus = f"ktps_b_customer_{digest}"

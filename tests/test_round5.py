@@ -207,3 +207,97 @@ def test_ttr_python_recompute(run, spark, sf_dir):
         for r in run("q_ttr_source").collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------------- q_lsh_recall
+
+
+def test_lsh_recall_counts_match_direct_sets(run):
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in run("q_dedup_jaccard_prefix").collect()
+    }
+    cand = {(r.doc_a, r.doc_b) for r in run("q_dedup_minhash").collect()}
+    want: dict[int, list[int]] = {}
+    for pair, j in truth.items():
+        d = int(j * 10)
+        n, c = want.get(d, (0, 0))
+        want[d] = (n + 1, c + (1 if pair in cand else 0))
+    got = {
+        r.j_decile: (r.n_true, r.n_caught, r.recall_bp)
+        for r in run("q_lsh_recall").collect()
+    }
+    assert {d: (n, c) for d, (n, c) in want.items()} == {
+        d: (n, c) for d, (n, c, _) in got.items()
+    }
+    for d, (n, c, bp) in got.items():
+        assert bp == c * 10000 // n
+
+
+# ------------------------------------------------------- q_knn_graph_ivf
+
+
+def test_knn_graph_ivf_python_recompute(run, spark, sf_dir):
+    """Full Python recompute at sf0.001: assignment (rounded sqdist,
+    centroid-id tiebreak) then within-cell top-k by rounded cosine."""
+    import math
+
+    from kafka_to_parquet_spark.llm.similarity import KNN_IVF_MOD, KNN_K
+
+    vecs = {r.vec_id: r.embedding for r in load(spark, sf_dir, "embeddings").collect()}
+    cents = {v: vecs[v] for v in vecs if v % KNN_IVF_MOD == 0}
+
+    def sqd(a, b):
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    cell = {
+        v: min(cents, key=lambda c: (sqd(e, cents[c]), c)) for v, e in vecs.items()
+    }
+    norms = {v: math.sqrt(sum(x * x for x in e)) for v, e in vecs.items()}
+    want = {}
+    for v, e in vecs.items():
+        cand = []
+        for u, e2 in vecs.items():
+            if u == v or cell[u] != cell[v]:
+                continue
+            c = round(
+                sum(a * b for a, b in zip(e, e2)) / (norms[v] * norms[u]), 6
+            )
+            cand.append((c, u))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (c, u) in enumerate(cand[:KNN_K], 1):
+            want[(v, rnk)] = (u, c)
+    got = {}
+    for r in run("q_knn_graph_ivf").collect():
+        got[(r.vec_id, r.rnk)] = (r.nbr_id, r.cos)
+    assert set(got) == set(want)
+    for k, (u, c) in want.items():
+        gu, gc = got[k]
+        assert gu == u, (k, gu, u)
+        assert abs(gc - c) <= 2e-6
+
+
+# -------------------------------------------------- q_dedup_minhash_incr
+
+
+def test_minhash_incr_equals_cross_split_slice_of_full_join(run):
+    """Same band index, different join shape: the incremental (batch ×
+    corpus) pairs must be exactly the full self-join's pairs that
+    straddle the batch split, with identical verified Jaccard."""
+    from kafka_to_parquet_spark.llm.dedup import INCR_MOD, INCR_REM
+
+    full = {
+        tuple(sorted((r.doc_a, r.doc_b))): r.jaccard
+        for r in run("q_dedup_minhash").collect()
+    }
+    incr = {}
+    for r in run("q_dedup_minhash_incr").collect():
+        assert r.batch_doc % INCR_MOD == INCR_REM
+        assert r.corpus_doc % INCR_MOD != INCR_REM
+        incr[tuple(sorted((r.batch_doc, r.corpus_doc)))] = r.jaccard
+    want = {
+        pair: j
+        for pair, j in full.items()
+        if (pair[0] % INCR_MOD == INCR_REM) != (pair[1] % INCR_MOD == INCR_REM)
+    }
+    assert incr == want

@@ -31,12 +31,27 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # round-3 late additions on the replicated tables
            "q_table_checksum", "q_winsorize", "q_zorder_stats",
            "q_quality_checks", "q_snapshot_diff", "q_scd2_intervals",
-           "q_dedup_window"]
+           "q_dedup_window",
+           # round-5: document-dedup family over the 10x-replicated
+           # corpus — every document becomes a 10-copy duplicate
+           # family, the mass-duplication (mirror/boilerplate) stress
+           # the linear dedup paths and the hot-bucket caps must
+           # survive. (embeddings stay unreplicated: the blocked
+           # pairwise ops' bucket granularity is a function of corpus
+           # size — at 10x you'd use 10x more IVF cells, so timing the
+           # same 5 labels on 10x vectors would measure a bucketing
+           # mistake, not the operator.)
+           "q_dedup_exact", "q_dedup_bag", "q_dedup_substring",
+           "q_dedup_span_strip", "q_ttr_source", "q_dedup_components",
+           "q_dup_cluster_stats", "q_dedup_minhash"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 0},
     "events": {"event_id": 10_000_000, "user_id": 0},
+    # text identical across copies, doc_id offset: 10-way duplicate
+    # families by construction.
+    "documents": {"doc_id": 10_000_000},
 }
 
 
@@ -54,8 +69,12 @@ def build(spark) -> None:
     for table, offs in OFFSETS.items():
         out = f"{DST}/{table}.parquet"
         src = f"{SRC}/{table}.parquet"
-        if not _stale(out, src):
+        if not _stale(out, src) and not os.path.islink(out):
             continue
+        # documents.parquet was a symlink to the source fixture in
+        # older stress layouts — never write through it.
+        if os.path.islink(out):
+            os.remove(out)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         base = spark.read.parquet(f"{SRC}/{table}.parquet")
         parts = []
@@ -70,7 +89,7 @@ def build(spark) -> None:
             big = big.unionByName(p)
         big.write.mode("overwrite").parquet(out)
     # small tables ride along unchanged
-    for t in ("region", "nation", "customer", "supplier", "part", "documents", "embeddings"):
+    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
         link = f"{DST}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{SRC}/{t}.parquet", link)
@@ -99,11 +118,18 @@ def main() -> None:
         fn(spark, where).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    # Result-level caches cleared per sweep (bench.py's honesty rule):
+    # q_dedup_components memoizes its converged labels, and timing a
+    # dict lookup would report 0.02 s for a multi-round iterative job.
+    from kafka_to_parquet_spark.llm.components import _LABELS_CACHE
+
     cells = [(name, where) for name in QUERIES for where in (SRC, DST)]
+    _LABELS_CACHE.clear()
     for name, where in cells:  # warm-up sweep
         run_once(registry.QUERIES[name], where)
     samples: dict[tuple[str, str], list[float]] = {c: [] for c in cells}
     for _ in range(3):
+        _LABELS_CACHE.clear()
         for name, where in cells:
             samples[(name, where)].append(run_once(registry.QUERIES[name], where))
 
