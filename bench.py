@@ -159,7 +159,7 @@ def main() -> None:
     # can't cache-pressure them — unless the timed sweep RUNS at the
     # warm-up sf, where clearing would re-time cold cache construction
     # against the warm-feature-store discipline documented below.
-    from kafka_to_parquet_spark.cache import clear_caches
+    from kafka_to_parquet_spark.cache import clear_caches, clear_result_caches
 
     if sf_dir != "/root/testdata/sf0.001":
         clear_caches(spark, "/root/testdata/sf0.001")
@@ -173,11 +173,10 @@ def main() -> None:
         # RESULT-level caches do not: q_dedup_components memoizes its
         # converged labels for q_dedup_keep's reuse, and timing a dict
         # lookup would report 0.02 s for a multi-round iterative job.
-        # Clearing it per sweep keeps the median an honest measure of
-        # the label-propagation work itself.
-        from kafka_to_parquet_spark.llm.components import _LABELS_CACHE
-
-        _LABELS_CACHE.clear()
+        # Clearing them per sweep (the result_level registry in
+        # cache.py — one rule, one mechanism) keeps the median an
+        # honest measure of the label-propagation work itself.
+        clear_result_caches(spark)
         for name in HEADLINE:
             # One failing query must not abort the benchmark — record
             # the error and keep the other timings.
@@ -231,6 +230,18 @@ def main() -> None:
         dropped = min(q, key=q.get)
         del q[dropped]
         out["queries_omitted"] = out.get("queries_omitted", 0) + 1
+        line = json.dumps(out, separators=(",", ":"))
+    # Errors are the other unbounded dict (each entry up to 200 chars):
+    # a bad round with many failing queries could still exceed the
+    # budget after every timing was dropped. Shorten, then drop —
+    # BENCH_LOCAL.json (written above, pre-truncation) keeps the full
+    # text; the stdout line must parse above all else.
+    if len(line) > budget and out.get("errors"):
+        out["errors"] = {n: e[:60] for n, e in out["errors"].items()}
+        line = json.dumps(out, separators=(",", ":"))
+    while len(line) > budget and out.get("errors"):
+        del out["errors"][next(iter(out["errors"]))]
+        out["errors_omitted"] = out.get("errors_omitted", 0) + 1
         line = json.dumps(out, separators=(",", ":"))
     print(line)
 

@@ -28,29 +28,38 @@ from pyspark.sql import DataFrame, SparkSession
 # hygiene, no executor storage involved).
 _REGISTERED: list[dict[tuple[SparkSession, str], Any]] = []
 
+# Subset of _REGISTERED whose cached value IS a query's answer (e.g.
+# converged component labels) rather than a shared input feature (e.g.
+# shingle sets). Timing tools must evict these between samples or they
+# measure a dict lookup; feature caches may legitimately stay warm
+# because a production pipeline would amortize them the same way.
+_RESULT_LEVEL: list[dict[tuple[SparkSession, str], Any]] = []
+
 
 def register_cache(
     cache: dict[tuple[SparkSession, str], Any],
+    *,
+    result_level: bool = False,
 ) -> dict[tuple[SparkSession, str], Any]:
-    """Enroll a module-level cache dict; returns it for assignment."""
+    """Enroll a module-level cache dict; returns it for assignment.
+
+    ``result_level=True`` marks a cache whose value is a finished query
+    result: :func:`clear_result_caches` (used by bench/scaling/stress
+    timers for measurement honesty) evicts only these.
+    """
     _REGISTERED.append(cache)
+    if result_level:
+        _RESULT_LEVEL.append(cache)
     return cache
 
 
-def clear_caches(
-    spark: SparkSession | None = None, sf_dir: str | None = None
+def _evict(
+    caches: list[dict[tuple[SparkSession, str], Any]],
+    spark: SparkSession | None,
+    sf_dir: str | None,
 ) -> int:
-    """Evict cached entries, unpersisting any cached DataFrame.
-
-    ``spark``/``sf_dir`` scope the eviction (None = match all), so a
-    pipeline moving from one dataset to the next can free the first
-    dataset's executor storage without disturbing the current one.
-    Returns the number of entries evicted. Safe to call repeatedly and
-    with a stopped session (unpersist failures are swallowed — the
-    storage dies with the session anyway).
-    """
     n = 0
-    for cache in _REGISTERED:
+    for cache in caches:
         for key in list(cache):
             k_spark, k_dir = key
             if spark is not None and k_spark is not spark:
@@ -65,6 +74,33 @@ def clear_caches(
                     pass
             n += 1
     return n
+
+
+def clear_caches(
+    spark: SparkSession | None = None, sf_dir: str | None = None
+) -> int:
+    """Evict cached entries, unpersisting any cached DataFrame.
+
+    ``spark``/``sf_dir`` scope the eviction (None = match all), so a
+    pipeline moving from one dataset to the next can free the first
+    dataset's executor storage without disturbing the current one.
+    Returns the number of entries evicted. Safe to call repeatedly and
+    with a stopped session (unpersist failures are swallowed — the
+    storage dies with the session anyway).
+    """
+    return _evict(_REGISTERED, spark, sf_dir)
+
+
+def clear_result_caches(
+    spark: SparkSession | None = None, sf_dir: str | None = None
+) -> int:
+    """Evict only result-level caches (see :func:`register_cache`).
+
+    The single mechanism behind the bench/scaling/stress rule "never
+    time a memoized answer": tools call this between timed samples
+    instead of reaching into private module dicts.
+    """
+    return _evict(_RESULT_LEVEL, spark, sf_dir)
 
 
 def registered_entry_count() -> int:

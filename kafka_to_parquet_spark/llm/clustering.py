@@ -53,12 +53,52 @@ KM_MOD = 100
 KM_K = 5
 
 
-@query(
-    "q_kmeans_step",
-    oracle=f"""
-WITH cent AS (
+def ivf_assign(e: DataFrame, mod: int, cap: int | None = None) -> DataFrame:
+    """Nearest-seed assignment, the stage shared by the whole IVF /
+    Lloyd family (q_kmeans_step with ``cap``, q_knn_graph_ivf without):
+    seeds are every ``mod``-th vector (optionally capped to the first
+    ``cap`` seeds), broadcast into the corpus scan; distance is the
+    6-dp ROUNDED squared L2 with cent_id tiebreak so an ulp-level
+    divergence between engines can't flip an argmin. Returns
+    (vec_id, embedding, cent_id).
+
+    The argmin is a map-side-combinable min(struct) aggregate, NOT a
+    window: with the centroids broadcast, every (vector, centroid) row
+    for one vector sits in the same task, so the partial min reduces k
+    scored rows to 1 BEFORE the exchange — the shuffle carries N
+    pre-reduced rows, where a row_number() window would shuffle N·k.
+    Lexicographic struct comparison (d2, cent_id) is exactly the
+    (distance, id) tiebreak the oracle's ORDER BY d2, cent_id uses."""
+    cond = F.col("vec_id") % mod == 0
+    if cap is not None:
+        cond = cond & (F.col("vec_id") < mod * cap)
+    cent = e.filter(cond).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cent_id")).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("m.cent_id").alias("cent_id"))
+    )
+
+
+def duck_ivf_assign_cte(mod: int, cap: int | None = None) -> str:
+    """DuckDB twin of :func:`ivf_assign` — the ``cent``/``scored``/
+    ``assign`` CTE fragment, one definition for every oracle in the
+    family so a rounding or tiebreak change can't diverge the twins."""
+    capsql = f" AND vec_id < {mod * cap}" if cap is not None else ""
+    return f"""cent AS (
   SELECT vec_id AS cent_id, embedding AS cente
-  FROM embeddings WHERE vec_id % {KM_MOD} = 0 AND vec_id < {KM_MOD * KM_K}
+  FROM embeddings WHERE vec_id % {mod} = 0{capsql}
 ),
 scored AS (
   SELECT e.vec_id, e.embedding, c.cent_id,
@@ -70,7 +110,13 @@ assign AS (
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
         FROM scored)
   WHERE rn = 1
-),
+)"""
+
+
+@query(
+    "q_kmeans_step",
+    oracle=f"""
+WITH {duck_ivf_assign_cte(KM_MOD, KM_K)},
 exploded AS (
   SELECT cent_id,
          CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
@@ -116,30 +162,9 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``floor(su/n + 0.5)`` is the identical two-FP-op sequence in both
     engines."""
     e = load(spark, sf_dir, "embeddings")
-    cent = e.filter(
-        (F.col("vec_id") % KM_MOD == 0) & (F.col("vec_id") < KM_MOD * KM_K)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"))
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
-    )
-    # Argmin as a map-side-combinable aggregate, NOT a window: with
-    # the centroids broadcast, every (vector, centroid) pair for one
-    # vector sits in the same task, so the partial min(struct) reduces
-    # k scored rows to 1 BEFORE the exchange — the shuffle carries N
-    # pre-reduced rows. A row_number() window over the same scored set
-    # would shuffle all N·k rows to sort them. Lexicographic struct
-    # comparison (d2, cent_id) is exactly the (distance, id) tiebreak.
-    assign = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("d2", "cent_id")).alias("m"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", "embedding", F.col("m.cent_id").alias("cent_id"))
-    )
+    # Shared assign stage (see ivf_assign for the min-struct-vs-window
+    # shuffle argument) with the fixed-k cap.
+    assign = ivf_assign(e, KM_MOD, KM_K)
     exploded = assign.select(
         "cent_id",
         F.posexplode("embedding").alias("dim", "val"),

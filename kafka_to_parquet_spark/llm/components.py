@@ -85,7 +85,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expensive part, and both q_dedup_components and q_dedup_keep need it
 # in one driver/bench sweep. The cached frame is a localCheckpoint —
 # already materialized and lineage-free.
-_LABELS_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache({})
+# result_level: the converged labels ARE q_dedup_components' answer,
+# so timing tools evict this cache between samples (cache.py's
+# clear_result_caches) — a warm hit would time a dict lookup.
+_LABELS_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache(
+    {}, result_level=True
+)
 
 
 def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -166,6 +166,28 @@ def kept_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected candidate PAIR SET from the banded self-join —
+    the Spark twin of ``_minhash_cand_cte()``'s ``cand``. Factored out
+    of q_dedup_minhash so q_lsh_recall (which only audits WHICH pairs
+    the bands surface) doesn't drag the exact-Jaccard verification
+    joins along: Catalyst can't prune an inner join, so consuming
+    q_dedup_minhash's full plan would re-run the two shingle-table
+    joins and per-pair array_intersect just to discard the column."""
+    kept = kept_bands(spark, sf_dir)
+    x, y = kept.alias("x"), kept.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @query("q_dedup_minhash", oracle=_minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3c': deterministic MinHash-LSH near-dup candidates with exact
@@ -187,19 +209,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup upstream should have removed); the bucket-stats join
     keys on (band, key) — the SAME key as the candidate self-join, so
     the exchange is reused, and no corpus-sized table is broadcast."""
-    kept = kept_bands(spark, sf_dir)
+    cand = minhash_candidates(spark, sf_dir)
     base = shingled_documents(spark, sf_dir)
-    x, y = kept.alias("x"), kept.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.k") == F.col("y.k"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
     sh = base.select("doc_id", "sh")
     inter = F.expr("CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)")
     union = F.expr(
@@ -488,17 +499,17 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops or signature skew — the audit turns that from a hope into a
     monitored number.
 
-    Plan: both inputs are declared queries' plans reused verbatim
-    (candidates from the banded self-join, truth from the
-    prefix-filtered exact join — both sub-quadratic, both reading the
-    memoized shingle caches); the audit itself is one left join on the
-    ordered pair key and a ≤6-row aggregate."""
+    Plan: truth is q_dedup_jaccard_prefix's plan reused verbatim (the
+    prefix-filtered exact join, sub-quadratic, reading the memoized
+    shingle caches); candidates come from minhash_candidates — the
+    banded self-join WITHOUT q_dedup_minhash's exact-Jaccard
+    verification tail, which the audit would only discard (an inner
+    join Catalyst can't prune away); the audit itself is one left join
+    on the ordered pair key and a ≤6-row aggregate."""
     truth = q_dedup_jaccard_prefix(spark, sf_dir).select(
         "doc_a", "doc_b", "jaccard"
     )
-    cand = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").withColumn(
-        "caught", F.lit(1)
-    )
+    cand = minhash_candidates(spark, sf_dir).withColumn("caught", F.lit(1))
     marked = truth.join(cand, ["doc_a", "doc_b"], "left").select(
         F.floor(F.col("jaccard") * 10).cast("long").alias("j_decile"),
         F.coalesce("caught", F.lit(0)).alias("caught"),

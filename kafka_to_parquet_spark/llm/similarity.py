@@ -259,14 +259,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 3
 
 
-@query(
-    "q_knn_graph",
-    oracle=f"""
-WITH p AS (
+def _duck_knn_tail(src: str, block: str) -> str:
+    """The blocked-pairs + rank tail shared by both k-NN oracles
+    (q_knn_graph over ``embeddings``/``label``, q_knn_graph_ivf over
+    ``assign``/``cent_id``) — one definition so a tiebreak or rounding
+    change can't diverge the twins."""
+    return f"""p AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
          round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id <> b.vec_id
+  FROM {src} a JOIN {src} b
+    ON a.{block} = b.{block} AND a.vec_id <> b.vec_id
 ),
 r AS (
   SELECT vec_id, nbr_id, cos,
@@ -274,9 +276,43 @@ r AS (
   FROM p
 )
 SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, cos
-FROM r WHERE rnk <= {KNN_K}
-""",
-)
+FROM r WHERE rnk <= {KNN_K}"""
+
+
+def _blocked_knn(blocked: DataFrame, block: str) -> DataFrame:
+    """Spark twin of :func:`_duck_knn_tail`: every vector's KNN_K
+    nearest in-block neighbors by 6-dp rounded cosine with nbr_id
+    tiebreak (rank key == output column, so ulp-level float divergence
+    between engines can't flip a rank). Pairwise work is Σ block² —
+    the caller chooses the blocking (fixed labels, or IVF cells whose
+    size stays bounded as N grows); norms are hoisted per vector and
+    the rank window partitions on vec_id, already co-located with the
+    pair generation's block key."""
+    en = blocked.select(
+        "vec_id", block, "embedding", F.expr(norm_expr("embedding")).alias("nrm")
+    )
+    a, b = en.alias("a"), en.alias("b")
+    cos = F.expr(dot_expr("a.embedding", "b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block}") == F.col(f"b.{block}"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr_id"),
+        F.round(cos, 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("vec_id", F.col("rnk").cast("long").alias("rnk"), "nbr_id", "cos")
+    )
+
+
+@query("q_knn_graph", oracle=f"WITH {_duck_knn_tail('embeddings', 'label')}")
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2c: k-NN graph build — every vector's {KNN_K} nearest
     neighbors WITHIN its blocking bucket (the label column, standing
@@ -298,29 +334,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the pair generation and AQE coalesces the small partitions.
     Production swaps the label for learned IVF cells (q_sim_ivf) with
     multi-probe; the operator shape is identical."""
-    e = load(spark, sf_dir, "embeddings")
-    en = e.select(
-        "vec_id", "label", "embedding", F.expr(norm_expr("embedding")).alias("nrm")
-    )
-    a, b = en.alias("a"), en.alias("b")
-    cos = F.expr(dot_expr("a.embedding", "b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("nbr_id"),
-        F.round(cos, 6).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
-        .select("vec_id", F.col("rnk").cast("long").alias("rnk"), "nbr_id", "cos")
-    )
+    return _blocked_knn(load(spark, sf_dir, "embeddings"), "label")
 
 
 # The scale twin of q_knn_graph: same top-k-neighbors semantics, but
@@ -335,37 +349,11 @@ KNN_IVF_MOD = 100
 
 
 def _knn_ivf_oracle() -> str:
-    from kafka_to_parquet_spark.functions.vectors import duck_sqdist
+    from kafka_to_parquet_spark.llm.clustering import duck_ivf_assign_cte
 
     return f"""
-WITH cent AS (
-  SELECT vec_id AS cent_id, embedding AS cente
-  FROM embeddings WHERE vec_id % {KNN_IVF_MOD} = 0
-),
-scored AS (
-  SELECT e.vec_id, e.embedding, c.cent_id,
-         round({duck_sqdist('e.embedding', 'c.cente')}, 6) AS d2
-  FROM embeddings e CROSS JOIN cent c
-),
-assign AS (
-  SELECT vec_id, embedding, cent_id
-  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-        FROM scored)
-  WHERE rn = 1
-),
-p AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-         round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos
-  FROM assign a JOIN assign b
-    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
-),
-r AS (
-  SELECT vec_id, nbr_id, cos,
-         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
-  FROM p
-)
-SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, cos
-FROM r WHERE rnk <= {KNN_K}
+WITH {duck_ivf_assign_cte(KNN_IVF_MOD)},
+{_duck_knn_tail('assign', 'cent_id')}
 """
 
 
@@ -387,48 +375,11 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (production adds multi-probe: rank against the nProbe nearest
     cells; same plan shape, nProbe× the candidate rows). Both twins
     are exact within their declared blocking, and both oracles mirror
-    the blocking term-for-term."""
-    e = load(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") % KNN_IVF_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
-    )
-    from kafka_to_parquet_spark.functions.vectors import sqdist_expr
+    the blocking term-for-term — through the same two shared builders
+    (clustering.ivf_assign / _blocked_knn and their DuckDB twins) the
+    Lloyd and label-blocked queries use, so the four copies of the
+    assign/rank logic this pair originally carried can't drift."""
+    from kafka_to_parquet_spark.llm.clustering import ivf_assign
 
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
-    )
-    assign = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("d2", "cent_id")).alias("m"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select(
-            "vec_id",
-            "embedding",
-            F.col("m.cent_id").alias("cent_id"),
-            F.expr(norm_expr("embedding")).alias("nrm"),
-        )
-    )
-    a, b = assign.alias("a"), assign.alias("b")
-    cos = F.expr(dot_expr("a.embedding", "b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.cent_id") == F.col("b.cent_id"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("nbr_id"),
-        F.round(cos, 6).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
-        .select("vec_id", F.col("rnk").cast("long").alias("rnk"), "nbr_id", "cos")
-    )
+    e = load(spark, sf_dir, "embeddings")
+    return _blocked_knn(ivf_assign(e, KNN_IVF_MOD), "cent_id")

@@ -154,6 +154,10 @@ RECERTIFY: set[str] = {
     # assign stage behind round-4's 1.21 scaling exponent; round 5):
     "q_kmeans_step",
     "q_kmeans3",
+    # (q_knn_graph / q_knn_graph_ivf / q_lsh_recall also changed in the
+    # round-5 shared-builder refactor, but they are not yet certified —
+    # they sit in the pending front of the queue and will earn their
+    # first row on the refactored code.)
 }
 
 

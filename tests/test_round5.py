@@ -41,6 +41,33 @@ def test_bag_dedup_python_recompute(run, spark, sf_dir):
     assert got == want
 
 
+def test_bag_dedup_synthetic_reordered_corpus(spark, tmp_path):
+    """The small fixtures contain no reordered-token duplicates, so the
+    recompute/superset tests above compare empty-to-empty at sf0.001 —
+    a canonicalization bug would ship green. This corpus exercises the
+    semantics the query exists for: reordered copies match, differing
+    multisets (same set, different counts) don't, and token-boundary
+    collisions ('ab c' vs 'a bc') don't."""
+    from kafka_to_parquet_spark.llm.dedup import q_dedup_bag
+
+    rows = [
+        (1, "en", "s", "the quick brown fox"),
+        (2, "en", "s", "fox brown quick the"),     # reordered dup of 1
+        (3, "en", "s", "the quick brown fox"),     # byte-identical to 1
+        (4, "en", "s", "the the quick brown fox"), # extra 'the': multiset differs
+        (5, "en", "s", "ab c"),
+        (6, "en", "s", "a bc"),                    # same chars, different tokens
+        (7, "en", "s", "  Fox  BROWN quick the "), # case/whitespace-normalized dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.keep_id, r.group_size)
+        for r in q_dedup_bag(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 4), 2: (1, 4), 3: (1, 4), 7: (1, 4)}
+
+
 # ----------------------------------------------------- q_dedup_span_strip
 
 

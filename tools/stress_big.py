@@ -118,18 +118,19 @@ def main() -> None:
         fn(spark, where).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # Result-level caches cleared per sweep (bench.py's honesty rule):
-    # q_dedup_components memoizes its converged labels, and timing a
-    # dict lookup would report 0.02 s for a multi-round iterative job.
-    from kafka_to_parquet_spark.llm.components import _LABELS_CACHE
+    # Result-level caches cleared per sweep (bench.py's honesty rule,
+    # via cache.py's single mechanism): q_dedup_components memoizes its
+    # converged labels, and timing a dict lookup would report 0.02 s
+    # for a multi-round iterative job.
+    from kafka_to_parquet_spark.cache import clear_result_caches
 
     cells = [(name, where) for name in QUERIES for where in (SRC, DST)]
-    _LABELS_CACHE.clear()
+    clear_result_caches(spark)
     for name, where in cells:  # warm-up sweep
         run_once(registry.QUERIES[name], where)
     samples: dict[tuple[str, str], list[float]] = {c: [] for c in cells}
     for _ in range(3):
-        _LABELS_CACHE.clear()
+        clear_result_caches(spark)
         for name, where in cells:
             samples[(name, where)].append(run_once(registry.QUERIES[name], where))
 
