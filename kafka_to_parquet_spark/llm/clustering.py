@@ -53,13 +53,32 @@ KM_MOD = 100
 KM_K = 5
 
 
+def ivf_scored(e: DataFrame, mod: int, cap: int | None = None) -> DataFrame:
+    """(vector × seed) distance table behind the IVF / Lloyd family:
+    seeds are every ``mod``-th vector (optionally capped to the first
+    ``cap`` seeds), broadcast into the corpus scan; distance is the
+    6-dp ROUNDED squared L2 so an ulp-level divergence between engines
+    can't flip a downstream argmin. Returns
+    (vec_id, embedding, cent_id, d2) — the oracle twin is
+    :func:`duck_ivf_assign_cte`'s ``scored`` CTE."""
+    cond = F.col("vec_id") % mod == 0
+    if cap is not None:
+        cond = cond & (F.col("vec_id") < mod * cap)
+    cent = e.filter(cond).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
+    )
+    return e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
+    )
+
+
 def ivf_assign(e: DataFrame, mod: int, cap: int | None = None) -> DataFrame:
     """Nearest-seed assignment, the stage shared by the whole IVF /
     Lloyd family (q_kmeans_step with ``cap``, q_knn_graph_ivf without):
-    seeds are every ``mod``-th vector (optionally capped to the first
-    ``cap`` seeds), broadcast into the corpus scan; distance is the
-    6-dp ROUNDED squared L2 with cent_id tiebreak so an ulp-level
-    divergence between engines can't flip an argmin. Returns
+    argmin over :func:`ivf_scored` with cent_id tiebreak. Returns
     (vec_id, embedding, cent_id).
 
     The argmin is a map-side-combinable min(struct) aggregate, NOT a
@@ -69,20 +88,9 @@ def ivf_assign(e: DataFrame, mod: int, cap: int | None = None) -> DataFrame:
     pre-reduced rows, where a row_number() window would shuffle N·k.
     Lexicographic struct comparison (d2, cent_id) is exactly the
     (distance, id) tiebreak the oracle's ORDER BY d2, cent_id uses."""
-    cond = F.col("vec_id") % mod == 0
-    if cap is not None:
-        cond = cond & (F.col("vec_id") < mod * cap)
-    cent = e.filter(cond).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
-    )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
-    )
     return (
-        scored.groupBy("vec_id")
+        ivf_scored(e, mod, cap)
+        .groupBy("vec_id")
         .agg(
             F.min(F.struct("d2", "cent_id")).alias("m"),
             F.first("embedding").alias("embedding"),

@@ -259,15 +259,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 3
 
 
-def _duck_knn_tail(src: str, block: str) -> str:
-    """The blocked-pairs + rank tail shared by both k-NN oracles
+def _duck_knn_tail(src: str, block: str, index_src: str | None = None) -> str:
+    """The blocked-pairs + rank tail shared by the k-NN oracles
     (q_knn_graph over ``embeddings``/``label``, q_knn_graph_ivf over
-    ``assign``/``cent_id``) — one definition so a tiebreak or rounding
-    change can't diverge the twins."""
+    ``assign``/``cent_id``, q_knn_multiprobe probing ``probes`` against
+    the ``assign`` index side) — one definition so a tiebreak or
+    rounding change can't diverge the twins. ``index_src`` is the
+    b-side table (defaults to ``src`` for the symmetric twins)."""
     return f"""p AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
          round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos
-  FROM {src} a JOIN {src} b
+  FROM {src} a JOIN {index_src or src} b
     ON a.{block} = b.{block} AND a.vec_id <> b.vec_id
 ),
 r AS (
@@ -279,7 +281,9 @@ SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, cos
 FROM r WHERE rnk <= {KNN_K}"""
 
 
-def _blocked_knn(blocked: DataFrame, block: str) -> DataFrame:
+def _blocked_knn(
+    blocked: DataFrame, block: str, index: DataFrame | None = None
+) -> DataFrame:
     """Spark twin of :func:`_duck_knn_tail`: every vector's KNN_K
     nearest in-block neighbors by 6-dp rounded cosine with nbr_id
     tiebreak (rank key == output column, so ulp-level float divergence
@@ -287,11 +291,21 @@ def _blocked_knn(blocked: DataFrame, block: str) -> DataFrame:
     the caller chooses the blocking (fixed labels, or IVF cells whose
     size stays bounded as N grows); norms are hoisted per vector and
     the rank window partitions on vec_id, already co-located with the
-    pair generation's block key."""
+    pair generation's block key. ``index`` is the neighbor (b) side —
+    defaults to the probing side itself; multi-probe passes the
+    single-home assignment so each pair matches in at most one cell
+    (a vector is INDEXED once, PROBES many — no DISTINCT needed)."""
     en = blocked.select(
         "vec_id", block, "embedding", F.expr(norm_expr("embedding")).alias("nrm")
     )
-    a, b = en.alias("a"), en.alias("b")
+    en_b = (
+        en
+        if index is None
+        else index.select(
+            "vec_id", block, "embedding", F.expr(norm_expr("embedding")).alias("nrm")
+        )
+    )
+    a, b = en.alias("a"), en_b.alias("b")
     cos = F.expr(dot_expr("a.embedding", "b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
@@ -383,3 +397,70 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return _blocked_knn(ivf_assign(e, KNN_IVF_MOD), "cent_id")
+
+
+# Multi-probe: the recall knob on the IVF twin. A vector is INDEXED in
+# exactly one cell (its home assignment — the on-disk IVF layout), but
+# each vector PROBES its KNN_PROBES nearest cells when searching, so a
+# true neighbor sitting just across a cell boundary is found as long
+# as the neighbor's home cell is among the prober's nProbe closest.
+# Candidate volume grows only linearly in nProbe (nProbe · cell rows
+# per prober), never quadratically.
+
+KNN_PROBES = 2
+
+
+def _knn_multiprobe_oracle() -> str:
+    from kafka_to_parquet_spark.llm.clustering import duck_ivf_assign_cte
+
+    return f"""
+WITH {duck_ivf_assign_cte(KNN_IVF_MOD)},
+probes AS (
+  SELECT vec_id, embedding, cent_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM scored)
+  WHERE rn <= {KNN_PROBES}
+),
+{_duck_knn_tail('probes', 'cent_id', index_src='assign')}
+"""
+
+
+@query("q_knn_multiprobe", oracle=_knn_multiprobe_oracle())
+def q_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c'': multi-probe IVF k-NN — the production form the
+    q_knn_graph_ivf docstring promises: same linear N·cell pairwise
+    cost and the same shared assign/rank builders, but each vector
+    probes its {KNN_PROBES} nearest cells instead of one, recovering
+    the true neighbors that single-probe loses across cell boundaries
+    (faiss's nprobe knob; Lv et al.'s multi-probe LSH is the same idea
+    one index family over). Asymmetric by construction: the b-side is
+    the single-home ASSIGNMENT (each vector indexed once, as the
+    on-disk IVF list layout stores it), the a-side visits nProbe
+    cells — so a pair can match in at most one cell and no dedup
+    stage is needed.
+
+    Plan: probe cells are found WITHOUT a window shuffle — the home
+    cell is ivf_assign's map-side-combinable min(struct) (shuffle of N
+    pre-reduced rows), and the second probe re-scores against the
+    broadcast seeds excluding the home cell and argmins again: nProbe
+    map-side-combinable passes, each shuffling N rows, where a
+    row_number window over ``scored`` would shuffle N·k rows to rank
+    all cells per vector. The oracle's ``rn <= {KNN_PROBES}`` window
+    is the same set by the (d2, cent_id) tiebreak's determinism."""
+    from kafka_to_parquet_spark.llm.clustering import ivf_assign, ivf_scored
+
+    e = load(spark, sf_dir, "embeddings")
+    home = ivf_assign(e, KNN_IVF_MOD)
+    second = (
+        ivf_scored(e, KNN_IVF_MOD)
+        .join(home.select("vec_id", F.col("cent_id").alias("home_c")), "vec_id")
+        .filter(F.col("cent_id") != F.col("home_c"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cent_id")).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("m.cent_id").alias("cent_id"))
+    )
+    probes = home.unionByName(second)
+    return _blocked_knn(probes, "cent_id", index=home)

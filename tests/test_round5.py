@@ -328,3 +328,18 @@ def test_minhash_incr_equals_cross_split_slice_of_full_join(run):
         if (pair[0] % INCR_MOD == INCR_REM) != (pair[1] % INCR_MOD == INCR_REM)
     }
     assert incr == want
+
+
+# --------------------------------------------------- q_knn_multiprobe
+
+
+def test_multiprobe_dominates_single_probe(run):
+    """Probing 2 cells against the same single-home index can only
+    widen each vector's candidate set (probes ⊇ home), so at every
+    rank the multiprobe neighbor's cosine must be ≥ the single-probe
+    twin's — recall monotonicity, the property the nprobe knob buys."""
+    single = {(r.vec_id, r.rnk): r.cos for r in run("q_knn_graph_ivf").collect()}
+    multi = {(r.vec_id, r.rnk): r.cos for r in run("q_knn_multiprobe").collect()}
+    assert set(single) <= set(multi)  # a found rank never disappears
+    worse = [k for k in single if multi[k] < single[k]]
+    assert worse == []
