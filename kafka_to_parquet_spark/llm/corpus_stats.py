@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.functions.hashes import H31_P, duck_h31, spark_h31
-from kafka_to_parquet_spark.functions.text import _TOKENS_SQL, tokens_col
+from kafka_to_parquet_spark.functions.text import _STOP_SQL, _TOKENS_SQL, tokens_col
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
@@ -694,4 +694,89 @@ def q_ttr_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(count(DISTINCT word) * 10000 DIV count(*) AS BIGINT)").alias(
             "ttr_bp"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite document-quality rules (Gopher-style)
+# ---------------------------------------------------------------------------
+
+# Integer-exact rule bounds. Mean-word-length bounds are expressed as
+# cross-multiplied integers (4.25 <= chars/n <= 4.75  ==  17n <= 4c
+# AND 4c <= 19n) so no engine ever divides. The window is tuned to the
+# fixture vocabulary's observed mwl range [3.7, 5.3] so the rule
+# actually SPLITS (~q10-q90) — a [3.5, 5.5] prose-style window passed
+# every synthetic document, i.e. tested nothing.
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 80
+GOPHER_MAX_TOPWORD_PCT = 10  # most common word <= 10% of tokens
+GOPHER_MIN_STOP_TYPES = 2
+
+
+@query(
+    "q_quality_gopher",
+    oracle=f"""
+WITH {_DW_CTE},
+st AS (
+  SELECT doc_id,
+         CAST(sum(tf_doc) AS BIGINT)              AS n_tokens,
+         CAST(sum(len(word) * tf_doc) AS BIGINT)  AS tok_chars,
+         CAST(max(tf_doc) AS BIGINT)              AS max_tf,
+         CAST(count(*) FILTER (WHERE word IN {_STOP_SQL}) AS BIGINT) AS n_stop_types
+  FROM dw GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} AS INTEGER) AS r_len,
+       CAST(17 * n_tokens <= 4 * tok_chars AND 4 * tok_chars <= 19 * n_tokens AS INTEGER) AS r_mwl,
+       CAST({GOPHER_MAX_TOPWORD_PCT} * max_tf <= n_tokens AS INTEGER) AS r_rep,
+       CAST(n_stop_types >= {GOPHER_MIN_STOP_TYPES} AS INTEGER) AS r_stop,
+       CAST(n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+            AND 17 * n_tokens <= 4 * tok_chars AND 4 * tok_chars <= 19 * n_tokens
+            AND {GOPHER_MAX_TOPWORD_PCT} * max_tf <= n_tokens
+            AND n_stop_types >= {GOPHER_MIN_STOP_TYPES} AS INTEGER) AS keep
+FROM st
+""",
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4h: composite rule-based quality filter in the Gopher/
+    MassiveText style (Rae et al. 2021 §A1.1): per-document length
+    bounds, mean-word-length window, most-common-word repetition cap,
+    and a minimum count of distinct function words — each emitted as
+    its own 0/1 flag plus the conjunctive ``keep``, so a curator can
+    read per-rule rejection rates (the production debugging view)
+    rather than one opaque boolean.
+
+    All rules are integer-exact: the mean-word-length window [4.25,
+    4.75] is cross-multiplied (17n <= 4·chars <= 19n), so no division
+    ever happens and engines can't disagree on a boundary.
+
+    100 TB shape: reuses the shared (doc_id, word, tf) stage — one
+    explode, one (doc_id, word) hash aggregate (map-side combinable),
+    one per-doc regroup; linear, shuffle carries pre-reduced term
+    rows, never bodies. The rules themselves are a projection."""
+    from kafka_to_parquet_spark.functions.text import STOPWORDS
+
+    dw = _doc_word_tf(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    st = dw.groupBy("doc_id").agg(
+        F.sum("tf_doc").cast("long").alias("n_tokens"),
+        F.sum(F.length("word") * F.col("tf_doc")).cast("long").alias("tok_chars"),
+        F.max("tf_doc").cast("long").alias("max_tf"),
+        F.sum(
+            F.when(F.array_contains(stop_arr, F.col("word")), 1).otherwise(0)
+        ).cast("long").alias("n_stop_types"),
+    )
+    r_len = F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    r_mwl = (17 * F.col("n_tokens") <= 4 * F.col("tok_chars")) & (
+        4 * F.col("tok_chars") <= 19 * F.col("n_tokens")
+    )
+    r_rep = GOPHER_MAX_TOPWORD_PCT * F.col("max_tf") <= F.col("n_tokens")
+    r_stop = F.col("n_stop_types") >= GOPHER_MIN_STOP_TYPES
+    return st.select(
+        "doc_id",
+        r_len.cast("int").alias("r_len"),
+        r_mwl.cast("int").alias("r_mwl"),
+        r_rep.cast("int").alias("r_rep"),
+        r_stop.cast("int").alias("r_stop"),
+        (r_len & r_mwl & r_rep & r_stop).cast("int").alias("keep"),
     )

@@ -343,3 +343,65 @@ def test_multiprobe_dominates_single_probe(run):
     assert set(single) <= set(multi)  # a found rank never disappears
     worse = [k for k in single if multi[k] < single[k]]
     assert worse == []
+
+
+# ------------------------------------- q_quality_gopher / q_sample_temperature
+
+
+def test_gopher_rules_python_recompute(run, spark, sf_dir):
+    from collections import Counter as C
+
+    from kafka_to_parquet_spark.functions.text import STOPWORDS
+    from kafka_to_parquet_spark.llm.corpus_stats import (
+        GOPHER_MAX_TOKENS,
+        GOPHER_MAX_TOPWORD_PCT,
+        GOPHER_MIN_STOP_TYPES,
+        GOPHER_MIN_TOKENS,
+    )
+
+    want = {}
+    for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        toks = _tokens(r.text)
+        tf = C(toks)
+        n, chars, mx = len(toks), sum(map(len, toks)), max(tf.values())
+        stops = sum(1 for w in tf if w in STOPWORDS)
+        rl = int(GOPHER_MIN_TOKENS <= n <= GOPHER_MAX_TOKENS)
+        rm = int(17 * n <= 4 * chars <= 19 * n)
+        rr = int(GOPHER_MAX_TOPWORD_PCT * mx <= n)
+        rs = int(stops >= GOPHER_MIN_STOP_TYPES)
+        want[r.doc_id] = (rl, rm, rr, rs, rl & rm & rr & rs)
+    got = {
+        r.doc_id: (r.r_len, r.r_mwl, r.r_rep, r.r_stop, r.keep)
+        for r in run("q_quality_gopher").collect()
+    }
+    assert got == want
+    # every rule must actually split somewhere across the fixtures
+    # (the mwl window was vacuous before being tuned to the corpus)
+    for i in range(4):
+        vals = {v[i] for v in want.values()}
+        assert vals == {0, 1}, f"rule {i} does not split the fixture"
+
+
+def test_sample_temperature_flattens_shares(run, spark, sf_dir):
+    """Recompute keep_bp exactly; check the temperature property: the
+    kept-fraction (keep_bp) never increases with source size, and the
+    expected sample is ~half the corpus."""
+    import math
+
+    n_by_src = Counter(
+        r.source for r in load(spark, sf_dir, "documents").select("source").collect()
+    )
+    total = sum(n_by_src.values())
+    w = {s: math.floor(math.sqrt(n * 1_000_000)) for s, n in n_by_src.items()}
+    z = sum(w.values())
+    bp = {
+        s: min(10000, (5000 * total * w[s]) // (z * n_by_src[s])) for s in n_by_src
+    }
+    rows = run("q_sample_temperature").collect()
+    got_bp = {r.source: r.keep_bp for r in rows}
+    assert got_bp == {s: v for s, v in bp.items() if any(r.source == s for r in rows)}
+    by_size = sorted(n_by_src, key=n_by_src.get)
+    for small, big in zip(by_size, by_size[1:]):
+        assert bp[small] >= bp[big], (small, big)
+    expect = sum(n_by_src[s] * bp[s] / 10000 for s in n_by_src)
+    assert abs(len(rows) - expect) <= 3 * math.sqrt(expect) + 5  # hash-gate noise
