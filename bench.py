@@ -127,6 +127,11 @@ HEADLINE = [
     "q_lsh_recall",        # banded-LSH recall audit per J-decile
     "q_knn_graph_ivf",     # IVF-cell k-NN graph (scale twin)
     "q_dedup_minhash_incr",  # batch-vs-corpus-index near-dup probe
+    "q_knn_multiprobe",      # multi-probe IVF k-NN (nprobe=2)
+    "q_quality_gopher",      # composite Gopher-rule quality filter
+    "q_sample_temperature",  # sqrt-temperature source resampling
+    "q_dedup_keep_best",     # keep-longest-per-component dedup
+    "q_select_topq",         # per-source top-20% quality selection
 ]
 
 

@@ -87,9 +87,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_text_quality",
-    oracle=f"""
+# One oracle text for the quality scorer, shared verbatim by
+# q_text_quality and (as a subquery) q_select_topq so the score
+# formula can never drift between the two.
+_QUALITY_ORACLE = f"""
 SELECT doc_id,
        CAST(len(toks) AS INTEGER)                AS n_tokens,
        CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
@@ -100,8 +101,10 @@ SELECT doc_id,
                         ' * (0.5 + 0.5 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))',
                         6)}                      AS quality_score
 FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
-""",
-)
+"""
+
+
+@query("q_text_quality", oracle=_QUALITY_ORACLE)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, type-token ratio, stopword ratio,
     and a composite score (length saturation × lexical diversity) — the
@@ -256,3 +259,68 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"
     )
     return d.select("doc_id", fp.alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source top-quality selection (FineWeb/DCLM-style curation)
+# ---------------------------------------------------------------------------
+
+TOPQ_PCT = 20  # keep the top 20% of each source by quality score
+
+
+@query(
+    "q_select_topq",
+    oracle=f"""
+WITH s AS ({_QUALITY_ORACLE}),
+j AS (
+  SELECT d.doc_id, d.source, s.quality_score
+  FROM documents d JOIN s USING (doc_id)
+),
+r AS (
+  SELECT doc_id, source, quality_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rn,
+         count(*)     OVER (PARTITION BY source) AS n_src
+  FROM j
+)
+SELECT doc_id, source, quality_score
+FROM r WHERE rn <= (n_src * {TOPQ_PCT} + 99) // 100
+""",
+)
+def q_select_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4i: per-source top-{TOPQ_PCT}% quality selection — the
+    model-scored curation step of FineWeb-Edu / DCLM reduced to the
+    repo's deterministic scorer: rank every document within its source
+    by quality_score (6-dp floored, so cross-engine ties are exact,
+    doc_id tiebreak) and keep the top ceil({TOPQ_PCT}% · n_source).
+    Per-source (not global) selection is the point: a global cutoff
+    would empty low-scoring sources entirely, while per-source rank
+    preserves the mix while raising its floor — the same reason
+    FineWeb filters per dump.
+
+    100 TB shape: the scorer is an embarrassingly parallel projection
+    (shared verbatim with q_text_quality); the rank is ONE window
+    shuffle keyed by source carrying only (doc_id, source, score) —
+    bodies never move. A production variant with a skewed giant source
+    swaps row_number for the two-level top-k of q_win_running_scalable;
+    the per-source count reuses the same exchange."""
+    from pyspark.sql import Window
+
+    scored = q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = docs.join(scored, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("source")
+    return (
+        j.select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_src"),
+        )
+        .filter(F.col("rn") <= F.expr(f"(n_src * {TOPQ_PCT} + 99) DIV 100"))
+        .select("doc_id", "source", "quality_score")
+    )

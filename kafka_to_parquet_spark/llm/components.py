@@ -274,3 +274,81 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
         )
     )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE
+{_PAIRS_CTE},
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+),
+comp AS (
+  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+),
+scored AS (
+  SELECT c.component, d.doc_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+best AS (
+  SELECT component, doc_id, n_chars
+  FROM (SELECT *, row_number() OVER (PARTITION BY component
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS group_size
+  FROM comp GROUP BY component
+)
+SELECT b.doc_id, CAST(b.component AS BIGINT) AS component,
+       d.lang, d.source, d.n_chars, s.group_size
+FROM best b
+JOIN sizes s USING (component)
+JOIN documents d ON d.doc_id = b.doc_id
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-aware form of q_dedup_keep: per near-dup component
+    keep the LONGEST member (max n_chars, min doc_id tiebreak) instead
+    of the min-id one — the production policy, since the longest copy
+    of a mirrored/quoted page is usually the most complete and
+    truncated copies are the ones to drop (same reasoning as CCNet's
+    keep-longest and the near-dedup stage of most pretraining
+    pipelines; any integer quality score drops into the same struct).
+
+    Plan: composition over the memoized ``component_labels`` — one
+    join of labels to the (doc_id, n_chars) projection, then the
+    argmax per component as a map-side-combinable
+    min(struct(-n_chars, doc_id)) aggregate (each task pre-reduces its
+    members to one row before the component-keyed exchange; a
+    row_number window would shuffle every member to sort it), one
+    count-agg for group sizes reusing the same exchange key, and one
+    join back for the kept rows' metadata. Marginal cost over the
+    shared labels: two narrow component-keyed shuffles + one id join,
+    independent of how the labels were produced."""
+    labels = component_labels(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    scored = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    per_comp = scored.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("neg_chars"), F.col("doc_id").alias("doc_id")
+            )
+        ).alias("m"),
+    )
+    return (
+        per_comp.select(
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("component").cast("long").alias("component"),
+            "group_size",
+        )
+        .join(docs, "doc_id")
+        .select("doc_id", "component", "lang", "source", "n_chars", "group_size")
+    )

@@ -405,3 +405,64 @@ def test_sample_temperature_flattens_shares(run, spark, sf_dir):
         assert bp[small] >= bp[big], (small, big)
     expect = sum(n_by_src[s] * bp[s] / 10000 for s in n_by_src)
     assert abs(len(rows) - expect) <= 3 * math.sqrt(expect) + 5  # hash-gate noise
+
+
+# ----------------------------------------------------- q_dedup_keep_best
+
+
+def test_keep_best_picks_longest_member(run, spark, sf_dir):
+    """One kept row per component; the kept doc is the component's
+    longest member (min doc_id on ties) and group sizes agree with
+    q_dedup_components."""
+    comp = {r.doc_id: r.component for r in run("q_dedup_components").collect()}
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    }
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    rows = run("q_dedup_keep_best").collect()
+    assert len(rows) == len(members)
+    for r in rows:
+        ms = members[r.component]
+        best = min(ms, key=lambda d: (-chars[d], d))
+        assert r.doc_id == best
+        assert r.group_size == len(ms)
+        assert r.n_chars == chars[best]
+
+
+def test_keep_best_and_keep_same_components(run):
+    """Both policies must partition the corpus identically — only the
+    chosen representative differs. q_dedup_keep's kept doc_id IS the
+    component id (min-id policy), so it must equal keep_best's
+    component column exactly."""
+    best = {r.component: r.group_size for r in run("q_dedup_keep_best").collect()}
+    keep = {r.doc_id: r.group_size for r in run("q_dedup_keep").collect()}
+    assert best == keep
+
+
+# --------------------------------------------------------- q_select_topq
+
+
+def test_select_topq_python_recompute(run, spark, sf_dir):
+    """Exact recompute: per source keep ceil(20%) by (score desc,
+    doc_id) where score comes from the declared quality query."""
+    import math
+
+    score = {r.doc_id: r.quality_score for r in run("q_text_quality").collect()}
+    src = {
+        r.doc_id: r.source
+        for r in load(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    by_src: dict[str, list[int]] = {}
+    for d, s in src.items():
+        by_src.setdefault(s, []).append(d)
+    want = set()
+    for s, ds in by_src.items():
+        k = math.ceil(len(ds) * 0.2)
+        ds.sort(key=lambda d: (-score[d], d))
+        want.update(ds[:k])
+    rows = run("q_select_topq").collect()
+    assert {r.doc_id for r in rows} == want
+    assert rows and all(r.quality_score == score[r.doc_id] for r in rows)
