@@ -79,3 +79,37 @@ def test_all_dataframe_caches_are_registered():
                 if id(val) not in registered_ids:
                     missing.append(f"{mod_info.name}.{attr}")
     assert missing == []
+
+
+def test_result_level_clear_targets_only_result_caches():
+    """clear_result_caches (the bench/scaling honesty mechanism) must
+    evict exactly the result_level-registered caches and leave feature
+    caches warm — and _LABELS_CACHE must actually be enrolled as
+    result-level (the whole point of the round-5 refactor)."""
+    from kafka_to_parquet_spark.cache import (
+        _RESULT_LEVEL,
+        clear_result_caches,
+        register_cache,
+    )
+    from kafka_to_parquet_spark.llm.components import _LABELS_CACHE
+
+    assert any(c is _LABELS_CACHE for c in _RESULT_LEVEL)
+
+    feat = register_cache({})
+    res = register_cache({}, result_level=True)
+    try:
+        feat[("s", "d")] = "feature-value"
+        res[("s", "d")] = "result-value"
+        n = clear_result_caches()
+        assert n >= 1
+        assert res == {}
+        assert feat == {("s", "d"): "feature-value"}
+    finally:
+        # Deregister the throwaway dicts so later lifecycle tests'
+        # entry counts aren't affected.
+        from kafka_to_parquet_spark.cache import _REGISTERED
+
+        feat.clear()
+        _REGISTERED.remove(feat)
+        _REGISTERED.remove(res)
+        _RESULT_LEVEL.remove(res)
