@@ -132,6 +132,7 @@ HEADLINE = [
     "q_sample_temperature",  # sqrt-temperature source resampling
     "q_dedup_keep_best",     # keep-longest-per-component dedup
     "q_select_topq",         # per-source top-20% quality selection
+    "q_skyline",             # Pareto frontier via bucketed local prune
 ]
 
 

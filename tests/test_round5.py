@@ -466,3 +466,40 @@ def test_select_topq_python_recompute(run, spark, sf_dir):
     rows = run("q_select_topq").collect()
     assert {r.doc_id for r in rows} == want
     assert rows and all(r.quality_score == score[r.doc_id] for r in rows)
+
+
+# ------------------------------------------------------------- q_skyline
+
+
+def test_skyline_python_recompute_and_prune_invariance(run, spark, sf_dir):
+    """Exhaustive O(n²) dominance recompute; then re-run the same
+    pandas skyline routine with a different bucket count to pin the
+    local-prune losslessness (output must not depend on bucketing)."""
+    import collections
+
+    spend: dict[int, int] = collections.defaultdict(int)
+    cnt: dict[int, int] = collections.defaultdict(int)
+    for r in load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect():
+        spend[r.o_custkey] += int(round(r.o_totalprice * 100))
+        cnt[r.o_custkey] += 1
+    pts = [(k, spend[k], cnt[k]) for k in spend]
+    want = {
+        (k, s, c)
+        for k, s, c in pts
+        if not any(
+            (s2 >= s and c2 >= c and (s2 > s or c2 > c)) for _, s2, c2 in pts
+        )
+    }
+    got = {(r.custkey, r.spend_cents, r.n_orders) for r in run("q_skyline").collect()}
+    assert got == want
+    assert got  # non-vacuous
+
+    # Bucketing invariance: the pandas routine applied globally (one
+    # bucket) must equal the two-stage result.
+    import pandas as pd
+
+    from kafka_to_parquet_spark.operators.preference import _skyline_block
+
+    pdf = pd.DataFrame(pts, columns=["custkey", "spend_cents", "n_orders"])
+    single = _skyline_block(pdf)
+    assert {tuple(x) for x in single.to_numpy()} == want
