@@ -231,19 +231,20 @@ def main() -> None:
     if len(line) > budget:
         out["queries"] = {n: round(t, 2) for n, t in timings.items()}
         line = json.dumps(out, separators=(",", ":"))
+    # Shrink the ERROR texts first: errors are up to 200 chars each
+    # (bench's own cap) while timings are the benchmark's payload —
+    # shortening errors to 60 chars often saves enough that no timing
+    # has to be dropped at all. BENCH_LOCAL.json (written above,
+    # pre-truncation) keeps the full error text either way; the stdout
+    # line must parse above all else.
+    if len(line) > budget and out.get("errors"):
+        out["errors"] = {n: e[:60] for n, e in out["errors"].items()}
+        line = json.dumps(out, separators=(",", ":"))
     while len(line) > budget and out["queries"]:
         q = out["queries"]
         dropped = min(q, key=q.get)
         del q[dropped]
         out["queries_omitted"] = out.get("queries_omitted", 0) + 1
-        line = json.dumps(out, separators=(",", ":"))
-    # Errors are the other unbounded dict (each entry up to 200 chars):
-    # a bad round with many failing queries could still exceed the
-    # budget after every timing was dropped. Shorten, then drop —
-    # BENCH_LOCAL.json (written above, pre-truncation) keeps the full
-    # text; the stdout line must parse above all else.
-    if len(line) > budget and out.get("errors"):
-        out["errors"] = {n: e[:60] for n, e in out["errors"].items()}
         line = json.dumps(out, separators=(",", ":"))
     while len(line) > budget and out.get("errors"):
         del out["errors"][next(iter(out["errors"]))]

@@ -53,20 +53,26 @@ KM_MOD = 100
 KM_K = 5
 
 
+def ivf_seeds(e: DataFrame, mod: int, cap: int | None = None) -> DataFrame:
+    """The (cent_id, cente) seed set: every ``mod``-th vector,
+    optionally capped to the first ``cap`` seeds. Small by
+    construction — the side every IVF/Lloyd stage broadcasts."""
+    cond = F.col("vec_id") % mod == 0
+    if cap is not None:
+        cond = cond & (F.col("vec_id") < mod * cap)
+    return e.filter(cond).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
+    )
+
+
 def ivf_scored(e: DataFrame, mod: int, cap: int | None = None) -> DataFrame:
     """(vector × seed) distance table behind the IVF / Lloyd family:
-    seeds are every ``mod``-th vector (optionally capped to the first
-    ``cap`` seeds), broadcast into the corpus scan; distance is the
+    :func:`ivf_seeds` broadcast into the corpus scan; distance is the
     6-dp ROUNDED squared L2 so an ulp-level divergence between engines
     can't flip a downstream argmin. Returns
     (vec_id, embedding, cent_id, d2) — the oracle twin is
     :func:`duck_ivf_assign_cte`'s ``scored`` CTE."""
-    cond = F.col("vec_id") % mod == 0
-    if cap is not None:
-        cond = cond & (F.col("vec_id") < mod * cap)
-    cent = e.filter(cond).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
-    )
+    cent = ivf_seeds(e, mod, cap)
     return e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",

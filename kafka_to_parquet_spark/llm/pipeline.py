@@ -778,80 +778,3 @@ def q_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_clean"),
     )
 
-
-# ---------------------------------------------------------------------------
-# Temperature-based corpus resampling (source rebalancing)
-# ---------------------------------------------------------------------------
-
-from kafka_to_parquet_spark.functions.hashes import duck_h31, spark_h31  # noqa: E402
-
-SAMPLE_ALPHA_SQRT = True  # alpha = 0.5 (w_s = sqrt(n_s))
-SAMPLE_TARGET_HALF = True  # M = N/2 target corpus size
-
-
-@query(
-    "q_sample_temperature",
-    oracle=f"""
-WITH srcn AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
-),
-w AS (
-  SELECT source, n,
-         CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS w
-  FROM srcn
-),
-z AS (SELECT CAST(sum(w) AS BIGINT) AS z, CAST(sum(n) AS BIGINT) AS total FROM w),
-rate AS (
-  SELECT source,
-         LEAST(10000, (5000 * total * w) // (z * n)) AS keep_bp
-  FROM w CROSS JOIN z
-)
-SELECT d.doc_id, d.source, rate.keep_bp
-FROM documents d JOIN rate USING (source)
-WHERE {duck_h31("CAST(d.doc_id AS VARCHAR)")} % 10000 < rate.keep_bp
-""",
-)
-def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5h: temperature-resampled corpus rebalancing — the
-    source-rebalancing op of multilingual/multi-source pretraining
-    mixes (mT5 / PaLM style): source s is kept with probability
-    proportional to n_s^(alpha-1) with alpha = 0.5, i.e. target share
-    ∝ sqrt(n_s), flattening the head sources and up-weighting the
-    tail, scaled so the expected sample is half the corpus. The
-    per-document gate is deterministic: md5-based h31(doc_id) mod
-    10000 < keep_bp(source) — reproducible across runs, engines, and
-    cluster sizes, unlike rand()-based sampling.
-
-    Integer discipline: w_s = floor(sqrt(n_s·10^6)) (floor of an IEEE
-    sqrt — exact in both engines), Z = Σw_s and keep_bp are pure
-    BIGINT arithmetic with a single integer division, so no float sum
-    order can flip a boundary. At ≥10^9-document scale the bp product
-    5000·N·w needs 128-bit/decimal widening — the constants rescale
-    (drop the 10^6 under the sqrt) without changing semantics.
-
-    100 TB shape: the per-source histogram is a tiny map-side-combined
-    aggregate (|sources| rows); the scalar (Z, N) is a 1-row cross
-    join; rates broadcast back into the corpus scan, so the sample is
-    one filter over one pass — no shuffle of document bodies at all."""
-    docs = load(spark, sf_dir, "documents")
-    srcn = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
-    w = srcn.select(
-        "source",
-        "n",
-        F.expr("CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT)").alias("w"),
-    )
-    z = w.agg(
-        F.sum("w").cast("long").alias("z"), F.sum("n").cast("long").alias("total")
-    )
-    rate = w.crossJoin(F.broadcast(z)).select(
-        "source",
-        F.least(
-            F.lit(10000).cast("long"),
-            F.expr("(5000 * total * w) DIV (z * n)"),
-        ).alias("keep_bp"),
-    )
-    return (
-        docs.join(F.broadcast(rate), "source")
-        .filter(F.expr(f"{spark_h31('CAST(doc_id AS STRING)')} % 10000") < F.col("keep_bp"))
-        .select("doc_id", "source", "keep_bp")
-    )

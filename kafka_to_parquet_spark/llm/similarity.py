@@ -439,22 +439,32 @@ def q_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells — so a pair can match in at most one cell and no dedup
     stage is needed.
 
-    Plan: probe cells are found WITHOUT a window shuffle — the home
-    cell is ivf_assign's map-side-combinable min(struct) (shuffle of N
-    pre-reduced rows), and the second probe re-scores against the
-    broadcast seeds excluding the home cell and argmins again: nProbe
-    map-side-combinable passes, each shuffling N rows, where a
-    row_number window over ``scored`` would shuffle N·k rows to rank
-    all cells per vector. The oracle's ``rn <= {KNN_PROBES}`` window
-    is the same set by the (d2, cent_id) tiebreak's determinism."""
-    from kafka_to_parquet_spark.llm.clustering import ivf_assign, ivf_scored
+    Plan: probe cells are found WITHOUT ever shuffling the N·k scored
+    table — the home cell is ivf_assign's map-side-combinable
+    min(struct) (shuffle of N pre-reduced rows), and the second probe
+    starts FROM the home table (which already carries each vector's
+    embedding): broadcast the seeds into it, drop the home cell's row,
+    argmin again — another map-side-combinable pass shuffling N rows.
+    The N·k distance computations happen twice but purely map-side;
+    a row_number window over ``scored`` (or joining home back onto
+    the N·k scored table) would move all N·k rows through an exchange
+    to rank them. The oracle's ``rn <= {KNN_PROBES}`` window is the
+    same set by the (d2, cent_id) tiebreak's determinism."""
+    from kafka_to_parquet_spark.functions.vectors import sqdist_expr
+    from kafka_to_parquet_spark.llm.clustering import ivf_assign, ivf_seeds
 
     e = load(spark, sf_dir, "embeddings")
     home = ivf_assign(e, KNN_IVF_MOD)
     second = (
-        ivf_scored(e, KNN_IVF_MOD)
-        .join(home.select("vec_id", F.col("cent_id").alias("home_c")), "vec_id")
+        home.select("vec_id", "embedding", F.col("cent_id").alias("home_c"))
+        .crossJoin(F.broadcast(ivf_seeds(e, KNN_IVF_MOD)))
         .filter(F.col("cent_id") != F.col("home_c"))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
+        )
         .groupBy("vec_id")
         .agg(
             F.min(F.struct("d2", "cent_id")).alias("m"),
