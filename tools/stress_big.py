@@ -43,7 +43,14 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # mistake, not the operator.)
            "q_dedup_exact", "q_dedup_bag", "q_dedup_substring",
            "q_dedup_span_strip", "q_ttr_source", "q_dedup_components",
-           "q_dup_cluster_stats", "q_dedup_minhash"]
+           "q_dup_cluster_stats", "q_dedup_minhash",
+           # round-5 late additions: keep-best rides the same labels as
+           # components under 10-way dup families; gopher stresses the
+           # explode->two-agg path; temperature/topq/skyline stress the
+           # per-source histogram, window-select, and local-prune
+           # shapes on 10x rows.
+           "q_dedup_keep_best", "q_quality_gopher",
+           "q_sample_temperature", "q_select_topq", "q_skyline"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
@@ -140,9 +147,16 @@ def main() -> None:
         lines.append(f"| {name} | {t_small:.2f}s | {t_big:.2f}s | {t_big / t_small:.1f}× |")
         print(lines[-1])
 
-    with open("SCALING.md", "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print("appended to SCALING.md")
+    # Replace any previous stress section rather than appending a
+    # duplicate — scaling_report.py preserves every "## " section as
+    # its footer, so a stale copy would otherwise accumulate per run.
+    with open("SCALING.md") as f:
+        old = f.read()
+    idx = old.find("\n## 10× stress")
+    base = old[:idx] if idx != -1 else old
+    with open("SCALING.md", "w") as f:
+        f.write(base + "\n".join(lines) + "\n")
+    print("wrote stress section to SCALING.md")
 
 
 if __name__ == "__main__":
