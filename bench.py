@@ -133,6 +133,7 @@ HEADLINE = [
     "q_dedup_keep_best",     # keep-longest-per-component dedup
     "q_select_topq",         # per-source top-20% quality selection
     "q_skyline",             # Pareto frontier via bucketed local prune
+    "q_outliers_mad",        # robust median/MAD outlier screen
 ]
 
 

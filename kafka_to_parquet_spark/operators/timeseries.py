@@ -586,3 +586,70 @@ def q_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "es")
     )
+
+
+@query(
+    "q_outliers_mad",
+    oracle="""
+WITH base AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+m AS (
+  SELECT event_type, CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS med2
+  FROM base GROUP BY event_type
+),
+d AS (
+  SELECT base.event_id, base.event_type, c, med2, abs(2 * c - med2) AS dd
+  FROM base JOIN m USING (event_type)
+),
+s AS (
+  SELECT event_type, CAST(2 * quantile_cont(dd, 0.5) AS BIGINT) AS mad_d2
+  FROM d GROUP BY event_type
+)
+SELECT event_id, d.event_type, c AS cents, med2, mad_d2
+FROM d JOIN s USING (event_type)
+WHERE 4 * dd > 9 * mad_d2
+""",
+)
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection — the resistant twin of
+    q_outliers_zscore: mean and stddev are themselves dragged by the
+    outliers they're meant to find (the fixture's value distribution
+    is right-skewed, median 35 vs max 490), so production anomaly
+    screens use deviation from the MEDIAN in units of the median
+    absolute deviation. Flagged: |c - med| > 2.25·MAD (the 9/4 ratio
+    keeps the test in pure integers and splits this corpus at ~5%;
+    the conventional 3·1.4826·MAD normal-consistent form is the same
+    plan with a different literal).
+
+    Exactness without floats: values become integer cents; each
+    median of integers interpolates to a multiple of 1/2, so DOUBLING
+    it (med2 = 2·median(c), mad_d2 = 2·median(|2c - med2|)) is an
+    exact integer in both engines, and the threshold clears all
+    denominators into 4·dd > 9·mad_d2 — no boundary can disagree.
+
+    Shape: two grouped exact-percentile aggregations (each an
+    object-hash aggregate over the 5 event types) with the tiny
+    per-type stats broadcast back onto the scan between them; the
+    row set never shuffles. At 100 TB the exact medians swap for
+    approx_percentile sketches (map-side-combinable, one narrow pass
+    each) — the q_agg_percentile precedent — with the same plan."""
+    base = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    m = base.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(c, 0.5) AS BIGINT)").alias("med2")
+    )
+    d = base.join(F.broadcast(m), "event_type").withColumn(
+        "dd", F.abs(2 * F.col("c") - F.col("med2"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(dd, 0.5) AS BIGINT)").alias("mad_d2")
+    )
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .filter(4 * F.col("dd") > 9 * F.col("mad_d2"))
+        .select("event_id", "event_type", F.col("c").alias("cents"), "med2", "mad_d2")
+    )

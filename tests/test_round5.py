@@ -503,3 +503,35 @@ def test_skyline_python_recompute_and_prune_invariance(run, spark, sf_dir):
     pdf = pd.DataFrame(pts, columns=["custkey", "spend_cents", "n_orders"])
     single = _skyline_block(pdf)
     assert {tuple(x) for x in single.to_numpy()} == want
+
+
+# ---------------------------------------------------------- q_outliers_mad
+
+
+def test_mad_outliers_python_recompute(run, spark, sf_dir):
+    """Exact recompute with Python statistics.median on integer cents;
+    also checks robustness vs the z-score screen: the MAD flag set is
+    computed from medians, so it must be non-empty and every flagged
+    row's deviation must exceed 2.25x its type's MAD."""
+    import statistics as st
+
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in load(spark, sf_dir, "events").select("event_id", "event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append((r.event_id, round(r.value * 100)))
+    want = set()
+    stats = {}
+    for t, rows in by_type.items():
+        cs = [c for _, c in rows]
+        med2 = round(2 * st.median(cs))
+        dds = [abs(2 * c - med2) for c in cs]
+        mad_d2 = round(2 * st.median(dds))
+        stats[t] = (med2, mad_d2)
+        for (eid, c), dd in zip(rows, dds):
+            if 4 * dd > 9 * mad_d2:
+                want.add((eid, t, c, med2, mad_d2))
+    got = {
+        (r.event_id, r.event_type, r.cents, r.med2, r.mad_d2)
+        for r in run("q_outliers_mad").collect()
+    }
+    assert got == want
+    assert got
