@@ -1,6 +1,6 @@
 SF_DIR ?= /root/testdata/sf0.01
 
-.PHONY: test verify verify-plain bench plans smoke
+.PHONY: test verify verify-plain bench plans smoke scaling stress
 
 test:
 	python -m pytest tests/ -x -q
@@ -16,6 +16,12 @@ bench:
 
 plans:
 	python tools/plan_audit.py
+
+scaling:  # regenerates SCALING.md's machine-owned table (run on a quiet host)
+	python tools/scaling_report.py
+
+stress:  # sf~1 replicated stress; replaces SCALING.md's 10x section
+	python tools/stress_big.py
 
 smoke:  # the driver's t1 check through the real contract surface
 	python -c "import sys; sys.path.insert(0, '.'); \
