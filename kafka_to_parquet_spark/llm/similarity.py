@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import register_cache
 from kafka_to_parquet_spark.functions.vectors import cosine_expr, dot_expr, duck_cosine, norm_expr
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
@@ -361,6 +362,26 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_IVF_MOD = 100
 
+# Persisted IVF home assignment — the on-disk index layout a
+# production ANN corpus stores once and every search reads. Three
+# consumers share it in one session (q_knn_graph_ivf, and
+# q_knn_multiprobe's second-probe source, probes union, and index
+# side — Catalyst has no cross-operator CSE, so without the persist
+# the broadcast-crossJoin+argmin subtree executes once per consumer).
+# Feature-level by the bench honesty rule: the index is a shared
+# input, not a query's answer.
+_IVF_HOME_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache({})
+
+
+def ivf_home(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _IVF_HOME_CACHE:
+        from kafka_to_parquet_spark.llm.clustering import ivf_assign
+
+        e = load(spark, sf_dir, "embeddings")
+        _IVF_HOME_CACHE[key] = ivf_assign(e, KNN_IVF_MOD).persist()
+    return _IVF_HOME_CACHE[key]
+
 
 def _knn_ivf_oracle() -> str:
     from kafka_to_parquet_spark.llm.clustering import duck_ivf_assign_cte
@@ -392,11 +413,10 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocking term-for-term — through the same two shared builders
     (clustering.ivf_assign / _blocked_knn and their DuckDB twins) the
     Lloyd and label-blocked queries use, so the four copies of the
-    assign/rank logic this pair originally carried can't drift."""
-    from kafka_to_parquet_spark.llm.clustering import ivf_assign
-
-    e = load(spark, sf_dir, "embeddings")
-    return _blocked_knn(ivf_assign(e, KNN_IVF_MOD), "cent_id")
+    assign/rank logic this pair originally carried can't drift. The
+    assignment itself comes from the persisted ivf_home index table,
+    shared with q_knn_multiprobe."""
+    return _blocked_knn(ivf_home(spark, sf_dir), "cent_id")
 
 
 # Multi-probe: the recall knob on the IVF twin. A vector is INDEXED in
@@ -449,12 +469,16 @@ def q_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a row_number window over ``scored`` (or joining home back onto
     the N·k scored table) would move all N·k rows through an exchange
     to rank them. The oracle's ``rn <= {KNN_PROBES}`` window is the
-    same set by the (d2, cent_id) tiebreak's determinism."""
+    same set by the (d2, cent_id) tiebreak's determinism. The home
+    table is the persisted ivf_home index (three consumers below —
+    second-probe source, probes union, index side — and Catalyst has
+    no cross-operator CSE, so without the persist the assign subtree
+    would execute once per consumer)."""
     from kafka_to_parquet_spark.functions.vectors import sqdist_expr
-    from kafka_to_parquet_spark.llm.clustering import ivf_assign, ivf_seeds
+    from kafka_to_parquet_spark.llm.clustering import ivf_seeds
 
     e = load(spark, sf_dir, "embeddings")
-    home = ivf_assign(e, KNN_IVF_MOD)
+    home = ivf_home(spark, sf_dir)
     second = (
         home.select("vec_id", "embedding", F.col("cent_id").alias("home_c"))
         .crossJoin(F.broadcast(ivf_seeds(e, KNN_IVF_MOD)))
