@@ -564,3 +564,46 @@ def test_event_pattern_python_recompute(run, spark, sf_dir):
     }
     assert got == want
     assert any(v[2] > 0 for v in want.values())  # pattern actually fires
+
+
+def test_skyline_block_property_based():
+    """Hypothesis: for arbitrary integer point sets, _skyline_block
+    returns exactly the non-dominated rows (>=/>= with one strict),
+    keeps ALL co-optimal duplicates, and is invariant to splitting
+    into buckets first (the losslessness the distributed plan rests
+    on) — including adversarial tie-heavy inputs the fixture lacks."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_to_parquet_spark.operators.preference import _skyline_block
+
+    pts = st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 12)),  # dense → many ties
+        min_size=1,
+        max_size=120,
+    )
+
+    @settings(max_examples=250, deadline=None)
+    @given(pts)
+    def check(rows):
+        pdf = pd.DataFrame(
+            [(i, s, c) for i, (s, c) in enumerate(rows)],
+            columns=["custkey", "spend_cents", "n_orders"],
+        )
+        want = {
+            i
+            for i, (s, c) in enumerate(rows)
+            if not any(
+                s2 >= s and c2 >= c and (s2 > s or c2 > c) for s2, c2 in rows
+            )
+        }
+        got = set(_skyline_block(pdf)["custkey"])
+        assert got == want
+        # bucketing invariance: local skylines then merge == global
+        merged = pd.concat(
+            [_skyline_block(pdf[pdf["custkey"] % 3 == b]) for b in range(3)]
+        )
+        assert set(_skyline_block(merged)["custkey"]) == want
+
+    check()
