@@ -136,3 +136,26 @@ def test_coverage_md_totals_match_registry():
     assert declared == len(registry.QUERIES)
     assert oracled == len(registry.ORACLE_SQL)
     assert rows_only == len(registry.QUERIES) - len(registry.ORACLE_SQL)
+
+
+def test_perf_tool_query_lists_are_registered():
+    """bench.py HEADLINE and the scaling/stress tool lists drive long
+    artifact regenerations — a typo'd or stale name would crash the
+    tool mid-run (or silently drop coverage) instead of failing here
+    in a second."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, "/root/repo/tools")
+    from bench import HEADLINE
+    from scaling_report import QUERIES as SCALING_QUERIES
+    from stress_big import QUERIES as STRESS_QUERIES
+
+    registry.load_all()
+    assert set(HEADLINE) <= set(registry.QUERIES)
+    assert {n for n, _ in SCALING_QUERIES} <= set(registry.QUERIES)
+    assert set(STRESS_QUERIES) <= set(registry.QUERIES)
+    # scaling rows must name real tables the report can count
+    assert {t for _, t in SCALING_QUERIES} <= {
+        "lineitem", "orders", "events", "documents", "embeddings"
+    }
