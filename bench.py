@@ -135,6 +135,7 @@ HEADLINE = [
     "q_skyline",             # Pareto frontier via bucketed local prune
     "q_outliers_mad",        # robust median/MAD outlier screen
     "q_event_pattern",       # CEP-style journey pattern counting
+    "q_chi2_independence",   # contingency chi-square profile stat
 ]
 
 

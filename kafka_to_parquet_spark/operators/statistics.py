@@ -314,3 +314,80 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_wins_c"),
         )
     )
+
+
+@query(
+    "q_chi2_independence",
+    oracle="""
+WITH cell AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+),
+rowt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS r FROM cell GROUP BY lang),
+colt AS (SELECT source, CAST(sum(n) AS BIGINT) AS c FROM cell GROUP BY source),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_source
+        FROM cell),
+term AS (
+  SELECT CAST(round(
+           1000000000.0 * (big_n * n - r * c) * (big_n * n - r * c)
+             / (CAST(big_n AS DOUBLE) * r * c)
+         ) AS BIGINT) AS t_nano
+  FROM cell JOIN rowt USING (lang) JOIN colt USING (source) CROSS JOIN tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((max(tot.n_lang) - 1) * (max(tot.n_source) - 1) AS BIGINT) AS dof,
+       CAST(sum(t_nano) AS BIGINT) AS chi2_nano
+FROM term CROSS JOIN tot
+""",
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between the ``lang`` and
+    ``source`` labels — the contingency-table screen a curator runs to
+    see whether sources are language-skewed (a strong association
+    means per-source language filters can't be tuned globally).
+
+    Cross-engine determinism without float summation: each cell's
+    contribution (N·n - r·c)²/(N·r·c) — the (o-e)²/e term with all
+    denominators cleared to one division — is computed as ONE double
+    expression per cell (IEEE-deterministic for identical inputs) and
+    immediately rounded to integer NANOS; the cross-cell SUM is then
+    pure BIGINT, so accumulation order — the one thing two engines
+    will never agree on — cannot move the result. chi2 =
+    chi2_nano/1e9, exact to 1e-9 per cell.
+
+    Shape: one map-side-combinable (lang, source) count, two tiny
+    margin aggregates, a 1-row total, and broadcast joins back onto
+    the ≤|langs|·|sources| cell table — at 100 TB only the first
+    aggregate touches the corpus; everything after is O(cells)."""
+    cell = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rowt = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("r"))
+    colt = cell.groupBy("source").agg(F.sum("n").cast("long").alias("c"))
+    tot = cell.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.count_distinct("lang").cast("long").alias("n_lang"),
+        F.count_distinct("source").cast("long").alias("n_source"),
+    )
+    term = (
+        cell.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(round(1000000000.0 * (big_n * n - r * c) * (big_n * n - r * c)"
+                " / (CAST(big_n AS DOUBLE) * r * c)) AS BIGINT)"
+            ).alias("t_nano"),
+            "n_lang",
+            "n_source",
+        )
+    )
+    return term.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.expr("CAST((max(n_lang) - 1) * (max(n_source) - 1) AS BIGINT)").alias("dof"),
+        F.sum("t_nano").cast("long").alias("chi2_nano"),
+    )

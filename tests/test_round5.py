@@ -607,3 +607,31 @@ def test_skyline_block_property_based():
         assert set(_skyline_block(merged)["custkey"]) == want
 
     check()
+
+
+# --------------------------------------------------- q_chi2_independence
+
+
+def test_chi2_python_recompute(run, spark, sf_dir):
+    """Recompute the contingency chi-square (nano-units) with scipy-free
+    Python; dof and cell count must match, chi2 within 1 nano per cell
+    (the per-term round is identical, so exact equality is expected)."""
+    from collections import Counter as C
+
+    pairs = [
+        (r.lang, r.source)
+        for r in load(spark, sf_dir, "documents").select("lang", "source").collect()
+    ]
+    cell = C(pairs)
+    rowt = C(p[0] for p in pairs)
+    colt = C(p[1] for p in pairs)
+    n = len(pairs)
+    chi2_nano = sum(
+        round(1e9 * (n * c - rowt[l] * colt[s]) ** 2 / (float(n) * rowt[l] * colt[s]))
+        for (l, s), c in cell.items()
+    )
+    row = run("q_chi2_independence").collect()[0]
+    assert row.n_cells == len(cell)
+    assert row.dof == (len(rowt) - 1) * (len(colt) - 1)
+    assert row.chi2_nano == chi2_nano
+    assert row.chi2_nano > 0
