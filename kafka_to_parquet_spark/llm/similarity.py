@@ -363,8 +363,8 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_IVF_MOD = 100
 
 # Persisted IVF home assignment — the on-disk index layout a
-# production ANN corpus stores once and every search reads. Three
-# consumers share it in one session (q_knn_graph_ivf, and
+# production ANN corpus stores once and every search reads. Four
+# consumers share it in one session (q_knn_graph_ivf, plus
 # q_knn_multiprobe's second-probe source, probes union, and index
 # side — Catalyst has no cross-operator CSE, so without the persist
 # the broadcast-crossJoin+argmin subtree executes once per consumer).

@@ -331,14 +331,16 @@ tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n,
         FROM cell),
 term AS (
   SELECT CAST(round(
-           1000000000.0 * (big_n * n - r * c) * (big_n * n - r * c)
+           1000000.0
+             * (CAST(big_n AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+             * (CAST(big_n AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
              / (CAST(big_n AS DOUBLE) * r * c)
-         ) AS BIGINT) AS t_nano
+         ) AS BIGINT) AS t_micro
   FROM cell JOIN rowt USING (lang) JOIN colt USING (source) CROSS JOIN tot
 )
 SELECT CAST(count(*) AS BIGINT) AS n_cells,
        CAST((max(tot.n_lang) - 1) * (max(tot.n_source) - 1) AS BIGINT) AS dof,
-       CAST(sum(t_nano) AS BIGINT) AS chi2_nano
+       CAST(sum(t_micro) AS BIGINT) AS chi2_micro
 FROM term CROSS JOIN tot
 """,
 )
@@ -351,11 +353,16 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism without float summation: each cell's
     contribution (N·n - r·c)²/(N·r·c) — the (o-e)²/e term with all
     denominators cleared to one division — is computed as ONE double
-    expression per cell (IEEE-deterministic for identical inputs) and
-    immediately rounded to integer NANOS; the cross-cell SUM is then
-    pure BIGINT, so accumulation order — the one thing two engines
-    will never agree on — cannot move the result. chi2 =
-    chi2_nano/1e9, exact to 1e-9 per cell.
+    expression per cell (every operand CAST to DOUBLE first, so both
+    engines run the identical IEEE op sequence and no int64 product
+    can overflow at any corpus size) and immediately rounded to
+    integer MICROS; the cross-cell SUM is then pure BIGINT, so
+    accumulation order — the one thing two engines will never agree
+    on — cannot move the result. chi2 = chi2_micro/1e6. Ceiling: the
+    int64 sum holds chi2 ≤ 9.2e12 (chi2 is bounded by N·min(L,S)-ish
+    only under near-perfect association; at a corpus where that
+    binds, drop the scale to millis — the per-term double is
+    unchanged).
 
     Shape: one map-side-combinable (lang, source) count, two tiny
     margin aggregates, a 1-row total, and broadcast joins back onto
@@ -379,9 +386,11 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             F.expr(
-                "CAST(round(1000000000.0 * (big_n * n - r * c) * (big_n * n - r * c)"
+                "CAST(round(1000000.0"
+                " * (CAST(big_n AS DOUBLE) * n - CAST(r AS DOUBLE) * c)"
+                " * (CAST(big_n AS DOUBLE) * n - CAST(r AS DOUBLE) * c)"
                 " / (CAST(big_n AS DOUBLE) * r * c)) AS BIGINT)"
-            ).alias("t_nano"),
+            ).alias("t_micro"),
             "n_lang",
             "n_source",
         )
@@ -389,5 +398,5 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term.agg(
         F.count("*").cast("long").alias("n_cells"),
         F.expr("CAST((max(n_lang) - 1) * (max(n_source) - 1) AS BIGINT)").alias("dof"),
-        F.sum("t_nano").cast("long").alias("chi2_nano"),
+        F.sum("t_micro").cast("long").alias("chi2_micro"),
     )

@@ -704,9 +704,12 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", F.expr(_EV_CHAR_SQL).alias("ch")
     )
     j = ev.groupBy("user_id").agg(
+        # listagg WITHIN GROUP mirrors the oracle's ordered string_agg
+        # term-for-term and never materializes the (ts, id, ch) struct
+        # array a collect_list+array_sort detour would (precedent:
+        # q_agg_listagg).
         F.expr(
-            "concat_ws('', transform(array_sort(collect_list(struct(ts, event_id, ch))),"
-            " x -> x.ch))"
+            "listagg(ch, '') WITHIN GROUP (ORDER BY ts, event_id)"
         ).alias("journey"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )

@@ -515,9 +515,16 @@ def test_mad_outliers_python_recompute(run, spark, sf_dir):
     row's deviation must exceed 2.25x its type's MAD."""
     import statistics as st
 
+    import math
+
     by_type: dict[str, list[tuple[int, int]]] = {}
     for r in load(spark, sf_dir, "events").select("event_id", "event_type", "value").collect():
-        by_type.setdefault(r.event_type, []).append((r.event_id, round(r.value * 100)))
+        # floor(x+0.5) = HALF_UP, matching both engines' round();
+        # Python round() is banker's and would diverge on a future
+        # fixture containing an exact half-cent midpoint.
+        by_type.setdefault(r.event_type, []).append(
+            (r.event_id, int(math.floor(r.value * 100 + 0.5)))
+        )
     want = set()
     stats = {}
     for t, rows in by_type.items():
@@ -542,9 +549,7 @@ def test_mad_outliers_python_recompute(run, spark, sf_dir):
 
 def test_event_pattern_python_recompute(run, spark, sf_dir):
     """Journey strings and conversion-run counts recomputed with
-    Python re; also cross-checks q_funnel: any user with n_conv > 0
-    completed signup->click/view*->purchase, so the set of converting
-    users must be a subset of funnel's signup cohort."""
+    Python re over the (ts, event_id)-ordered event stream."""
     import re
 
     ch = {"click": "c", "error": "e", "purchase": "p", "signup": "s", "view": "v"}
@@ -613,9 +618,10 @@ def test_skyline_block_property_based():
 
 
 def test_chi2_python_recompute(run, spark, sf_dir):
-    """Recompute the contingency chi-square (nano-units) with scipy-free
-    Python; dof and cell count must match, chi2 within 1 nano per cell
-    (the per-term round is identical, so exact equality is expected)."""
+    """Recompute the contingency chi-square (micro-units) with
+    scipy-free Python; dof, cell count, and chi2_micro must match
+    exactly (the per-term double expression and round are identical,
+    and the cross-cell sum is pure integer)."""
     from collections import Counter as C
 
     pairs = [
@@ -626,12 +632,16 @@ def test_chi2_python_recompute(run, spark, sf_dir):
     rowt = C(p[0] for p in pairs)
     colt = C(p[1] for p in pairs)
     n = len(pairs)
-    chi2_nano = sum(
-        round(1e9 * (n * c - rowt[l] * colt[s]) ** 2 / (float(n) * rowt[l] * colt[s]))
+    chi2_micro = sum(
+        round(
+            1e6
+            * (float(n) * c - float(rowt[l]) * colt[s]) ** 2
+            / (float(n) * rowt[l] * colt[s])
+        )
         for (l, s), c in cell.items()
     )
     row = run("q_chi2_independence").collect()[0]
     assert row.n_cells == len(cell)
     assert row.dof == (len(rowt) - 1) * (len(colt) - 1)
-    assert row.chi2_nano == chi2_nano
-    assert row.chi2_nano > 0
+    assert row.chi2_micro == chi2_micro
+    assert row.chi2_micro > 0

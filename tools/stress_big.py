@@ -3,7 +3,7 @@ replicating sf0.1 with key offsets, then time the heavy relational
 queries on it. Confirms the scaling trend holds one decade past the
 bench scale on real (not extrapolated) execution.
 
-Usage: python tools/stress_big.py   (appends a section to SCALING.md)
+Usage: python tools/stress_big.py   (replaces SCALING.md's 10× section)
 """
 
 from __future__ import annotations
@@ -150,12 +150,19 @@ def main() -> None:
     # Replace any previous stress section rather than appending a
     # duplicate — scaling_report.py preserves every "## " section as
     # its footer, so a stale copy would otherwise accumulate per run.
+    # Only the stress section itself is machine-owned: hand-written
+    # sections BEFORE and AFTER it survive the rewrite.
     with open("SCALING.md") as f:
         old = f.read()
     idx = old.find("\n## 10× stress")
-    base = old[:idx] if idx != -1 else old
+    if idx == -1:
+        base, tail = old, ""
+    else:
+        nxt = old.find("\n## ", idx + 1)
+        base = old[:idx]
+        tail = old[nxt:] if nxt != -1 else ""
     with open("SCALING.md", "w") as f:
-        f.write(base + "\n".join(lines) + "\n")
+        f.write(base + "\n".join(lines) + "\n" + tail)
     print("wrote stress section to SCALING.md")
 
 
