@@ -129,36 +129,25 @@ CERTIFIED: set[str] = {
     "q_text_bigrams", "q_text_entropy", "q_text_pii",
     "q_text_repetition", "q_text_unigram_logprob", "q_tfidf_top_term",
     "q_vocab_topk",
+    # round 5 (CORRECTNESS_r05.json): 50 accepted rows, all hash-green —
+    # the 18 round-5 declarations, the re-earned q_dedup_substring
+    # (fixed oracle), and 31 RECERTIFY/rotation rows already listed above.
+    "q_chi2_independence", "q_dedup_bag", "q_dedup_keep_best",
+    "q_dedup_minhash_incr", "q_dedup_span_strip", "q_dedup_substring",
+    "q_dup_cluster_stats", "q_event_pattern", "q_join_bucketed",
+    "q_knn_graph", "q_knn_graph_ivf", "q_knn_multiprobe",
+    "q_lsh_recall", "q_outliers_mad", "q_quality_gopher",
+    "q_sample_temperature", "q_select_topq", "q_skyline",
+    "q_ttr_source",
 }
 
 # Certified queries whose implementation (or a shared helper on their
 # path) changed since their last driver row — they jump the rotation
 # queue so the change is re-verified in THIS round's window. Clear an
 # entry once the new round's row lands.
-RECERTIFY: set[str] = {
-    # (round-3/4 entries all landed green rows in CORRECTNESS_r04.json
-    # and were cleared at round-5 start.)
-    "q_dedup_components",      # iteration seeded from edge-incident
-                               # nodes only; singletons unioned back
-                               # after convergence (round 5)
-    "q_dedup_keep",            # consumes the same converged labels
-                               # (round 5)
-    # duck_h31/spark_h31 hoisted to functions/hashes.py with renamed
-    # DuckDB lambda variables (round 5) — identical values (pinned by
-    # tests/test_hashes.py) but these queries' oracle SQL text changed:
-    "q_dedup_minhash",
-    "q_dedup_jaccard_prefix",
-    "q_dedup_containment",
-    "q_heavy_hitters_cms",
-    # centroid count capped at KM_K (fixed k — kills the N²/KM_MOD
-    # assign stage behind round-4's 1.21 scaling exponent; round 5):
-    "q_kmeans_step",
-    "q_kmeans3",
-    # (q_knn_graph / q_knn_graph_ivf / q_lsh_recall also changed in the
-    # round-5 shared-builder refactor, but they are not yet certified —
-    # they sit in the pending front of the queue and will earn their
-    # first row on the refactored code.)
-}
+# (round-5 entries all landed green rows in CORRECTNESS_r05.json and
+# were cleared at round-6 start; an empty literal {} would be a dict.)
+RECERTIFY: set[str] = set()
 
 
 def _round_number() -> int:
