@@ -159,3 +159,32 @@ def test_perf_tool_query_lists_are_registered():
     assert {t for _, t in SCALING_QUERIES} <= {
         "lineitem", "orders", "events", "documents", "embeddings"
     }
+
+
+def test_bench_stdout_line_fits_driver_tail():
+    """The driver captures a ~2000-char stdout tail; bench.py prints
+    one JSON line with EVERY headline query (prefix-stripped keys,
+    1-dp values — see bench.py's module docstring). Simulate the
+    worst realistic line (all sub-10 s timings print 3 chars, '9.9')
+    so growing HEADLINE past the budget fails here in a second, not
+    as a silently-truncated BENCH_r{N}.json after a 10-minute run."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import HEADLINE, compact_val
+
+    assert all(n.startswith("q_") for n in HEADLINE)
+    out = {
+        "metric": "headline_queries_total",
+        "value": 999.9,
+        "unit": "sec",
+        "queries": {n[2:]: compact_val(9.94) for n in HEADLINE},
+        "sf": 0.1,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= 1930, (
+        f"bench stdout line would be {len(line)} chars at "
+        f"{len(HEADLINE)} headline queries — retire entries or shrink "
+        "the encoding before adding more (bench.py docstring)"
+    )
