@@ -65,27 +65,36 @@ def ivf_seeds(e: DataFrame, mod: int, cap: int | None = None) -> DataFrame:
     )
 
 
-def ivf_scored(e: DataFrame, mod: int, cap: int | None = None) -> DataFrame:
+def ivf_scored(
+    e: DataFrame, mod: int, cap: int | None = None, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """(vector × seed) distance table behind the IVF / Lloyd family:
     :func:`ivf_seeds` broadcast into the corpus scan; distance is the
     6-dp ROUNDED squared L2 so an ulp-level divergence between engines
     can't flip a downstream argmin. Returns
-    (vec_id, embedding, cent_id, d2) — the oracle twin is
-    :func:`duck_ivf_assign_cte`'s ``scored`` CTE."""
+    (vec_id, embedding, *keep, cent_id, d2) — the oracle twin is
+    :func:`duck_ivf_assign_cte`'s ``scored`` CTE. ``keep`` passes
+    per-vector attribute columns (e.g. ``label``) through the stage so
+    a filtered-ANN consumer doesn't need an N×N join-back to recover
+    them — production IVF indexes store filter metadata per indexed
+    vector for exactly this reason."""
     cent = ivf_seeds(e, mod, cap)
     return e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
+        *keep,
         "cent_id",
         F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
     )
 
 
-def ivf_assign(e: DataFrame, mod: int, cap: int | None = None) -> DataFrame:
+def ivf_assign(
+    e: DataFrame, mod: int, cap: int | None = None, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Nearest-seed assignment, the stage shared by the whole IVF /
     Lloyd family (q_kmeans_step with ``cap``, q_knn_graph_ivf without):
     argmin over :func:`ivf_scored` with cent_id tiebreak. Returns
-    (vec_id, embedding, cent_id).
+    (vec_id, embedding, *keep, cent_id).
 
     The argmin is a map-side-combinable min(struct) aggregate, NOT a
     window: with the centroids broadcast, every (vector, centroid) row
@@ -93,34 +102,43 @@ def ivf_assign(e: DataFrame, mod: int, cap: int | None = None) -> DataFrame:
     scored rows to 1 BEFORE the exchange — the shuffle carries N
     pre-reduced rows, where a row_number() window would shuffle N·k.
     Lexicographic struct comparison (d2, cent_id) is exactly the
-    (distance, id) tiebreak the oracle's ORDER BY d2, cent_id uses."""
+    (distance, id) tiebreak the oracle's ORDER BY d2, cent_id uses.
+    ``keep`` columns ride along via first() — constant per vec_id, so
+    first() is deterministic."""
     return (
-        ivf_scored(e, mod, cap)
+        ivf_scored(e, mod, cap, keep)
         .groupBy("vec_id")
         .agg(
             F.min(F.struct("d2", "cent_id")).alias("m"),
             F.first("embedding").alias("embedding"),
+            *[F.first(c).alias(c) for c in keep],
         )
-        .select("vec_id", "embedding", F.col("m.cent_id").alias("cent_id"))
+        .select(
+            "vec_id", "embedding", *keep, F.col("m.cent_id").alias("cent_id")
+        )
     )
 
 
-def duck_ivf_assign_cte(mod: int, cap: int | None = None) -> str:
+def duck_ivf_assign_cte(
+    mod: int, cap: int | None = None, keep: tuple[str, ...] = ()
+) -> str:
     """DuckDB twin of :func:`ivf_assign` — the ``cent``/``scored``/
     ``assign`` CTE fragment, one definition for every oracle in the
     family so a rounding or tiebreak change can't diverge the twins."""
     capsql = f" AND vec_id < {mod * cap}" if cap is not None else ""
+    kept_e = "".join(f", e.{c}" for c in keep)
+    kept = "".join(f", {c}" for c in keep)
     return f"""cent AS (
   SELECT vec_id AS cent_id, embedding AS cente
   FROM embeddings WHERE vec_id % {mod} = 0{capsql}
 ),
 scored AS (
-  SELECT e.vec_id, e.embedding, c.cent_id,
+  SELECT e.vec_id, e.embedding{kept_e}, c.cent_id,
          round({duck_sqdist('e.embedding', 'c.cente')}, 6) AS d2
   FROM embeddings e CROSS JOIN cent c
 ),
 assign AS (
-  SELECT vec_id, embedding, cent_id
+  SELECT vec_id, embedding{kept}, cent_id
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
         FROM scored)
   WHERE rn = 1

@@ -146,8 +146,20 @@ CERTIFIED: set[str] = {
 # queue so the change is re-verified in THIS round's window. Clear an
 # entry once the new round's row lands.
 # (round-5 entries all landed green rows in CORRECTNESS_r05.json and
-# were cleared at round-6 start; an empty literal {} would be a dict.)
-RECERTIFY: set[str] = set()
+# were cleared at round-6 start.)
+RECERTIFY: set[str] = {
+    # q_knn_graph re-blocked on (label, ivf_cell) — the round-5 VERDICT
+    # scale-killer fix: label-only blocking was Σ block² = N²/#labels.
+    # New semantics (filtered ANN within the home cell), new oracle.
+    "q_knn_graph",
+    # Shared-helper changes on their path (ivf_home now persists the
+    # label metadata column; ivf_assign/ivf_scored/_blocked_knn gained
+    # the keep/composite-block parameters) — results identical, but the
+    # policy is that a changed path re-earns its driver row:
+    "q_knn_graph_ivf",
+    "q_knn_multiprobe",
+    "q_kmeans_step",
+}
 
 
 def _round_number() -> int:

@@ -160,39 +160,57 @@ def test_cluster_stats_matches_components(run):
 # ----------------------------------------------------------- q_knn_graph
 
 
+def _ivf_cells(spark, sf_dir):
+    """Python recompute of the IVF home assignment (rounded sqdist,
+    centroid-id tiebreak) — shared by the knn-graph tests."""
+    from kafka_to_parquet_spark.llm.similarity import KNN_IVF_MOD
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: r.embedding for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    cents = {v: vecs[v] for v in vecs if v % KNN_IVF_MOD == 0}
+
+    def sqd(a, b):
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    cell = {
+        v: min(cents, key=lambda c: (sqd(e, cents[c]), c)) for v, e in vecs.items()
+    }
+    return vecs, labels, cell
+
+
 def test_knn_graph_shape_and_ranks(run, spark, sf_dir):
+    """Blocked on (label, ivf_cell): neighbors share BOTH, ranks are a
+    dense 1..min(K, block-1) prefix per vector."""
     from kafka_to_parquet_spark.llm.similarity import KNN_K
 
-    labels = {
-        r.vec_id: r.label
-        for r in load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
-    }
-    block = Counter(labels.values())
-    rows = run("q_knn_graph").collect()
+    vecs, labels, cell = _ivf_cells(spark, sf_dir)
+    block = Counter((labels[v], cell[v]) for v in vecs)
     per = {}
-    for r in rows:
-        assert labels[r.nbr_id] == labels[r.vec_id]  # blocked
+    for r in run("q_knn_graph").collect():
+        assert labels[r.nbr_id] == labels[r.vec_id]  # label filter
+        assert cell[r.nbr_id] == cell[r.vec_id]  # ivf blocking
         assert r.nbr_id != r.vec_id
         assert -1.000001 <= r.cos <= 1.000001
         per.setdefault(r.vec_id, []).append(r.rnk)
-    for v, lbl in labels.items():
-        want = min(KNN_K, block[lbl] - 1)
+    for v in vecs:
+        want = min(KNN_K, block[(labels[v], cell[v])] - 1)
         ranks = sorted(per.get(v, []))
         assert ranks == list(range(1, want + 1)), (v, ranks, want)
 
 
 def test_knn_graph_neighbors_are_truly_nearest(run, spark, sf_dir):
-    """Python recompute on one block: the reported top-k (by rounded
-    cosine, id tiebreak) must equal the exhaustive ranking."""
+    """Python recompute on the largest (label, cell) block: the
+    reported top-k (by rounded cosine, id tiebreak) must equal the
+    exhaustive ranking within the block."""
     import math
 
     from kafka_to_parquet_spark.llm.similarity import KNN_K
 
-    vecs = {}
-    for r in load(spark, sf_dir, "embeddings").collect():
-        vecs.setdefault(r.label, {})[r.vec_id] = r.embedding
-    label = sorted(vecs)[0]
-    block = vecs[label]
+    vecs, labels, cell = _ivf_cells(spark, sf_dir)
+    key = Counter((labels[v], cell[v]) for v in vecs).most_common(1)[0][0]
+    block = {v: vecs[v] for v in vecs if (labels[v], cell[v]) == key}
+    assert len(block) >= 2, "fixture block too small to exercise ranking"
     rows = [r for r in run("q_knn_graph").collect() if r.vec_id in block]
     by_vec = {}
     for r in rows:
