@@ -238,19 +238,49 @@ _DUCK_COS = duck_cosine("a.embedding", "b.embedding")
 @query(
     "q_semdedup",
     oracle=f"""
-WITH cent AS (
+WITH prm AS (
+  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS s
+  FROM embeddings WHERE vec_id % {KM_MOD} = 0
+),
+coarse AS (
+  SELECT vec_id AS ccell, embedding AS cce
+  FROM embeddings WHERE vec_id % ({KM_MOD} * (SELECT s FROM prm)) = 0
+),
+fine AS (
   SELECT vec_id AS cent_id, embedding AS cente
   FROM embeddings WHERE vec_id % {KM_MOD} = 0
 ),
-scored AS (
-  SELECT e.vec_id, e.embedding, c.cent_id,
-         round({duck_sqdist('e.embedding', 'c.cente')}, 6) AS d2
-  FROM embeddings e CROSS JOIN cent c
+fsc AS (
+  SELECT f.cent_id, f.cente, c.ccell,
+         round({duck_sqdist('f.cente', 'c.cce')}, 6) AS d2
+  FROM fine f CROSS JOIN coarse c
+),
+fhome AS (
+  SELECT cent_id, cente, ccell
+  FROM (SELECT *, row_number() OVER (PARTITION BY cent_id ORDER BY d2, ccell) AS rn
+        FROM fsc)
+  WHERE rn = 1
+),
+vsc AS (
+  SELECT e.vec_id, e.embedding, c.ccell,
+         round({duck_sqdist('e.embedding', 'c.cce')}, 6) AS d2
+  FROM embeddings e CROSS JOIN coarse c
+),
+vcoarse AS (
+  SELECT vec_id, embedding, ccell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccell) AS rn
+        FROM vsc)
+  WHERE rn = 1
+),
+fscore AS (
+  SELECT v.vec_id, v.embedding, f.cent_id,
+         round({duck_sqdist('v.embedding', 'f.cente')}, 6) AS d2
+  FROM vcoarse v JOIN fhome f ON v.ccell = f.ccell
 ),
 assign AS (
   SELECT vec_id, embedding, cent_id
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-        FROM scored)
+        FROM fscore)
   WHERE rn = 1
 ),
 pruned AS (
@@ -266,8 +296,8 @@ FROM assign s LEFT JOIN pruned p ON s.vec_id = p.vec_id
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023's pipeline
-    shape): k-means-cluster the embedding space, then prune a vector
-    if a LOWER-id vector in the SAME cluster is closer than the cosine
+    shape): cluster the embedding space, then prune a vector if a
+    LOWER-id vector in the SAME cluster is closer than the cosine
     threshold. The cluster is the blocking bucket — pairwise cosine is
     confined to Σ cluster², never corpus², and the keep-lowest-id rule
     is deterministic (it can over-prune a similarity chain relative to
@@ -275,31 +305,91 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-mirrored semantics — llm/components.py holds the exact
     grouping form).
 
-    Plan: the assignment is q_kmeans_step's broadcast-centroid argmin
-    (map-side-combinable min(struct) — shuffle carries N pre-reduced
-    rows); the assigned table materializes ONCE (localCheckpoint) and
-    self-joins on cent_id with hoisted norms, one dot fold per pair;
-    the prune set distincts to ≤N ids and left-joins back. At 100 TB
-    the centroid count k scales so N/k (cluster size) stays bounded —
-    cost is the assignment scan plus Σ (N/k)² per cluster, the exact
-    SemDeDup recipe."""
+    Assignment is COARSE-THEN-FINE (the faiss IVF quantizer-of-
+    quantizers recipe, replacing round 5's brute-force N·k argmin —
+    with k ∝ N that stage was N²/{KM_MOD}): the fine centroid grid
+    stays every {KM_MOD}-th vector (k ∝ N, so cluster size N/k stays
+    bounded for the pairwise stage — SemDeDup's requirement), a coarse
+    grid of every s-th fine centroid (s = ⌊√k⌋ ⇒ ~√k coarse cells,
+    recomputed from the corpus so both engines derive it identically)
+    is assigned first, and each vector then takes an exact argmin over
+    ONLY the fine centroids homed in its coarse cell (~√k of them).
+    Assignment cost drops from N·k to ~2·N·√k; the trade is the usual
+    hierarchical-quantizer approximation (a vector whose true nearest
+    fine centroid is homed in a different coarse cell gets its best
+    in-cell centroid instead), mirrored term-for-term by the oracle.
+
+    Plan: both argmins are map-side-combinable min(struct) aggregates
+    over broadcast centroid sets (shuffle carries N pre-reduced rows,
+    never N·√k); the fine-within-cell probe is a broadcast equi join
+    on the coarse cell (fhome is k rows); the assigned table
+    materializes ONCE (localCheckpoint) and self-joins on cent_id with
+    hoisted norms, one dot fold per pair; the prune set distincts to
+    ≤N ids and left-joins back. The coarse-grid stride s comes from
+    one count() — a driver-side scalar, the components.py discipline."""
+    import math
+
     from kafka_to_parquet_spark.functions.vectors import dot_expr, norm_expr
 
     e = load(spark, sf_dir, "embeddings")
     # No KM_K cap here, deliberately: semdedup's centroids are a
     # blocking grid — k must grow with N so cluster size N/k stays
     # bounded for the Σ(N/k)² within-cluster pairwise stage.
-    cent = e.filter(F.col("vec_id") % KM_MOD == 0).select(
+    fine = e.filter(F.col("vec_id") % KM_MOD == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
+    # Coarse stride: s = ⌊√k⌋ via the same IEEE double sqrt+floor the
+    # oracle's SQL computes — identical value by construction.
+    k = fine.count()
+    s = max(1, math.floor(math.sqrt(k)))
+    coarse = e.filter(F.col("vec_id") % (KM_MOD * s) == 0).select(
+        F.col("vec_id").alias("ccell"), F.col("embedding").alias("cce")
     )
+    # Fine centroids homed to their nearest coarse cell: k·√k work,
+    # broadcast coarse side, argmin as min(struct).
+    fhome = (
+        fine.crossJoin(F.broadcast(coarse))
+        .select(
+            "cent_id",
+            "cente",
+            "ccell",
+            F.round(F.expr(sqdist_expr("cente", "cce")), 6).alias("d2"),
+        )
+        .groupBy("cent_id")
+        .agg(
+            F.min(F.struct("d2", "ccell")).alias("m"),
+            F.first("cente").alias("cente"),
+        )
+        .select("cent_id", "cente", F.col("m.ccell").alias("ccell"))
+    )
+    # Every vector to its nearest coarse cell: N·√k work.
+    vcoarse = (
+        e.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "embedding",
+            "ccell",
+            F.round(F.expr(sqdist_expr("embedding", "cce")), 6).alias("d2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "ccell")).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("m.ccell").alias("ccell"))
+    )
+    # Exact argmin over the ~√k fine centroids homed in the vector's
+    # coarse cell: broadcast equi join (fhome is k tiny rows), then
+    # the same map-side-combinable min(struct).
     assign = (
-        scored.groupBy("vec_id")
+        vcoarse.join(F.broadcast(fhome), "ccell")
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.round(F.expr(sqdist_expr("embedding", "cente")), 6).alias("d2"),
+        )
+        .groupBy("vec_id")
         .agg(
             F.min(F.struct("d2", "cent_id")).alias("m"),
             F.first("embedding").alias("embedding"),
@@ -311,7 +401,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(norm_expr("embedding")).alias("nrm"),
         )
         # one materialization feeding three subtrees (both self-join
-        # sides + the final left join) — without it the broadcast
+        # sides + the final left join) — without it the two-level
         # argmin pipeline re-runs per subtree
         .localCheckpoint()
     )

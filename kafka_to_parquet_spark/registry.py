@@ -159,6 +159,9 @@ RECERTIFY: set[str] = {
     "q_knn_graph_ivf",
     "q_knn_multiprobe",
     "q_kmeans_step",
+    # q_semdedup's assignment stage replaced by the coarse-then-fine
+    # probe (round-5 VERDICT item 3) — new oracle, new plan:
+    "q_semdedup",
 }
 
 
