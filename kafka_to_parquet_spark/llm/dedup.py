@@ -1020,7 +1020,11 @@ def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bound any per-doc reconstruction pays."""
     win = _window_hashes(spark, sf_dir)
     dup = _dup_window_hashes(win)
-    hit = win.join(dup, "wh").select("doc_id", "i").distinct()
+    # (doc_id, i) is unique in win by construction (one row per window
+    # position) and dup is a distinct wh set, so the join preserves
+    # uniqueness — no distinct, which would re-shuffle the largest
+    # intermediate (every window row, at mass-duplication 100% of them).
+    hit = win.join(dup, "wh").select("doc_id", "i")
     aff = hit.select("doc_id").distinct()
     cov = (
         hit.select(

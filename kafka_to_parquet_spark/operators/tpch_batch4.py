@@ -44,7 +44,7 @@ so no boundary row can flip between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.functions.rounding import (
@@ -662,16 +662,20 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic as aggregate form: ≥2 suppliers on the order, exactly 1 at
     the max shipdate.
 
-    Shape: the fact passes through the orderkey exchange ONCE —
-    immediately collapsed to per-(order, supplier) max shipdates (a
-    supplier's line sits at the order max iff the supplier's own max
-    does, so this loses nothing), and every later step (per-order
-    stats, the late filter, the solo reduction) operates on the
-    order×supplier table, which is a small multiple of the order
-    count. The naive form joins the per-order aggregate back to the
-    LINEITEM-sized rows — a second fact-sized pass this formulation
-    never makes (the 10× stress sweep showed that join-back as the
-    cost center). The final per-supplier count is supplier-sized,
+    Shape: the fact passes through ONE orderkey exchange, and every
+    operator after it reuses that partitioning with no further
+    fact-scale shuffle. An explicit repartition on l_orderkey feeds
+    the per-(order, supplier) max-shipdate aggregate (HashPartitioning
+    on a SUBSET of the grouping keys satisfies the aggregate's
+    clustering requirement, so no (order, supplier) exchange is
+    inserted), the per-order stats come from an unbounded window over
+    the same partitioning (count + max over l_orderkey — exchange-free
+    where a groupBy + join-back would both re-exchange AND, because
+    Catalyst has no cross-subtree CSE, execute the fact-sized os_max
+    subtree twice; the round-5 plan did exactly that, 10 exchanges at
+    sf≈1 with the smax==max_ship filter absorbed as an extra join key),
+    and the solo reduction groups on l_orderkey inside the partitions
+    it already owns. The final per-supplier count is supplier-sized,
     topped with a deterministic (numwait DESC, suppkey)
     TakeOrderedAndProject — the unique suppkey tie-break makes the
     LIMIT a well-defined set, so the order-insensitive oracle hash is
@@ -685,17 +689,18 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li2 = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    # lineitem → (order, supplier, supplier's max shipdate): the one
-    # fact-sized aggregate; everything after is order×supplier-sized.
-    os_max = li2.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("smax")
+    # The ONE fact exchange: cluster by order so the (order, supplier)
+    # aggregate, the per-order window, and the solo reduction all run
+    # in place on top of it.
+    os_max = (
+        li2.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("smax"))
     )
-    per_order = os_max.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"),
-        F.max("smax").alias("max_ship"),
-    )
+    w = Window.partitionBy("l_orderkey")
     late = (
-        os_max.join(per_order, "l_orderkey")
+        os_max.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("max_ship", F.max("smax").over(w))
         .filter((F.col("smax") == F.col("max_ship")) & (F.col("n_supp") >= 2))
         .select("l_orderkey", "l_suppkey")
     )

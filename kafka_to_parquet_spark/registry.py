@@ -162,6 +162,11 @@ RECERTIFY: set[str] = {
     # q_semdedup's assignment stage replaced by the coarse-then-fine
     # probe (round-5 VERDICT item 3) — new oracle, new plan:
     "q_semdedup",
+    # q_tpch_q21 restructured (window over one orderkey exchange
+    # replaces the double-executed os_max join-back) and
+    # q_dedup_span_strip dropped a redundant distinct — plan changes:
+    "q_tpch_q21",
+    "q_dedup_span_strip",
 }
 
 
