@@ -151,6 +151,7 @@ HEADLINE = [
     "q_outliers_mad",        # robust median/MAD outlier screen
     "q_event_pattern",       # CEP-style journey pattern counting
     "q_chi2_independence",   # contingency chi-square profile stat
+    "q_avro_roundtrip",      # Confluent-framed Avro wire decode (pandas UDF + mapInPandas)
 ]
 
 

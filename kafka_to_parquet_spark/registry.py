@@ -230,6 +230,7 @@ def load_all() -> None:
     from kafka_to_parquet_spark.sources import generator  # noqa: F401
     from kafka_to_parquet_spark.sources import partitioned  # noqa: F401
     from kafka_to_parquet_spark.sources import formats  # noqa: F401
+    from kafka_to_parquet_spark.sources import avro_codec  # noqa: F401
     from kafka_to_parquet_spark.sinks import maintenance  # noqa: F401
     from kafka_to_parquet_spark.sinks import parquet_batch  # noqa: F401
     from kafka_to_parquet_spark.streaming import windows as swin  # noqa: F401
