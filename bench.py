@@ -152,6 +152,8 @@ HEADLINE = [
     "q_event_pattern",       # CEP-style journey pattern counting
     "q_chi2_independence",   # contingency chi-square profile stat
     "q_avro_roundtrip",      # Confluent-framed Avro wire decode (pandas UDF + mapInPandas)
+    "q_ngram_novelty",       # per-doc novel-trigram fraction (hash postings topology)
+    "q_dedup_typo",          # deletion-neighborhood edit-distance-1 vocabulary join
 ]
 
 

@@ -17,7 +17,7 @@ report are integer ppm for the same reason.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.functions.hashes import H31_P, duck_h31, spark_h31
@@ -851,4 +851,234 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rate), "source")
         .filter(F.expr(f"{spark_h31('CAST(doc_id AS STRING)')} % 10000") < F.col("keep_bp"))
         .select("doc_id", "source", "keep_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning — one statistics pass of Sennrich et al. 2016
+# ---------------------------------------------------------------------------
+
+BPE_MERGES_K = 20
+
+
+@query(
+    "q_bpe_merge_step",
+    oracle=f"""
+WITH tf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wf
+  FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY word
+),
+p AS (
+  SELECT substring(word, CAST(i AS INTEGER), 1) AS a,
+         substring(word, CAST(i + 1 AS INTEGER), 1) AS b,
+         wf
+  FROM (SELECT word, wf, unnest(range(1, len(word))) AS i
+        FROM tf WHERE len(word) >= 2)
+)
+SELECT a, b, CAST(sum(wf) AS BIGINT) AS cnt
+FROM p GROUP BY a, b
+ORDER BY cnt DESC, a, b
+LIMIT {BPE_MERGES_K}
+""",
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: ONE statistics pass of BPE merge
+    learning (Sennrich et al. 2016 — the algorithm behind GPT/Llama
+    vocabularies). Starting from character-level symbol sequences, the
+    training loop repeatedly counts adjacent symbol pairs weighted by
+    word frequency and merges the most frequent pair; this query emits
+    the top-{BPE_MERGES_K} merge candidates of the first iteration
+    (count DESC, pair lexicographic tiebreak — the deterministic merge
+    order every BPE implementation fixes). Iterating is a driver-side
+    loop over the same plan with the learned merges applied — the
+    q_kmeans3 / PageRank iteration pattern.
+
+    Shape: the corpus collapses to its word-frequency table FIRST (one
+    map-side-combinable groupBy — pair statistics are per word TYPE
+    weighted by frequency, so the char-level explode runs over the
+    vocabulary, orders of magnitude smaller than the corpus), then
+    each word fans out to its len−1 adjacent char pairs and one tiny
+    (a, b) aggregate + TakeOrdered finishes. At 100 TB the corpus pass
+    is the scan-bound word count; everything after is vocabulary-sized.
+    """
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wf"))
+    )
+    pairs = (
+        tf.filter(F.length("word") >= 2)
+        .select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> named_struct('a', substring(word, i, 1),"
+                    "                   'b', substring(word, i + 1, 1)))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "wf")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("wf").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(BPE_MERGES_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of the token-frequency distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_gini_tokens",
+    oracle=f"""
+WITH tf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY word
+),
+r AS (
+  SELECT f, row_number() OVER (ORDER BY f, word) AS i FROM tf
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(f) AS BIGINT) AS tot,
+         CAST(sum(i * f) AS BIGINT) AS t
+  FROM r
+)
+SELECT n AS n_types, tot AS n_tokens,
+       CAST((2 * t - (n + 1) * tot) * 10000 // (n * tot) AS BIGINT) AS gini_bp
+FROM s
+""",
+)
+def q_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-concentration profile: the Gini coefficient of the token
+    frequency distribution (0 = every word equally frequent, →1 = a
+    few words dominate). Natural corpora sit near 0.8-0.9 (Zipf);
+    a synthetic or over-filtered corpus shows up immediately as an
+    out-of-band Gini — a one-number health check next to q_ttr_source
+    and q_text_entropy.
+
+    Exact integer form of the standard rank formula
+    G = (2·Σᵢ i·fᵢ)/(n·Σf) − (n+1)/n with frequencies ranked
+    ascending (word tiebreak): all terms are BIGINTs and the basis-
+    point result is one integer floor-division, so both engines agree
+    bit-for-bit. Ceiling: 2·Σ(i·f)·10⁴ must fit int64, i.e.
+    n_types·n_tokens ≤ ~4.6e14 (a 1M-type vocabulary over a 400M-token
+    shard); past that, compute per shard or drop to per-mille scale.
+
+    Shape: the corpus collapses to its vocabulary (map-side-combinable
+    word count); the rank pass is a single window over VOCABULARY rows
+    (≪ corpus — the same vocabulary-sized ordered pass q_ks_test
+    documents, with the q_win_running_scalable two-level prefix-sum as
+    the 100 TB form); the final reduce is one row."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    w = Window.orderBy(F.asc("f"), F.asc("word"))
+    r = tf.select("f", F.row_number().over(w).cast("long").alias("i"))
+    return r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("f").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("f")).cast("long").alias("t"),
+    ).select(
+        F.col("n").alias("n_types"),
+        F.col("tot").alias("n_tokens"),
+        F.expr(
+            "CAST((2 * t - (n + 1) * tot) * 10000 DIV (n * tot) AS BIGINT)"
+        ).alias("gini_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty (memorization / boilerplate screen)
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3
+
+
+def _novelty_oracle() -> str:
+    # Trigram hash on a PLAIN column (i comes from an unnest, not a
+    # lambda) — the q_dedup_span_strip oracle structure, so duck_h31's
+    # inner lambda can never shadow an outer binding.
+    th = duck_h31(f"array_to_string(t[i:i+{NOVELTY_N - 1}], ' ')")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+tri AS MATERIALIZED (
+  SELECT doc_id, {th} AS th
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {NOVELTY_N} + 2)) AS i
+        FROM toks WHERE len(t) >= {NOVELTY_N})
+),
+nd AS (SELECT th, count(DISTINCT doc_id) AS ndocs FROM tri GROUP BY th)
+SELECT tri.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN nd.ndocs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN nd.ndocs = 1 THEN 1 ELSE 0 END) * 10000
+              // count(*) AS BIGINT) AS novelty_bp
+FROM tri JOIN nd USING (th)
+GROUP BY tri.doc_id
+"""
+
+
+@query("q_ngram_novelty", oracle=_novelty_oracle())
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document {NOVELTY_N}-gram novelty: the fraction of a
+    document's {NOVELTY_N}-grams appearing in NO other document, in
+    basis points. Low novelty flags boilerplate/templated/near-copied
+    text that document-level dedup missed; the complement of the
+    q_dedup_substring duplication profile (that query asks "how much
+    of me is copied", this one "how much of me is mine"), and the
+    standard memorization screen run before eval-set construction.
+
+    Both engines share the 31-bit md5 trigram-hash universe
+    (spark_h31 ↔ duck_h31), so a collision merges the same two
+    trigrams on both sides and every output column is an integer.
+
+    Shape: explode to (doc, trigram-hash) longs — hashes, never
+    strings; one groupBy(hash) for the distinct-document count (map-
+    side-combinable count_distinct over doc-sorted postings), one hash
+    join back, one groupBy(doc). Linear in corpus tokens, no pairwise
+    stage — q_dedup_substring's exact topology one n-gram order down."""
+    d = load(spark, sf_dir, "documents")
+    tri = (
+        d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= NOVELTY_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {NOVELTY_N} + 1), i -> "
+                    + spark_h31(f"concat_ws(' ', slice(toks, i, {NOVELTY_N}))")
+                    + ")"
+                )
+            ).alias("th"),
+        )
+    )
+    nd = tri.groupBy("th").agg(F.count_distinct("doc_id").alias("ndocs"))
+    return (
+        tri.join(nd, "th")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("ndocs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_novel",
+            F.expr("CAST(n_novel * 10000 DIV n_ngrams AS BIGINT)").alias(
+                "novelty_bp"
+            ),
+        )
     )

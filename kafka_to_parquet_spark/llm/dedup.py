@@ -1052,3 +1052,87 @@ def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("cleaned", F.lit("")).alias("cleaned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Typo-level dedup: edit-distance-1 vocabulary pairs via deletion
+# neighborhoods (FastSS / SymSpell blocking)
+# ---------------------------------------------------------------------------
+
+
+def _typo_deletions_sql(word: str) -> str:
+    """DuckDB: the distance-0/1 deletion neighborhood of ``word`` —
+    the word itself plus every single-character deletion, deduped."""
+    return (
+        f"list_distinct(list_prepend({word}, "
+        f"list_transform(range(1, len({word}) + 1), "
+        f"i -> substring({word}, 1, CAST(i - 1 AS INTEGER)) || "
+        f"substring({word}, CAST(i + 1 AS INTEGER), len({word})))))"
+    )
+
+
+@query(
+    "q_dedup_typo",
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT word
+  FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+),
+keys AS (
+  SELECT word, unnest({_typo_deletions_sql('word')}) AS k FROM vocab
+),
+cand AS (
+  SELECT DISTINCT a.word AS word_a, b.word AS word_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.word < b.word
+)
+SELECT word_a, word_b,
+       CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(word_a, word_b) <= 1
+""",
+)
+def q_dedup_typo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1c: typo-level vocabulary dedup — every pair of corpus words
+    within edit distance 1 (one substitution, insertion, or deletion),
+    the spell-variant detector feeding OCR cleanup / token-merge maps.
+
+    Scale technique (FastSS / SymSpell, public): all-pairs Levenshtein
+    over a vocabulary is |V|² — instead each word generates its
+    DELETION NEIGHBORHOOD (itself + every single-char deletion, ≤
+    len+1 keys), two words within edit distance 1 provably share at
+    least one key (b = deletion of a → key b; substitution at i →
+    both words' deletion-at-i agree), and the candidate set is a hash
+    EQUI join on the key with exact Levenshtein as the residual
+    verifier (a shared key is necessary, not sufficient: 'ab'/'ba'
+    share {{a,b}} but sit at distance 2 — the filter removes them).
+    Candidate volume is Σ key-bucket², bounded by word length × bucket
+    occupancy, never |V|²; the same prefix-postings discipline as
+    q_dedup_jaccard_prefix one granularity down. The whole query runs
+    over the VOCABULARY (one map-side-combinable distinct of corpus
+    words), so corpus size only enters through the initial word scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word")).distinct()
+    )
+    keys = vocab.select(
+        "word",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(word),"
+                " transform(sequence(1, length(word)),"
+                " i -> concat(substring(word, 1, i - 1),"
+                " substring(word, i + 1, length(word))))))"
+            )
+        ).alias("k"),
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.word") < F.col("b.word")))
+        .select(F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b"))
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("word_a", "word_b").cast("long")
+    ).filter(F.col("dist") <= 1)

@@ -329,3 +329,83 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum(F.col("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval × interval overlap join (bin decomposition)
+# ---------------------------------------------------------------------------
+
+IVL_LEN_S = 3600  # both sides carry 1-hour activity intervals
+IVL_TYPE_A, IVL_TYPE_B = "click", "purchase"
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle=f"""
+WITH a AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ta FROM events
+  WHERE event_type = '{IVL_TYPE_A}'
+),
+b AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tb FROM events
+  WHERE event_type = '{IVL_TYPE_B}'
+)
+SELECT greatest(ta, tb) // {IVL_LEN_S} AS hour_bin,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON ta < tb + {IVL_LEN_S} AND tb < ta + {IVL_LEN_S}
+GROUP BY hour_bin
+""",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5'': interval × interval OVERLAP join — the shape q_join_range
+    (point-in-interval) cannot express: both sides are intervals
+    ([event, event + 1h) activity windows for '{IVL_TYPE_A}' and
+    '{IVL_TYPE_B}' events) and a pair matches when the intervals
+    intersect. Temporal co-occurrence counting — ad attribution,
+    incident correlation, session overlap — aggregated per hour bin of
+    the later interval's start.
+
+    Scale technique (big × big, no nested loop): BIN DECOMPOSITION.
+    Each interval is exploded to the W-width bins it covers (W = the
+    interval length, so ≤ 2 bins per interval — the explode is a
+    bounded constant factor), the join is a plain hash EQUI join on
+    the bin, the true overlap predicate runs as the residual filter,
+    and double-counting (a pair whose intervals share two bins) is
+    eliminated WITHOUT a distinct: a pair is counted only in the bin
+    containing max(start_a, start_b) — both intervals provably cover
+    that bin, and exactly one bin satisfies the rule, so the dedup is
+    a free filter instead of a shuffle. The oracle states the naive
+    quadratic form; the Spark plan is the production one (the same
+    equi-bin + residual discipline as q_join_range_binned, extended to
+    interval pairs).
+
+    Epoch discipline: floor-to-second epochs on both engines
+    (q_sessionize's convention); every bin/overlap comparison is then
+    pure BIGINT arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    es = F.floor(F.unix_timestamp("ts")).cast("long")
+
+    def side(tname: str, col: str) -> DataFrame:
+        t = ev.filter(F.col("event_type") == tname).select(es.alias(col))
+        return t.select(
+            col,
+            F.explode(
+                F.expr(
+                    f"sequence({col} DIV {IVL_LEN_S},"
+                    f" ({col} + {IVL_LEN_S} - 1) DIV {IVL_LEN_S})"
+                )
+            ).alias("bin"),
+        )
+
+    a = side(IVL_TYPE_A, "ta")
+    b = side(IVL_TYPE_B, "tb")
+    return (
+        a.join(b, "bin")
+        .filter(
+            (F.col("ta") < F.col("tb") + IVL_LEN_S)
+            & (F.col("tb") < F.col("ta") + IVL_LEN_S)
+            & F.expr(f"bin = greatest(ta, tb) DIV {IVL_LEN_S}")
+        )
+        .groupBy(F.col("bin").alias("hour_bin"))
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

@@ -15,7 +15,7 @@ pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.registry import query
@@ -399,4 +399,84 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_cells"),
         F.expr("CAST((max(n_lang) - 1) * (max(n_source) - 1) AS BIGINT)").alias("dof"),
         F.sum("t_micro").cast("long").alias("chi2_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov statistic
+# ---------------------------------------------------------------------------
+
+KS_TYPE_A, KS_TYPE_B = "click", "purchase"
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+WITH v AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+  GROUP BY value
+),
+tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2 FROM v),
+cum AS (
+  SELECT sum(na) OVER (ORDER BY value) AS c1,
+         sum(nb) OVER (ORDER BY value) AS c2
+  FROM v
+)
+SELECT max(n1) AS n1, max(n2) AS n2,
+       CAST(max(abs(c1 * n2 - c2 * n1)) * 10000 // (max(n1) * max(n2)) AS BIGINT) AS d_bp
+FROM cum CROSS JOIN tot
+""",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the '{KS_TYPE_A}'
+    and '{KS_TYPE_B}' value distributions — the nonparametric
+    distribution-shift screen (data-drift monitoring, A/B sanity,
+    "did this source's quality-score distribution move between
+    snapshots"). D = sup_x |F1(x) − F2(x)|; the ECDFs step only at
+    sample points, so the exact supremum is the max over DISTINCT
+    observed values of the cumulative-count difference.
+
+    Integer discipline: per distinct value the two cumulative counts
+    c1, c2 are exact BIGINTs (window sums of per-value counts), and
+    |c1·n2 − c2·n1| clears both denominators — D in basis points is
+    one integer floor-division at the end, so no float comparison
+    exists anywhere and the oracle matches bit-for-bit.
+
+    Shape: one map-side-combinable groupBy(value) collapses the fact
+    table to its distinct-value histogram BEFORE any ordered pass (ties
+    and all — the RANGE-frame subtlety of running an ECDF over raw rows
+    disappears because each value appears once). The global cumulative
+    window then runs over the distinct values only (≪ rows). On the
+    100 TB form that ordered pass uses the q_win_running_scalable
+    two-level prefix-sum (per-bucket partials + small carry join) —
+    same numbers, parallel ordered pass; the fixture-size single
+    window keeps the declared plan readable."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    v = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    tot = v.agg(
+        F.sum("na").cast("long").alias("n1"), F.sum("nb").cast("long").alias("n2")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = v.select(
+        F.sum("na").over(w).alias("c1"), F.sum("nb").over(w).alias("c2")
+    )
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.expr(
+            "CAST(max(abs(c1 * n2 - c2 * n1)) * 10000 DIV (max(n1) * max(n2)) AS BIGINT)"
+        ).alias("d_bp"),
     )

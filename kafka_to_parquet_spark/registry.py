@@ -243,4 +243,5 @@ def load_all() -> None:
     from kafka_to_parquet_spark.llm import search  # noqa: F401
     from kafka_to_parquet_spark.llm import similarity  # noqa: F401
     from kafka_to_parquet_spark.llm import multimodal  # noqa: F401
+    from kafka_to_parquet_spark.llm import linalg  # noqa: F401
     from kafka_to_parquet_spark.llm import pipeline  # noqa: F401

@@ -1,0 +1,197 @@
+"""Round-6 operators: KS test, BPE merge step, Gini, n-gram novelty,
+interval-overlap join, PCA power step, typo dedup. Each test is an
+independent Python recompute at sf0.001 (the oracle gate cross-checks
+DuckDB; these pin the SEMANTICS against a third implementation)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from kafka_to_parquet_spark.tables import load
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+def _h31(s: str) -> int:
+    # functions/hashes.py: first 8 hex chars of md5 as int, mod 2^31-1.
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2147483647
+
+
+# ----------------------------------------------------------------- ks
+
+
+def test_ks_test_matches_brute_ecdf(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.statistics import KS_TYPE_A, KS_TYPE_B
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    xs = sorted(r.value for r in ev if r.event_type == KS_TYPE_A)
+    ys = sorted(r.value for r in ev if r.event_type == KS_TYPE_B)
+    n1, n2 = len(xs), len(ys)
+    pts = sorted(set(xs) | set(ys))
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(xs, p) * n2 - bisect.bisect_right(ys, p) * n1)
+        for p in pts
+    )
+    want_bp = d * 10000 // (n1 * n2)
+    row = run("q_ks_test").collect()[0]
+    assert (row.n1, row.n2, row.d_bp) == (n1, n2, want_bp)
+
+
+# ----------------------------------------------------------- bpe merge
+
+
+def test_bpe_merge_counts(run, spark, sf_dir):
+    from kafka_to_parquet_spark.llm.corpus_stats import BPE_MERGES_K
+
+    wf = Counter()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        wf.update(_tokens(r.text))
+    pc = Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pc[(w[i], w[i + 1])] += f
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_MERGES_K]
+    got = [((r.a, r.b), r.cnt) for r in run("q_bpe_merge_step").collect()]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+# ----------------------------------------------------------------- gini
+
+
+def test_gini_tokens_formula(run, spark, sf_dir):
+    tf = Counter()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        tf.update(_tokens(r.text))
+    ranked = sorted(tf.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ranked)
+    tot = sum(f for _, f in ranked)
+    t = sum((i + 1) * f for i, (_, f) in enumerate(ranked))
+    want_bp = (2 * t - (n + 1) * tot) * 10000 // (n * tot)
+    row = run("q_gini_tokens").collect()[0]
+    assert (row.n_types, row.n_tokens, row.gini_bp) == (n, tot, want_bp)
+    assert 0 <= row.gini_bp < 10000
+
+
+# ------------------------------------------------------------- novelty
+
+
+def test_ngram_novelty_recompute(run, spark, sf_dir):
+    from kafka_to_parquet_spark.llm.corpus_stats import NOVELTY_N
+
+    docs = {
+        r.doc_id: _tokens(r.text)
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    tri = {
+        d: [
+            _h31(" ".join(t[i : i + NOVELTY_N]))
+            for i in range(len(t) - NOVELTY_N + 1)
+        ]
+        for d, t in docs.items()
+        if len(t) >= NOVELTY_N
+    }
+    ndocs = defaultdict(set)
+    for d, hs in tri.items():
+        for h in hs:
+            ndocs[h].add(d)
+    want = {}
+    for d, hs in tri.items():
+        novel = sum(1 for h in hs if len(ndocs[h]) == 1)
+        want[d] = (len(hs), novel, novel * 10000 // len(hs))
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_novel, r.novelty_bp)
+        for r in run("q_ngram_novelty").collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------------------ interval overlap
+
+
+def test_interval_overlap_brute_force(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.joins import (
+        IVL_LEN_S,
+        IVL_TYPE_A,
+        IVL_TYPE_B,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts").collect()
+    ta = [int(r.ts.timestamp()) for r in ev if r.event_type == IVL_TYPE_A]
+    tb = [int(r.ts.timestamp()) for r in ev if r.event_type == IVL_TYPE_B]
+    want: Counter = Counter()
+    for x in ta:
+        for y in tb:
+            if x < y + IVL_LEN_S and y < x + IVL_LEN_S:
+                want[max(x, y) // IVL_LEN_S] += 1
+    got = {r.hour_bin: r.n_pairs for r in run("q_join_interval_overlap").collect()}
+    assert got == dict(want)
+    # every overlapping pair counted exactly once overall
+    assert sum(got.values()) == sum(want.values())
+
+
+# ------------------------------------------------------------ pca power
+
+
+def test_pca_power_is_exact_gram_vector_product(run, spark, sf_dir):
+    rows = load(spark, sf_dir, "embeddings").select("embedding").collect()
+    units = [
+        [math.floor(float(x) * 1_000_000 + 0.5) for x in r.embedding] for r in rows
+    ]
+    dim = len(units[0])
+    want = [0] * dim
+    for u in units:
+        dot = sum(u)
+        for i, ui in enumerate(u):
+            want[i] += ui * dot
+    got = {r.dim: r.comp for r in run("q_pca_power").collect()}
+    assert got == {i: want[i] for i in range(dim)}
+
+
+def test_pca_power_dominant_direction_property(run):
+    """With v0 = 1, the result is Xᵀ(X·1) — for any non-degenerate X
+    at least one component must be nonzero, and the output has exactly
+    one row per dimension."""
+    rows = run("q_pca_power").collect()
+    assert len(rows) == len({r.dim for r in rows})
+    assert any(r.comp != 0 for r in rows)
+
+
+# ------------------------------------------------------------ typo dedup
+
+
+def test_typo_pairs_equal_brute_force_levenshtein(run, spark, sf_dir):
+    """The deletion-neighborhood blocking must be LOSSLESS for edit
+    distance ≤ 1: compare against all-pairs Levenshtein over the
+    vocabulary."""
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    vocab = set()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        vocab.update(_tokens(r.text))
+    vocab = sorted(vocab)
+    want = {
+        (a, b): lev(a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if lev(a, b) <= 1
+    }
+    got = {(r.word_a, r.word_b): r.dist for r in run("q_dedup_typo").collect()}
+    assert got == want

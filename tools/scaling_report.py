@@ -96,6 +96,13 @@ QUERIES = [
     ("q_event_pattern", "events"),
     ("q_chi2_independence", "documents"),
     ("q_avro_roundtrip", "events"),
+    ("q_ks_test", "events"),
+    ("q_join_interval_overlap", "events"),
+    ("q_bpe_merge_step", "documents"),
+    ("q_gini_tokens", "documents"),
+    ("q_ngram_novelty", "documents"),
+    ("q_dedup_typo", "documents"),
+    ("q_pca_power", "embeddings"),
 ]
 
 

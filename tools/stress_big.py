@@ -50,7 +50,15 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # per-source histogram, window-select, and local-prune
            # shapes on 10x rows.
            "q_dedup_keep_best", "q_quality_gopher",
-           "q_sample_temperature", "q_select_topq", "q_skyline"]
+           "q_sample_temperature", "q_select_topq", "q_skyline",
+           # round-6: avro decode + KS + interval overlap ride the 10x
+           # event log; the corpus-stat quartet rides the 10-way
+           # duplicate families (novelty should COLLAPSE there - every
+           # trigram is cross-doc duplicated - which is itself the
+           # interesting measurement).
+           "q_avro_roundtrip", "q_ks_test", "q_join_interval_overlap",
+           "q_bpe_merge_step", "q_gini_tokens", "q_ngram_novelty",
+           "q_dedup_typo"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
