@@ -324,3 +324,49 @@ def q_select_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.expr(f"(n_src * {TOPQ_PCT} + 99) DIV 100"))
         .select("doc_id", "source", "quality_score")
     )
+
+
+@query(
+    "q_langid_confusion",
+    oracle=f"""
+WITH pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS DOUBLE)
+                   / len(toks) >= 0.02
+              THEN 'en' ELSE 'und' END AS lang_pred
+  FROM (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents)
+),
+m AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, lang_pred
+),
+t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM m GROUP BY lang)
+SELECT m.lang, m.lang_pred, m.n,
+       CAST(m.n * 10000 // t.n_lang AS BIGINT) AS share_bp
+FROM m JOIN t USING (lang)
+""",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation operator: the confusion matrix of the
+    q_text_langid heuristic against the corpus's ground-truth ``lang``
+    label — per (actual, predicted) cell the count and its share of
+    the actual language's documents in basis points. This is the audit
+    every pipeline classifier needs before its output gates data
+    (the q_lsh_recall / q_ann_recall discipline applied to a
+    CLASSIFIER instead of a retrieval fast path); per-language recall
+    is read straight off the diagonal cells' share_bp.
+
+    Shape: the prediction is q_text_langid's plan verbatim (shared
+    stopword-ratio rule, no second tokenize pass definition to drift),
+    one map-side-combinable (lang, pred) count, a per-language margin,
+    and a broadcast join back onto ≤ |langs|² cells — only the count
+    touches the corpus."""
+    pred = q_text_langid(spark, sf_dir)
+    m = pred.groupBy("lang", "lang_pred").agg(F.count("*").cast("long").alias("n"))
+    t = m.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
+    return m.join(F.broadcast(t), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.expr("CAST(n * 10000 DIV n_lang AS BIGINT)").alias("share_bp"),
+    )

@@ -1082,3 +1082,84 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law slope of the rank-frequency curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_zipf_slope",
+    oracle=f"""
+WITH tf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY word
+),
+r AS (
+  SELECT CAST(floor(ln(row_number() OVER (ORDER BY f DESC, word)) * 1000000 + 0.5)
+              AS BIGINT) AS x,
+         CAST(floor(ln(f) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM tf
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM r
+)
+SELECT n AS n_types,
+       CAST(floor((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * 1000000 + 0.5)
+            AS BIGINT) AS slope_micro
+FROM s
+""",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-law diagnostic: the least-squares slope of the log-log
+    rank-frequency curve — natural corpora follow Zipf with slope
+    ≈ −1; a synthetic, templated, or over-deduplicated corpus shows a
+    flat (→0) slope. Read next to q_gini_tokens: Gini measures
+    concentration, this measures the SHAPE of the decay.
+
+    Engine stability (the corpus_stats micro-nat discipline): the only
+    transcendentals, ln(rank) and ln(freq), are each ONE libm call
+    fenced immediately to integer micro-nats; every regression moment
+    (Σx, Σy, Σxy, Σx²) is then an exact BIGINT, and the final slope is
+    a single identical double expression on identical integers (the
+    q_chi2_independence pattern). Ceiling: Σxy at micro-nat scale
+    holds ~10⁴ vocabulary types per shard in int64; larger vocabularies
+    re-fence at milli-nats (documented, same expression).
+
+    Shape: vocabulary-sized everything — the corpus collapses to word
+    counts map-side, the rank is the q_gini_tokens ordered pass over
+    vocabulary rows (two-level prefix-sum at 100 TB), and the
+    regression is one global aggregate row."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("word"))
+    # rank first (window), then fence both logs — one expression each.
+    ranked = tf.select(
+        F.row_number().over(w).cast("long").alias("rk"), "f"
+    ).select(
+        F.expr("CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").alias("x"),
+        F.expr("CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").alias("y"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_types"),
+        F.expr(
+            "CAST(floor((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("slope_micro"),
+    )

@@ -85,3 +85,62 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim")
         .agg(F.sum(F.col("ui") * F.col("dot0")).cast("long").alias("comp"))
     )
+
+
+@query(
+    "q_embed_dimstats",
+    oracle=f"""
+WITH uv AS (
+  SELECT list_transform(embedding, x -> {_UNIT.format(x='x')}) AS u
+  FROM embeddings
+),
+ex AS (
+  SELECT CAST(generate_subscripts(u, 1) - 1 AS INTEGER) AS dim, unnest(u) AS ui
+  FROM uv
+)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(sum(ui) * 1.0 / count(*) + 0.5) AS BIGINT) AS mean_mu,
+       CAST(round((CAST(sum(ui * ui) AS DOUBLE)
+                   - CAST(sum(ui) AS DOUBLE) * sum(ui) / count(*))
+                  / count(*)) AS BIGINT) AS var_mu2
+FROM ex GROUP BY dim
+""",
+)
+def q_embed_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health profile: per-dimension mean and variance
+    in integer micro-units — the screen for dead dimensions (zero
+    variance), dominant dimensions (anisotropy — read with
+    q_pca_power), and drift between corpus snapshots. The first thing
+    to look at before trusting cosine distances over a new embedding
+    column.
+
+    Integer discipline: coordinates fence once to micro-units;
+    Σu and Σu² are exact BIGINTs (u² ≤ 1.6e13 at |x| ≤ 4 — int64
+    holds ~500k vectors per partial; DECIMAL(38,0) partials past
+    that); the mean reuses the kmeans floor(su/n + 0.5) expression and
+    the variance is ONE all-double expression over exact integers
+    (the chi2 pattern), so both engines round the same value.
+
+    Shape: posexplode to (dim, unit) rows with map-side partial
+    aggregation — the one exchange carries D rows per task, the
+    q_pca_power / q_kmeans_step update-stage topology."""
+    e = load(spark, sf_dir, "embeddings")
+    u = e.select(
+        F.expr("transform(embedding, x -> " + _UNIT.format(x="x") + ")").alias("u")
+    )
+    return (
+        u.select(F.posexplode("u").alias("dim", "ui"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr("CAST(floor(sum(ui) * 1.0 / count(*) + 0.5) AS BIGINT)").alias(
+                "mean_mu"
+            ),
+            F.expr(
+                "CAST(round((CAST(sum(ui * ui) AS DOUBLE)"
+                " - CAST(sum(ui) AS DOUBLE) * sum(ui) / count(*))"
+                " / count(*)) AS BIGINT)"
+            ).alias("var_mu2"),
+        )
+    )

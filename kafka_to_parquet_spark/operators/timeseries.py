@@ -719,3 +719,69 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         "journey",
         F.expr(f"regexp_count(journey, '{EV_PATTERN}')").cast("long").alias("n_conv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+),
+seg AS (
+  SELECT user_id, v_c,
+         lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id) - es AS dt
+  FROM base
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dt) AS BIGINT) AS span_s,
+       CAST(sum(v_c * dt) // sum(dt) AS BIGINT) AS twap_c
+FROM seg
+WHERE dt IS NOT NULL AND dt > 0
+GROUP BY user_id
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the financial /
+    IoT aggregate where a reading holds until the next one): each
+    event's value is weighted by the seconds until the user's next
+    event, so long-held states dominate regardless of sampling rate —
+    the plain mean is wrong whenever event spacing is uneven, which is
+    always. Zero-length segments (same-second events) carry no time
+    and are excluded on both engines; the last event has no successor
+    and ends the observation window.
+
+    Integer discipline: epochs floor to seconds (q_sessionize's
+    convention), values to centi-units, so the weighted numerator
+    Σ v_c·dt and denominator Σ dt are exact BIGINTs and the TWAP is
+    one integer floor-division. Ceiling: v_c·dt per segment ≤ 5e4·3e6
+    ≈ 1.5e11, int64 holds ~6e7 segments per user — far past any real
+    per-user event count.
+
+    Shape: ONE user-keyed exchange feeds the lead() window; the
+    per-user aggregate reuses the same partitioning (no second
+    fact-scale shuffle — the q_tpch_q21 round-6 discipline)."""
+    base = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    seg = base.select(
+        "user_id",
+        "v_c",
+        (F.lead("es").over(w) - F.col("es")).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return seg.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("dt").cast("long").alias("span_s"),
+        F.expr("CAST(sum(v_c * dt) DIV sum(dt) AS BIGINT)").alias("twap_c"),
+    )

@@ -151,3 +151,70 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp("o_orderdate")).cast("long").alias("odate_s"),
         "o_orderpriority",
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet schema evolution (mergeSchema)
+# ---------------------------------------------------------------------------
+
+_EVOL_CACHE: dict[tuple[SparkSession, str], str] = register_cache({})
+
+EVOL_SPLIT_US = 7  # batch 1 = user_id % 7 != 0, batch 2 = the rest
+
+
+def _evolved_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet batches with DIFFERENT schemas in one directory:
+    batch 1 (event_id, user_id, event_type) predates the ``value``
+    column; batch 2 (event_id, user_id, event_type, value) adds it —
+    the additive-column evolution every long-lived ingestion pipeline
+    accumulates."""
+    key = (spark, sf_dir)
+    if key not in _EVOL_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(), f"ktps_evolve_{_digest(sf_dir)}"
+        )
+        ev = load(spark, sf_dir, "events")
+        old = ev.filter(F.col("user_id") % EVOL_SPLIT_US != 0).select(
+            "event_id", "user_id", "event_type"
+        )
+        new = ev.filter(F.col("user_id") % EVOL_SPLIT_US == 0).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        old.write.mode("overwrite").parquet(f"{out}/batch=1")
+        new.write.mode("overwrite").parquet(f"{out}/batch=2")
+        _EVOL_CACHE[key] = out
+    return _EVOL_CACHE[key]
+
+
+@query(
+    "q_schema_evolution",
+    oracle=f"""
+SELECT event_id, user_id, event_type,
+       CASE WHEN user_id % {EVOL_SPLIT_US} = 0 THEN value ELSE NULL END AS value
+FROM events
+""",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution: a directory holding parquet batches
+    written MONTHS apart with different schemas (an early batch without
+    the ``value`` column, a later batch with it) reads back as ONE
+    unified table via ``mergeSchema`` — old rows surface NULL for the
+    new column, new rows keep their values, nothing is rewritten. This
+    is the evolution mode a 100 TB append-only lake must support: the
+    alternative (rewriting history to the new schema) is a full-corpus
+    pass per added column.
+
+    Cost honesty: mergeSchema reconciles the FOOTERS of all files (a
+    metadata operation, not a data pass) — cheap, but real lakes pin
+    the merged schema in a catalog instead of re-merging per read;
+    the explicit-schema discipline of q_jsonl_roundtrip applies once
+    the schema is known. The oracle states the logical result: source
+    events with ``value`` nulled exactly where the old-schema batch
+    holds the row."""
+    path = _evolved_layout(spark, sf_dir)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+        .select("event_id", "user_id", "event_type", "value")
+    )

@@ -195,3 +195,119 @@ def test_typo_pairs_equal_brute_force_levenshtein(run, spark, sf_dir):
     }
     got = {(r.word_a, r.word_b): r.dist for r in run("q_dedup_typo").collect()}
     assert got == want
+
+
+# ------------------------------------------------------ langid confusion
+
+
+def test_langid_confusion_matches_prediction_counts(run):
+    pred = [(r.lang, r.lang_pred) for r in run("q_text_langid").collect()]
+    cells = Counter(pred)
+    per_lang = Counter(lang for lang, _ in pred)
+    got = {
+        (r.lang, r.lang_pred): (r.n, r.share_bp)
+        for r in run("q_langid_confusion").collect()
+    }
+    assert got == {
+        k: (n, n * 10000 // per_lang[k[0]]) for k, n in cells.items()
+    }
+    # shares per actual language sum to ~10000 (floor rounding)
+    for lang in per_lang:
+        s = sum(bp for (la, _), (_, bp) in got.items() if la == lang)
+        assert 10000 - len(per_lang) * 2 <= s <= 10000
+
+
+# ------------------------------------------------------------ zipf slope
+
+
+def test_zipf_slope_recompute(run, spark, sf_dir):
+    tf = Counter()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        tf.update(_tokens(r.text))
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.floor(math.log(i + 1) * 1_000_000 + 0.5) for i in range(len(ranked))]
+    ys = [math.floor(math.log(f) * 1_000_000 + 0.5) for _, f in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    want = math.floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1_000_000 + 0.5)
+    row = run("q_zipf_slope").collect()[0]
+    assert (row.n_types, row.slope_micro) == (n, want)
+    assert row.slope_micro < 0  # frequencies decay with rank
+
+
+# ------------------------------------------------------------------ twap
+
+
+def test_time_weighted_avg_recompute(run, spark, sf_dir):
+    ev = sorted(
+        (
+            (r.user_id, int(r.ts.timestamp()), r.event_id, round(r.value * 100))
+            for r in load(spark, sf_dir, "events").collect()
+        ),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    want = {}
+    by_user: dict = defaultdict(list)
+    for u, es, eid, vc in ev:
+        by_user[u].append((es, vc))
+    for u, rows in by_user.items():
+        segs = [
+            (vc, rows[i + 1][0] - es)
+            for i, (es, vc) in enumerate(rows[:-1])
+            if rows[i + 1][0] - es > 0
+        ]
+        if segs:
+            num = sum(vc * dt for vc, dt in segs)
+            den = sum(dt for _, dt in segs)
+            want[u] = (len(segs), den, num // den)
+    got = {
+        r.user_id: (r.n_segments, r.span_s, r.twap_c)
+        for r in run("q_time_weighted_avg").collect()
+    }
+    assert got == want
+
+
+# -------------------------------------------------------------- dimstats
+
+
+def test_embed_dimstats_recompute(run, spark, sf_dir):
+    rows = load(spark, sf_dir, "embeddings").select("embedding").collect()
+    units = [
+        [math.floor(float(x) * 1_000_000 + 0.5) for x in r.embedding] for r in rows
+    ]
+    n = len(units)
+    dim = len(units[0])
+    got = {r.dim: (r.n, r.mean_mu, r.var_mu2) for r in run("q_embed_dimstats").collect()}
+    assert set(got) == set(range(dim))
+    for i in range(dim):
+        col = [u[i] for u in units]
+        su, ssq = sum(col), sum(v * v for v in col)
+        mean = math.floor(su / n + 0.5)
+        var = round((ssq - su * su / n) / n)
+        assert got[i] == (n, mean, var), i
+
+
+# ------------------------------------------------------- schema evolution
+
+
+def test_schema_evolution_nulls_old_batch(run, spark, sf_dir):
+    from kafka_to_parquet_spark.sources.formats import EVOL_SPLIT_US
+
+    src = {
+        r.event_id: (r.user_id, r.event_type, r.value)
+        for r in load(spark, sf_dir, "events").collect()
+    }
+    got = {
+        r.event_id: (r.user_id, r.event_type, r.value)
+        for r in run("q_schema_evolution").collect()
+    }
+    assert set(got) == set(src)
+    for eid, (uid, et, val) in src.items():
+        g_uid, g_et, g_val = got[eid]
+        assert (g_uid, g_et) == (uid, et)
+        if uid % EVOL_SPLIT_US == 0:
+            assert g_val == val
+        else:
+            assert g_val is None

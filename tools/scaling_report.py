@@ -103,6 +103,11 @@ QUERIES = [
     ("q_ngram_novelty", "documents"),
     ("q_dedup_typo", "documents"),
     ("q_pca_power", "embeddings"),
+    ("q_langid_confusion", "documents"),
+    ("q_zipf_slope", "documents"),
+    ("q_time_weighted_avg", "events"),
+    ("q_embed_dimstats", "embeddings"),
+    ("q_schema_evolution", "events"),
 ]
 
 

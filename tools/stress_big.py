@@ -58,7 +58,7 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # interesting measurement).
            "q_avro_roundtrip", "q_ks_test", "q_join_interval_overlap",
            "q_bpe_merge_step", "q_gini_tokens", "q_ngram_novelty",
-           "q_dedup_typo"]
+           "q_dedup_typo", "q_time_weighted_avg"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
