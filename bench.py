@@ -86,7 +86,6 @@ HEADLINE = [
     "q_udf_pandas_cosine", # Arrow pandas-UDF path
     "q_agg_stats",         # exact-moment corr/covar
     "q_agg_percentile",    # exact per-group percentiles
-    "q_text_tokens",       # tokenize + explode + count
     "q_text_quality",      # quality scoring pipeline
     "q_decontaminate",     # broadcast n-gram benchmark decontamination
     "q_chunk_docs",        # context-window chunking fan-out
@@ -136,7 +135,7 @@ HEADLINE = [
     "q_dedup_span_strip",  # duplicated-span removal (cleaned corpus)
     "q_dedup_bag",         # order-invariant exact dedup
     "q_dup_cluster_stats", # component-size histogram
-    "q_knn_graph",         # blocked top-k neighbor graph
+    "q_knn_graph",         # label-filtered k-NN graph in IVF cells
     "q_ttr_source",        # per-source type-token ratio
     "q_join_bucketed",     # zero-exchange bucketed SMJ
     "q_lsh_recall",        # banded-LSH recall audit per J-decile
@@ -154,6 +153,7 @@ HEADLINE = [
     "q_avro_roundtrip",      # Confluent-framed Avro wire decode (pandas UDF + mapInPandas)
     "q_ngram_novelty",       # per-doc novel-trigram fraction (hash postings topology)
     "q_dedup_typo",          # deletion-neighborhood edit-distance-1 vocabulary join
+    "q_mann_whitney",        # integer-midrank rank-sum / AUC
 ]
 
 

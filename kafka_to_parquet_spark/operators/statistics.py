@@ -480,3 +480,90 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(max(abs(c1 * n2 - c2 * n1)) * 10000 DIV (max(n1) * max(n2)) AS BIGINT)"
         ).alias("d_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U / rank-biserial AUC
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_whitney",
+    oracle=f"""
+WITH v AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+  GROUP BY value
+),
+c AS (
+  SELECT na, nb,
+         coalesce(sum(na + nb) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+  FROM v
+),
+tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2 FROM v),
+s AS (SELECT CAST(sum(na * (2 * cprev + na + nb + 1)) AS BIGINT) AS r2a FROM c)
+SELECT n1, n2,
+       CAST(r2a - n1 * (n1 + 1) AS BIGINT) AS u2_a,
+       CAST((r2a - n1 * (n1 + 1)) * 5000 // (n1 * n2) AS BIGINT) AS auc_bp
+FROM s CROSS JOIN tot
+""",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between the two event-type value samples,
+    reported with its effect size: U/(n1·n2) is exactly the
+    probability a random '{KS_TYPE_A}' value exceeds a random
+    '{KS_TYPE_B}' value (ties half-counted) — i.e. the AUC, in basis
+    points. The rank-sum complement of q_ks_test: KS finds WHERE the
+    distributions differ most, U says which one is stochastically
+    larger and by how much.
+
+    Tie handling without fractions: midranks over a tie group of size
+    g starting after c_prev items are (c_prev + (g+1)/2) — DOUBLED
+    they are the integer 2·c_prev + g + 1, so the doubled rank sum
+    2·R_A = Σ na·(2·c_prev + na + nb + 1) is exact BIGINT, and
+    2·U_A = 2·R_A − n1(n1+1) stays integer end to end; AUC_bp is one
+    floor division (×5000 because the numerator is doubled).
+
+    Shape: identical topology to q_ks_test — the fact collapses to its
+    distinct-value histogram map-side, the exclusive running count is
+    a vocabulary-sized ordered pass (two-level prefix-sum at 100 TB),
+    and the statistic is one global reduce row."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    v = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    wprev = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    c = v.select(
+        "na",
+        "nb",
+        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(wprev), F.lit(0)).alias(
+            "cprev"
+        ),
+    )
+    tot = v.agg(
+        F.sum("na").cast("long").alias("n1"), F.sum("nb").cast("long").alias("n2")
+    )
+    s = c.agg(
+        F.sum(F.col("na") * (2 * F.col("cprev") + F.col("na") + F.col("nb") + 1))
+        .cast("long")
+        .alias("r2a")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.expr("CAST(r2a - n1 * (n1 + 1) AS BIGINT)").alias("u2_a"),
+        F.expr(
+            "CAST((r2a - n1 * (n1 + 1)) * 5000 DIV (n1 * n2) AS BIGINT)"
+        ).alias("auc_bp"),
+    )

@@ -785,3 +785,81 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dt").cast("long").alias("span_s"),
         F.expr("CAST(sum(v_c * dt) DIV sum(dt) AS BIGINT)").alias("twap_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_autocorr",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY d
+),
+pairs AS (
+  SELECT n AS x, lead(n) OVER (ORDER BY d) AS y,
+         CAST(lead(d) OVER (ORDER BY d) - d AS BIGINT) AS gap
+  FROM daily
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs WHERE y IS NOT NULL AND gap = 1
+)
+SELECT m AS n_pairs,
+       CAST(round((m * sxy - sx * sy) * 1.0
+                  / sqrt((m * sxx - sx * sx) * 1.0 * (m * syy - sy * sy))
+                  * 1000000) AS BIGINT) AS acf1_micro
+FROM m
+""",
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    first seasonality/trend screen of time-series monitoring (white
+    noise ⇒ ~0; momentum/trend ⇒ positive; alternating load ⇒
+    negative). Pairs are STRICTLY consecutive days (calendar gap = 1);
+    a missing day breaks the chain rather than silently correlating
+    across it.
+
+    Engine stability: daily counts are exact BIGINTs, all five
+    regression moments are exact BIGINT sums, and the Pearson r over
+    them is ONE double expression (two multiplies, one sqrt, one
+    divide — IEEE sqrt is correctly rounded, so both engines compute
+    the identical double) rounded to integer micros: the
+    q_chi2_independence discipline with a sqrt in the expression.
+
+    Shape: the fact collapses to ≤|days| rows map-side; the lead()
+    window and the final reduce run over that tiny series. At 100 TB
+    only the first aggregate touches the corpus."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.orderBy("d")
+    pairs = daily.select(
+        F.col("n").alias("x"),
+        F.lead("n").over(w).alias("y"),
+        F.datediff(F.lead("d").over(w), F.col("d")).cast("long").alias("gap"),
+    ).filter(F.col("y").isNotNull() & (F.col("gap") == 1))
+    m = pairs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return m.select(
+        F.col("m").alias("n_pairs"),
+        F.expr(
+            "CAST(round((m * sxy - sx * sy) * 1.0"
+            " / sqrt((m * sxx - sx * sx) * 1.0 * (m * syy - sy * sy))"
+            " * 1000000) AS BIGINT)"
+        ).alias("acf1_micro"),
+    )

@@ -311,3 +311,51 @@ def test_schema_evolution_nulls_old_batch(run, spark, sf_dir):
             assert g_val == val
         else:
             assert g_val is None
+
+
+# ---------------------------------------------------------- mann-whitney
+
+
+def test_mann_whitney_recompute(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.statistics import KS_TYPE_A, KS_TYPE_B
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    xs = [r.value for r in ev if r.event_type == KS_TYPE_A]
+    ys = [r.value for r in ev if r.event_type == KS_TYPE_B]
+    n1, n2 = len(xs), len(ys)
+    # 2*U_A directly from the definition: pairs where x > y count 2,
+    # ties count 1.
+    u2 = sum(2 if x > y else (1 if x == y else 0) for x in xs for y in ys)
+    row = run("q_mann_whitney").collect()[0]
+    assert (row.n1, row.n2, row.u2_a) == (n1, n2, u2)
+    assert row.auc_bp == u2 * 5000 // (n1 * n2)
+    assert 0 <= row.auc_bp <= 10000
+
+
+# ------------------------------------------------------------- autocorr
+
+
+def test_ts_autocorr_recompute(run, spark, sf_dir):
+    from collections import Counter as C
+
+    daily = C()
+    for r in load(spark, sf_dir, "events").select("ts").collect():
+        daily[r.ts.date()] += 1
+    days = sorted(daily)
+    pairs = [
+        (daily[d], daily[days[i + 1]])
+        for i, d in enumerate(days[:-1])
+        if (days[i + 1] - d).days == 1
+    ]
+    m = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    want = round(
+        (m * sxy - sx * sy) / math.sqrt((m * sxx - sx * sx) * 1.0 * (m * syy - sy * sy))
+        * 1_000_000
+    )
+    row = run("q_ts_autocorr").collect()[0]
+    assert (row.n_pairs, row.acf1_micro) == (m, want)

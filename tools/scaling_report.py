@@ -108,6 +108,8 @@ QUERIES = [
     ("q_time_weighted_avg", "events"),
     ("q_embed_dimstats", "embeddings"),
     ("q_schema_evolution", "events"),
+    ("q_mann_whitney", "events"),
+    ("q_ts_autocorr", "events"),
 ]
 
 
