@@ -347,3 +347,78 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("qty_scaled") / 100.0).alias("sum_qty"),
         F.sum("n_part").cast("long").alias("n"),
     )
+
+
+ASOF_TOL_S = 1800  # tolerance bound: matches older than 30 min are dropped
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS is_p,
+         CASE WHEN event_type = 'view' THEN {{'t': ts, 'e': event_id}} END AS vrec
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+carried AS (
+  SELECT *, max(vrec) OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                            ROWS UNBOUNDED PRECEDING) AS last_view
+  FROM tagged
+)
+SELECT event_id AS p_event,
+       user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS p_ts_s,
+       CASE WHEN floor(epoch(ts)) - floor(epoch(last_view.t)) <= {ASOF_TOL_S}
+            THEN last_view.e END AS view_event,
+       CASE WHEN floor(epoch(ts)) - floor(epoch(last_view.t)) <= {ASOF_TOL_S}
+            THEN CAST(floor(epoch(ts)) - floor(epoch(last_view.t)) AS BIGINT)
+            END AS wait_s
+FROM carried
+WHERE is_p = 1
+""",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6c: bounded as-of join — q_join_asof with pandas
+    ``merge_asof``'s ``tolerance`` semantics: the most recent same-user
+    view matches only if it happened within {ASOF_TOL_S} s of the
+    purchase; staler matches become NULL (the purchase row survives,
+    attribution doesn't). The bound is what production attribution
+    actually ships — an unbounded as-of happily credits a view from
+    last month.
+
+    Plan: identical to q_join_asof (union → ONE user_id exchange →
+    running struct-max; no range join, state per key is one struct) —
+    the tolerance is a pure row-local CASE over the carried struct, so
+    the bound costs nothing at any scale. A NULL carried struct (no
+    prior view at all) fails the CASE's comparison and nulls both
+    output columns on both engines identically."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", F.lit(0)).otherwise(F.lit(1)).alias("is_p"),
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e")),
+        ).alias("vrec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn("last_view", F.max("vrec").over(w))
+    wait = F.floor(F.unix_timestamp("ts")) - F.floor(F.unix_timestamp("last_view.t"))
+    in_tol = wait <= ASOF_TOL_S
+    return carried.filter(F.col("is_p") == 1).select(
+        F.col("event_id").alias("p_event"),
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("p_ts_s"),
+        F.when(in_tol, F.col("last_view.e")).alias("view_event"),
+        F.when(in_tol, wait.cast("long")).alias("wait_s"),
+    )

@@ -359,3 +359,31 @@ def test_ts_autocorr_recompute(run, spark, sf_dir):
     )
     row = run("q_ts_autocorr").collect()[0]
     assert (row.n_pairs, row.acf1_micro) == (m, want)
+
+
+# -------------------------------------------------------- asof tolerance
+
+
+def test_asof_tolerance_nulls_stale_matches(run):
+    from kafka_to_parquet_spark.operators.composite import ASOF_TOL_S
+
+    base = {
+        r.p_event: (r.user_id, r.p_ts_s, r.view_event, r.wait_s)
+        for r in run("q_join_asof").collect()
+    }
+    tol = {
+        r.p_event: (r.user_id, r.p_ts_s, r.view_event, r.wait_s)
+        for r in run("q_join_asof_tolerance").collect()
+    }
+    assert set(tol) == set(base)
+    saw_dropped = saw_kept = False
+    for pe, (uid, pts, ve, ws) in base.items():
+        t_uid, t_pts, t_ve, t_ws = tol[pe]
+        assert (t_uid, t_pts) == (uid, pts)
+        if ve is not None and ws <= ASOF_TOL_S:
+            assert (t_ve, t_ws) == (ve, ws)
+            saw_kept = True
+        else:
+            assert t_ve is None and t_ws is None
+            saw_dropped = True
+    assert saw_kept and saw_dropped, "fixture exercises both branches"

@@ -110,6 +110,7 @@ QUERIES = [
     ("q_schema_evolution", "events"),
     ("q_mann_whitney", "events"),
     ("q_ts_autocorr", "events"),
+    ("q_join_asof_tolerance", "events"),
 ]
 
 
