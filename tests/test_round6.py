@@ -387,3 +387,29 @@ def test_asof_tolerance_nulls_stale_matches(run):
             assert t_ve is None and t_ws is None
             saw_dropped = True
     assert saw_kept and saw_dropped, "fixture exercises both branches"
+
+
+# ----------------------------------------------------- stream transitions
+
+
+def test_stream_transitions_batch_parity(run, spark, sf_dir):
+    """The streaming stateful count must equal a Python lag-scan over
+    the same (es, event_id)-ordered per-user sequences."""
+    ev = [
+        (r.user_id, int(r.ts.timestamp()), r.event_id, r.event_type)
+        for r in load(spark, sf_dir, "events").collect()
+        if r.event_type in ("view", "purchase")
+    ]
+    by_user: dict = defaultdict(list)
+    for u, es, eid, et in ev:
+        by_user[u].append((es, eid, et))
+    want = {}
+    for u, rows in by_user.items():
+        rows.sort()
+        n = 0
+        for prev, cur in zip(rows, rows[1:]):
+            if prev[2] == "view" and cur[2] == "purchase":
+                n += 1
+        want[u] = n
+    got = {r.user_id: r.n_transitions for r in run("q_stream_transitions").collect()}
+    assert got == want

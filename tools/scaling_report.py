@@ -111,6 +111,7 @@ QUERIES = [
     ("q_mann_whitney", "events"),
     ("q_ts_autocorr", "events"),
     ("q_join_asof_tolerance", "events"),
+    ("q_stream_transitions", "events"),
 ]
 
 
