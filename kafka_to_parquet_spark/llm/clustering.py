@@ -438,13 +438,13 @@ KM3_ROUNDS = 3
 # AND centroids are integer arrays, squared distances are exact 63-bit
 # integers (64 dims × (4e6)² ≈ 1e15 ≪ 2^63) — no rounding fence, no
 # float comparison anywhere in the iteration.
-_UNIT = "CAST(floor(CAST({x} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+UNIT_MICRO = "CAST(floor(CAST({x} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
 
 
 def _km3_oracle() -> str:
     """Chained-CTE mirror of the Spark loop (same integer ops per
     round — the graph.q_graph_pagerank oracle discipline)."""
-    u = _UNIT.format(x="x")
+    u = UNIT_MICRO.format(x="x")
     ctes = [
         f"""uv AS (
   SELECT vec_id, list_transform(embedding, x -> {u}) AS uvec FROM embeddings
@@ -526,7 +526,7 @@ def q_kmeans3(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAG of those stages; at 100 TB each round is the same two
     exchanges PageRank pays per iteration, with the centroid side
     always broadcast-sized."""
-    u_vec = F.expr("transform(embedding, x -> " + _UNIT.format(x="x") + ")")
+    u_vec = F.expr("transform(embedding, x -> " + UNIT_MICRO.format(x="x") + ")")
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", u_vec.alias("uvec")
     )

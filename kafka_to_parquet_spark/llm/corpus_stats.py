@@ -1062,6 +1062,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("th"),
         )
+        # two consumers (the ndocs aggregate + the join back) and
+        # Catalyst has no cross-subtree CSE — without a materialization
+        # boundary the scan+tokenize+hash explode runs twice (the
+        # q_semdedup / _window_hashes discipline; the oracle's tri CTE
+        # is MATERIALIZED for the same reason)
+        .localCheckpoint()
     )
     nd = tri.groupBy("th").agg(F.count_distinct("doc_id").alias("ndocs"))
     return (

@@ -1125,7 +1125,10 @@ def q_dedup_typo(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " substring(word, i + 1, length(word))))))"
             )
         ).alias("k"),
-    )
+        # both self-join sides consume this subtree and Catalyst has no
+        # cross-subtree CSE — checkpoint so the corpus scan + distinct
+        # + deletion explode run once (vocabulary-sized, cheap to hold)
+    ).localCheckpoint()
     a = keys.alias("a")
     b = keys.alias("b")
     cand = (

@@ -23,10 +23,11 @@ from pyspark.sql import functions as F
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
-# Integer micro-unit fence (the q_kmeans3 _UNIT discipline): once
-# coordinates are integers, the dot product and the per-dimension sums
-# are exact 63-bit arithmetic — no float accumulation order anywhere.
-_UNIT = "CAST(floor(CAST({x} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+# Integer micro-unit fence — ONE definition shared with the k-means
+# family (llm/clustering.py), so a change to the rounding rule there
+# (e.g. the documented move to milli-units) cannot silently leave this
+# module's queries and oracles on a divergent fence.
+from kafka_to_parquet_spark.llm.clustering import UNIT_MICRO as _UNIT
 
 
 @query(

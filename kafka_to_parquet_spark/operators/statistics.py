@@ -409,21 +409,55 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 KS_TYPE_A, KS_TYPE_B = "click", "purchase"
 
 
-@query(
-    "q_ks_test",
-    oracle=f"""
-WITH v AS (
-  SELECT value,
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cent-quantized two-sample value histogram shared by q_ks_test
+    and q_mann_whitney: per distinct cent value, the two samples'
+    counts. Quantizing to integer cents bounds the histogram by the
+    value RANGE (here ≤ ~49k cent levels), not by N — the binned-ECDF
+    form production drift monitors run, and exactly lossless when the
+    data are 2-dp to begin with (this fixture's are). Checkpointed:
+    the cumulative window and the totals are two consumers and
+    Catalyst has no cross-subtree CSE — without the boundary the fact
+    scan runs twice."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    return (
+        ev.select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+            "event_type",
+        )
+        .groupBy("vc")
+        .agg(
+            F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+        )
+        .localCheckpoint()
+    )
+
+
+_DUCK_VALUE_HIST = f"""v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS vc,
          CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
          CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
   FROM events
   WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
-  GROUP BY value
-),
+  GROUP BY vc
+)"""
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+WITH {_DUCK_VALUE_HIST},
 tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2 FROM v),
 cum AS (
-  SELECT sum(na) OVER (ORDER BY value) AS c1,
-         sum(nb) OVER (ORDER BY value) AS c2
+  SELECT sum(na) OVER (ORDER BY vc) AS c1,
+         sum(nb) OVER (ORDER BY vc) AS c2
   FROM v
 )
 SELECT max(n1) AS n1, max(n2) AS n2,
@@ -436,40 +470,31 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     and '{KS_TYPE_B}' value distributions — the nonparametric
     distribution-shift screen (data-drift monitoring, A/B sanity,
     "did this source's quality-score distribution move between
-    snapshots"). D = sup_x |F1(x) − F2(x)|; the ECDFs step only at
-    sample points, so the exact supremum is the max over DISTINCT
-    observed values of the cumulative-count difference.
+    snapshots"). D = sup_x |F1(x) − F2(x)| over the CENT-QUANTIZED
+    ECDFs: the supremum of a step function is attained at its steps,
+    so the max over distinct cent levels is exact — identical to the
+    raw-value D when the data are 2-dp (this fixture's are), and the
+    standard binned-KS approximation otherwise.
 
-    Integer discipline: per distinct value the two cumulative counts
-    c1, c2 are exact BIGINTs (window sums of per-value counts), and
+    Integer discipline: per distinct cent the two cumulative counts
+    c1, c2 are exact BIGINTs (window sums of per-level counts), and
     |c1·n2 − c2·n1| clears both denominators — D in basis points is
     one integer floor-division at the end, so no float comparison
     exists anywhere and the oracle matches bit-for-bit.
 
-    Shape: one map-side-combinable groupBy(value) collapses the fact
-    table to its distinct-value histogram BEFORE any ordered pass (ties
-    and all — the RANGE-frame subtlety of running an ECDF over raw rows
-    disappears because each value appears once). The global cumulative
-    window then runs over the distinct values only (≪ rows). On the
-    100 TB form that ordered pass uses the q_win_running_scalable
-    two-level prefix-sum (per-bucket partials + small carry join) —
-    same numbers, parallel ordered pass; the fixture-size single
-    window keeps the declared plan readable."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
-    )
-    v = ev.groupBy("value").agg(
-        F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
-        .cast("long")
-        .alias("na"),
-        F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0))
-        .cast("long")
-        .alias("nb"),
-    )
+    Shape: one map-side-combinable groupBy(cent) collapses the fact
+    table to a histogram BOUNDED BY THE VALUE RANGE (≤ ~49k levels
+    here, independent of N — quantization is what makes that claim
+    hold for a continuous column). The cumulative window then runs
+    over histogram rows only; at extreme ranges the ordered pass uses
+    the q_win_running_scalable two-level prefix-sum. The histogram is
+    checkpointed once for its two consumers; the builder is one
+    shared definition with q_mann_whitney (_value_histogram)."""
+    v = _value_histogram(spark, sf_dir)
     tot = v.agg(
         F.sum("na").cast("long").alias("n1"), F.sum("nb").cast("long").alias("n2")
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = v.select(
         F.sum("na").over(w).alias("c1"), F.sum("nb").over(w).alias("c2")
     )
@@ -490,17 +515,10 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_mann_whitney",
     oracle=f"""
-WITH v AS (
-  SELECT value,
-         CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
-         CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
-  FROM events
-  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
-  GROUP BY value
-),
+WITH {_DUCK_VALUE_HIST},
 c AS (
   SELECT na, nb,
-         coalesce(sum(na + nb) OVER (ORDER BY value
+         coalesce(sum(na + nb) OVER (ORDER BY vc
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
   FROM v
 ),
@@ -527,23 +545,18 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·R_A = Σ na·(2·c_prev + na + nb + 1) is exact BIGINT, and
     2·U_A = 2·R_A − n1(n1+1) stays integer end to end; AUC_bp is one
     floor division (×5000 because the numerator is doubled).
+    Ranking runs over the CENT-QUANTIZED values (see q_ks_test /
+    _value_histogram) — identical to raw-value ranks for 2-dp data,
+    bin-midrank semantics otherwise.
 
-    Shape: identical topology to q_ks_test — the fact collapses to its
-    distinct-value histogram map-side, the exclusive running count is
-    a vocabulary-sized ordered pass (two-level prefix-sum at 100 TB),
-    and the statistic is one global reduce row."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
-    )
-    v = ev.groupBy("value").agg(
-        F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
-        .cast("long")
-        .alias("na"),
-        F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0))
-        .cast("long")
-        .alias("nb"),
-    )
-    wprev = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    Shape: identical topology to q_ks_test — the fact collapses to a
+    histogram bounded by the value range (not N), the exclusive
+    running count is a histogram-sized ordered pass (two-level
+    prefix-sum at extreme ranges), and the statistic is one global
+    reduce row; the histogram builder is one shared definition with
+    q_ks_test (_value_histogram), so the quantization rule can't drift."""
+    v = _value_histogram(spark, sf_dir)
+    wprev = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
     c = v.select(
         "na",
         "nb",

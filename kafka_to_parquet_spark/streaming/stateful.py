@@ -508,12 +508,15 @@ def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     State design: the running transition count plus the LAST event
     seen (order key + whether it was a view), so a pattern straddling
-    a batch boundary is still counted — within a batch rows sort by
-    the deterministic (es, event_id) key, across batches the carried
-    last-event state seeds the scan. Update-mode emission + max-per-
-    key collapse (the q_stream_custom_state discipline) makes the
-    bounded availableNow run equal the batch lag-window oracle
-    regardless of how the file source slices batches.
+    a batch boundary is still counted — within a batch ALL of a key's
+    Arrow chunks concatenate before one global (es, event_id) sort
+    (chunk-local sorting would miscount across chunk boundaries), and
+    across batches the carried last-event key both seeds the scan and
+    DROPS late rows (at-or-before the carried key — the watermark
+    discipline; like any streaming CEP, the operator's contract is
+    event-time-ordered batch delivery). Update-mode emission +
+    max-per-key collapse (the q_stream_custom_state discipline) makes
+    the bounded availableNow run equal the batch lag-window oracle.
 
     API note: Spark 4 adds transformWithStateInPandas (typed state
     handles, timers, RocksDB store) as this operator's successor API;
@@ -541,20 +544,33 @@ def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def count_transitions(key, pdfs, state):
         if state.exists:
-            n, _last_es, _last_eid, last_is_view = state.get
+            n, last_es, last_eid, last_is_view = state.get
             prev_view = bool(last_is_view)
         else:
-            n, prev_view = 0, False
-        tail = (0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["es", "event_id"])
+            n, last_es, last_eid, prev_view = 0, -1, -1, False
+        # ONE global sort over the whole batch's rows for this key —
+        # a group's rows can arrive as several Arrow chunks in
+        # arbitrary order, so sorting chunk-locally would miscount
+        # adjacencies across chunk boundaries.
+        pdf = pd.concat(list(pdfs)).sort_values(["es", "event_id"])
+        # Rows at-or-before the carried last event are LATE (an
+        # earlier batch already scanned past them) — counting them
+        # against the carried state would be order-wrong, so they are
+        # dropped, the watermark discipline. The file source delivers
+        # batches in file order; event-time-ordered ingestion is this
+        # operator's contract, as for any streaming CEP.
+        mask = (pdf["es"] > last_es) | (
+            (pdf["es"] == last_es) & (pdf["event_id"] > last_eid)
+        )
+        pdf = pdf[mask]
+        if len(pdf):
             for is_p in pdf["is_p"]:
                 if prev_view and is_p:
                     n += 1
                 prev_view = not is_p
             t = pdf.iloc[-1]
-            tail = (int(t["es"]), int(t["event_id"]))
-        state.update((n, tail[0], tail[1], int(prev_view)))
+            last_es, last_eid = int(t["es"]), int(t["event_id"])
+        state.update((n, last_es, last_eid, int(prev_view)))
         yield pd.DataFrame({"user_id": [key[0]], "n_transitions": [n]})
 
     running = ev.groupBy("user_id").applyInPandasWithState(
