@@ -155,22 +155,45 @@ def main() -> None:
         "| query | driving table | t(sf0.001) | t(sf0.01) | t(sf0.1) | rows ×10² | exp |",
         "|---|---|---|---|---|---|---|",
     ]
-    for name, table in QUERIES:
-        ts = []
-        for sf in SFS:
-            # Result-level caches (q_dedup_components' converged labels)
-            # would otherwise turn the timed run into a dict lookup —
-            # same honesty rule as bench.py, via the same mechanism.
-            clear_result_caches(spark)
-            t0 = time.time()
-            registry.QUERIES[name](spark, sf).write.format("noop").mode("overwrite").save()
-            ts.append(time.time() - t0)
+    def timed(name: str, sf: str) -> float:
+        # Result-level caches (q_dedup_components' converged labels)
+        # would otherwise turn the timed run into a dict lookup —
+        # same honesty rule as bench.py, via the same mechanism.
+        clear_result_caches(spark)
+        t0 = time.time()
+        registry.QUERIES[name](spark, sf).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    def exp_of(name: str, table: str, ts: list[float]) -> float:
         n_lo, n_hi = rows[SFS[1]][table], rows[SFS[2]][table]
-        exp = (
+        return (
             math.log(ts[2] / ts[1]) / math.log(n_hi / n_lo)
             if n_hi > n_lo and ts[1] > 0
             else float("nan")
         )
+
+    # One timed sample per (query, sf) first; queries whose exponent
+    # comes out above the resample threshold get two more samples per
+    # sf and report MEDIANS — a single co-residency/GC episode during
+    # the ~40-minute sweep otherwise owns a row's only sample and
+    # fabricates a quadratic-looking exponent on unchanged code (round
+    # 5's q_graph_triangles, round 6's q_semdedup first pass). Bounded
+    # cost: only the flagged few re-run, bench.py's adaptive-resample
+    # rule applied here.
+    RESAMPLE_EXP = 0.7
+    EXTRA = 2
+    for name, table in QUERIES:
+        ts = [timed(name, sf) for sf in SFS]
+        if exp_of(name, table, ts) > RESAMPLE_EXP:
+            import statistics
+
+            samples = [[t] for t in ts]
+            for _ in range(EXTRA):
+                for i, sf in enumerate(SFS):
+                    samples[i].append(timed(name, sf))
+            ts = [statistics.median(s) for s in samples]
+        exp = exp_of(name, table, ts)
+        n_lo, n_hi = rows[SFS[1]][table], rows[SFS[2]][table]
         lines.append(
             f"| {name} | {table} | {ts[0]:.2f}s | {ts[1]:.2f}s | {ts[2]:.2f}s "
             f"| {n_hi / max(n_lo, 1):.0f}× | {exp:.2f} |"
