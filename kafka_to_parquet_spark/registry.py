@@ -212,6 +212,7 @@ def load_all() -> None:
     from kafka_to_parquet_spark.operators import aggregates  # noqa: F401
     from kafka_to_parquet_spark.operators import composite  # noqa: F401
     from kafka_to_parquet_spark.operators import statistics  # noqa: F401
+    from kafka_to_parquet_spark.operators import inference  # noqa: F401
     from kafka_to_parquet_spark.operators import graph  # noqa: F401
     from kafka_to_parquet_spark.operators import joins  # noqa: F401
     from kafka_to_parquet_spark.operators import relational  # noqa: F401

@@ -112,6 +112,10 @@ QUERIES = [
     ("q_ts_autocorr", "events"),
     ("q_join_asof_tolerance", "events"),
     ("q_stream_transitions", "events"),
+    ("q_welch_ttest", "events"),
+    ("q_ols_trend", "events"),
+    ("q_mutual_information", "documents"),
+    ("q_psi_drift", "documents"),
 ]
 
 
