@@ -863,3 +863,236 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) AS BIGINT)"
         ).alias("acf1_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily-revenue series kit: rolling median, EWMA, CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+_DUCK_DAILY_CENTS = """daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) revenue in exact integer cents — the
+    shared series builder of the three queries below (one definition,
+    so the quantization rule can't drift between them). Map-side
+    combinable; the fact collapses to ≤|types|·|days| rows before any
+    window runs."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("yc")
+        )
+    )
+
+
+ROLLMED_W = 7  # trailing window length in observations
+
+
+@query(
+    "q_ts_rolling_median",
+    oracle=f"""
+WITH {_DUCK_DAILY_CENTS},
+fr AS (
+  SELECT event_type, d,
+         list_sort(list(yc) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN {ROLLMED_W - 1} PRECEDING AND CURRENT ROW)) AS l
+  FROM daily
+)
+SELECT event_type, d,
+       CAST(l[(len(l) - 1) // 2 + 1] + l[len(l) // 2 + 1] AS BIGINT) AS med2x
+FROM fr
+""",
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {ROLLMED_W}-observation rolling MEDIAN of the daily
+    revenue series per event type — the robust smoother operations
+    dashboards run where a rolling mean would chase one spiky day.
+    Reported as the DOUBLED lower+upper median (med2x = sorted[(n−1)/2]
+    + sorted[n/2], 0-indexed), which is exact integer for both odd and
+    even partial windows at the series head — no engine ever averages
+    two middles in floating point.
+
+    Shape: the corpus collapses map-side to the daily series
+    (_daily_cents); the frame sort handles K={ROLLMED_W} values per
+    row — collect_list over a ROWS frame is O(K log K) per output row
+    on series rows only, never on the fact table. At 100 TB the only
+    fact-scale work is the first aggregate; rolling state is bounded
+    by the frame constant."""
+    daily = _daily_cents(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(ROLLMED_W - 1), Window.currentRow)
+    )
+    fr = daily.select(
+        "event_type", "d", F.array_sort(F.collect_list("yc").over(w)).alias("l")
+    )
+    return fr.select(
+        "event_type",
+        "d",
+        F.expr(
+            "CAST(element_at(l, CAST((size(l) - 1) DIV 2 + 1 AS INT))"
+            " + element_at(l, CAST(size(l) DIV 2 + 1 AS INT)) AS BIGINT)"
+        ).alias("med2x"),
+    )
+
+
+EWMA_K = 8  # truncation depth; alpha = 1/2 so weights are 2^(K-1-k)
+
+
+def _ewma_terms(lag_sql: str) -> tuple[str, str]:
+    """SQL text for the truncated-EWMA numerator/denominator given a
+    ``lag_sql.format(k)`` template producing the k-back series value.
+    Shared shape for both engines; weights 2^(K−1−k) are exact ints."""
+    num = " + ".join(
+        f"(CASE WHEN {lag_sql.format(k=k)} IS NULL THEN 0 "
+        f"ELSE {lag_sql.format(k=k)} * {1 << (EWMA_K - 1 - k)} END)"
+        for k in range(EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag_sql.format(k=k)} IS NULL THEN 0 "
+        f"ELSE {1 << (EWMA_K - 1 - k)} END)"
+        for k in range(EWMA_K)
+    )
+    return num, den
+
+
+_EWMA_NUM_DUCK, _EWMA_DEN_DUCK = _ewma_terms(
+    "lag(yc, {k}) OVER (PARTITION BY event_type ORDER BY d)"
+)
+
+
+@query(
+    "q_ts_ewma",
+    oracle=f"""
+WITH {_DUCK_DAILY_CENTS},
+t AS (
+  SELECT event_type, d,
+         CAST({_EWMA_NUM_DUCK} AS BIGINT) AS ewma_num,
+         CAST({_EWMA_DEN_DUCK} AS BIGINT) AS ewma_den
+  FROM daily
+)
+SELECT event_type, d, ewma_num, ewma_den,
+       CAST(ewma_num * 1000 // ewma_den AS BIGINT) AS ewma_milli
+FROM t
+""",
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2) of the daily
+    revenue series per event type, truncated at K={EWMA_K} trailing
+    observations — the smoother behind anomaly baselines and
+    forecasting warm-starts. The truncation is what makes the operator
+    DISTRIBUTABLE AND EXACT: untruncated EWMA is a sequential
+    recurrence (each row needs the full prefix), while the K-term form
+    is a fixed linear combination of K lags — pure window functions,
+    integer weights 2^(K−1−k), and a 2^-K ≈ 0.4% tail error bound
+    that is the standard production trade.
+
+    Integer discipline: numerator Σ yc_{{t−k}}·2^(K−1−k) and
+    denominator Σ 2^(K−1−k) (present lags only, so series heads
+    renormalize instead of decaying toward zero) are exact BIGINTs;
+    the milli-cent EWMA is one integer floor division.
+
+    Shape: one series-keyed window partition evaluates all K lags in
+    a single pass over the daily rows (Catalyst collapses same-spec
+    lag()s into one WindowExec); the fact table is touched only by
+    _daily_cents."""
+    daily = _daily_cents(spark, sf_dir)
+    num_sql, den_sql = _ewma_terms("lag(yc, {k}) OVER w")
+    daily.createOrReplaceTempView("__ewma_daily")
+    return spark.sql(
+        f"""
+SELECT event_type, d,
+       CAST({num_sql} AS BIGINT) AS ewma_num,
+       CAST({den_sql} AS BIGINT) AS ewma_den,
+       CAST(CAST({num_sql} AS BIGINT) * 1000 DIV CAST({den_sql} AS BIGINT) AS BIGINT) AS ewma_milli
+FROM __ewma_daily
+WINDOW w AS (PARTITION BY event_type ORDER BY d)
+"""
+    )
+
+
+@query(
+    "q_ts_cusum",
+    oracle=f"""
+WITH {_DUCK_DAILY_CENTS},
+c AS (
+  SELECT event_type, d,
+         sum(yc) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         sum(yc) OVER (PARTITION BY event_type) AS s,
+         count(*) OVER (PARTITION BY event_type) AS t
+  FROM daily
+),
+x AS (
+  SELECT event_type, d, abs(t * cum - rn * s) AS absd, t, s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(t * cum - rn * s) DESC, d) AS pick
+  FROM c
+)
+SELECT event_type, d AS cp_day, CAST(absd AS BIGINT) AS dmax,
+       CAST(t AS BIGINT) AS t_days,
+       CAST(absd * 10000 // (t * s) AS BIGINT) AS cusum_bp
+FROM x WHERE pick = 1
+""",
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen on the daily revenue series per event
+    type: the day t maximizing |T·C_t − t·S| — the scale-cleared form
+    of the classic max |C_t − (t/T)·S| cumulative-deviation statistic
+    (a level shift at day t* makes the cumulative sum bow out farthest
+    there). Reports the argmax day, the raw deviation, and its
+    normalized magnitude in basis points of T·S.
+
+    Integer discipline: clearing the t/T and S/T fractions keeps every
+    deviation an exact (big) integer — no float appears anywhere, so
+    ties break identically on both engines via the explicit
+    (deviation DESC, day ASC) pick order.
+
+    Shape: the fact collapses to the daily series; the cumulative and
+    total windows share ONE series-keyed exchange, and the argmax is a
+    row_number pick over ≤|days| rows per type. The 100 TB cost is the
+    first aggregate, full stop."""
+    daily = _daily_cents(spark, sf_dir)
+    wcum = Window.partitionBy("event_type").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("event_type")
+    c = daily.select(
+        "event_type",
+        "d",
+        F.sum("yc").over(wcum).alias("cum"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("d")).alias("rn"),
+        F.sum("yc").over(wall).alias("s"),
+        F.count("*").over(wall).alias("t"),
+    )
+    x = c.select(
+        "event_type",
+        "d",
+        F.abs(F.col("t") * F.col("cum") - F.col("rn") * F.col("s")).alias("absd"),
+        "t",
+        "s",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("t") * F.col("cum") - F.col("rn") * F.col("s")).desc(),
+                F.col("d").asc(),
+            )
+        )
+        .alias("pick"),
+    )
+    return x.filter(F.col("pick") == 1).select(
+        "event_type",
+        F.col("d").alias("cp_day"),
+        F.col("absd").cast("long").alias("dmax"),
+        F.col("t").cast("long").alias("t_days"),
+        F.expr("CAST(absd * 10000 DIV (t * s) AS BIGINT)").alias("cusum_bp"),
+    )

@@ -116,6 +116,9 @@ QUERIES = [
     ("q_ols_trend", "events"),
     ("q_mutual_information", "documents"),
     ("q_psi_drift", "documents"),
+    ("q_ts_rolling_median", "events"),
+    ("q_ts_ewma", "events"),
+    ("q_ts_cusum", "events"),
 ]
 
 
