@@ -430,3 +430,69 @@ def q_copurchase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_mu"), F.asc("pa"), F.asc("pb"))
         .limit(PMI_K)
     )
+
+
+JACCARD_K = 25
+
+
+@query(
+    "q_graph_jaccard",
+    oracle=f"""
+WITH {_PAIRS_CTE},
+deg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS d FROM pl GROUP BY p
+)
+SELECT pa, pb, support,
+       CAST(support * 10000 // (da.d + db.d - support) AS BIGINT) AS jac_bp
+FROM pairs
+JOIN deg da ON da.p = pa
+JOIN deg db ON db.p = pb
+ORDER BY jac_bp DESC, support DESC, pa, pb
+LIMIT {JACCARD_K}
+""",
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-neighborhood Jaccard similarity on the part-co-order
+    bipartite graph: for each co-occurring part pair, |orders(a) ∩
+    orders(b)| / |orders(a) ∪ orders(b)| — the link-prediction /
+    "customers who bought a also bought b, RELIABLY" score that raw
+    co-purchase support overstates for popular parts. Top-{JACCARD_K}
+    pairs by similarity.
+
+    The intersection is exactly the pair support (an order containing
+    both parts IS a common neighbor), so the pairwise stage reuses
+    _part_pairs verbatim — only pairs with support ≥ 1 ever exist,
+    which is what keeps this sub-quadratic: candidate pairs are
+    bounded by Σ_order C(lines, 2) (order size is bounded), never by
+    |parts|². Degrees join in from a map-side-combinable per-part
+    count; the similarity is one integer floor-division in basis
+    points (inclusion-exclusion clears the union), and the top-k is a
+    TakeOrderedAndProject over the deterministic (jac_bp, support,
+    pa, pb) key.
+
+    Shape at 100 TB: one distinct + self-join keyed on order id
+    (bounded fan-out), one degree aggregate, two dim-sized joins —
+    the degree table is parts-sized, broadcastable at TPC-H ratios."""
+    pairs = _part_pairs(spark, sf_dir)
+    pl = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = pl.groupBy("p").agg(F.count("*").cast("long").alias("d"))
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("db"))
+    return (
+        pairs.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            "pa",
+            "pb",
+            "support",
+            F.expr("CAST(support * 10000 DIV (da + db - support) AS BIGINT)").alias(
+                "jac_bp"
+            ),
+        )
+        .orderBy(F.desc("jac_bp"), F.desc("support"), F.asc("pa"), F.asc("pb"))
+        .limit(JACCARD_K)
+    )

@@ -409,3 +409,46 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("bin").alias("hour_bin"))
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+@query(
+    "q_join_null_aware",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT NULLIF(user_id, -1) FROM events WHERE event_type = 'purchase'
+)
+""",
+)
+def q_join_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULLABLE subquery column — the join flavor naive
+    anti joins get WRONG: under SQL three-valued logic one NULL in the
+    subquery makes every NOT IN row UNKNOWN (empty result), so the
+    planner cannot rewrite to a plain left-anti. Spark plans this as a
+    null-aware anti join (BroadcastHashJoin ... NAAJ) — a genuinely
+    distinct physical operator this query pins (tests/test_plans.py
+    asserts NAAJ appears; a plain LeftAnti would silently change
+    semantics the day a NULL lands in the subquery).
+
+    Expressed through the SQL surface because NOT IN's null semantics
+    ARE the point — the DataFrame twin (isin + ~) collapses to the
+    null-naive form. Revenue in exact integer cents (dec_sum_long
+    discipline).
+
+    Shape: the subquery side (distinct purchase user ids) is tiny and
+    broadcast; the fact side streams through the NAAJ probe with no
+    shuffle. At 100 TB this is one broadcast + one scan."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("naaj_orders")
+    load(spark, sf_dir, "events").createOrReplaceTempView("naaj_events")
+    return spark.sql(
+        """
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM naaj_orders
+WHERE o_custkey NOT IN (
+  SELECT NULLIF(user_id, -1) FROM naaj_events WHERE event_type = 'purchase'
+)
+"""
+    )

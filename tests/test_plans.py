@@ -364,3 +364,26 @@ def test_runtime_bloom_filter_injects_might_contain(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+
+
+def test_null_aware_anti_join_plans_as_naaj(run):
+    """q_join_null_aware must plan as Spark's null-aware anti join
+    (BroadcastHashJoin ... LeftAnti with the NAAJ flag), not a plain
+    left-anti — the flag is what preserves NOT IN's three-valued-logic
+    semantics the day a NULL lands in the subquery side."""
+    # The NAAJ flag is the trailing boolean of the simple-string plan
+    # node (formatted explain omits it).
+    df = run("q_join_null_aware")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"BroadcastHashJoin.*LeftAnti, BuildRight, true", plan)
+    assert m, f"NAAJ flag missing from plan:\n{plan[:2000]}"
+
+
+def test_graph_jaccard_broadcasts_degrees_and_takes_ordered(run):
+    """The degree table joins must broadcast (parts-sized dim), and the
+    top-k must be a TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(run("q_graph_jaccard"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

@@ -119,6 +119,8 @@ QUERIES = [
     ("q_ts_rolling_median", "events"),
     ("q_ts_ewma", "events"),
     ("q_ts_cusum", "events"),
+    ("q_join_null_aware", "orders"),
+    ("q_graph_jaccard", "lineitem"),
 ]
 
 
