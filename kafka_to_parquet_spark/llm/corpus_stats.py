@@ -1169,3 +1169,75 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("slope_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: per-source curation profile
+# ---------------------------------------------------------------------------
+
+_LANG_H_TERM = (
+    "CAST(round(1000000 * ((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c)))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "q_dataset_card",
+    oracle=f"""
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT source, lang, c, chars,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM cells
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(chars) * 100 // max(n) AS BIGINT) AS mean_chars_c,
+       CAST(sum({_LANG_H_TERM}) AS BIGINT) AS lang_h_micro
+FROM tot
+GROUP BY source
+""",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: document count, language count, total
+    and mean length, and the language-mix Shannon entropy in integer
+    micro-nats — the one-page profile a curation pipeline publishes
+    alongside each corpus slice (HuggingFace dataset cards, Dolma's
+    per-source summaries). Entropy is the headline number: 0 means a
+    monolingual source, ln(|langs|) a uniform mix — the first check
+    that a "web-en" slice actually is.
+
+    Integer discipline: per-(source, lang) terms (c/n)·ln(n/c) are
+    mirrored double expressions over exact BIGINTs rounded to
+    micro-nats BEFORE the per-source sum (q_mutual_information's
+    rule); the mean is an integer centi-char division.
+
+    Shape: ONE map-side-combinable aggregate collapses the corpus to
+    ≤|source|·|lang| cells; the per-source window and final group run
+    over those cells only. At 100 TB this is a single shuffle of
+    bounded partials — the cheapest profile the semantics admit."""
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )
+    tot = cells.select(
+        "source", "lang", "c", "chars",
+        F.sum("c").over(Window.partitionBy("source")).cast("long").alias("n"),
+    )
+    return tot.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.expr("CAST(sum(chars) * 100 DIV max(n) AS BIGINT)").alias("mean_chars_c"),
+        F.sum(F.expr(_LANG_H_TERM)).cast("long").alias("lang_h_micro"),
+    )

@@ -382,3 +382,95 @@ def q_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(pick).localCheckpoint()
     return sel
+
+
+# ---------------------------------------------------------------------------
+# Offline retrieval evaluation: NDCG@k of the BM25 ranking
+# ---------------------------------------------------------------------------
+
+# Graded gain = number of distinct query terms present (1..3): a
+# deterministic relevance judgment derivable on both engines, so the
+# metric needs no human labels to be oracle-exact.
+_DCG_TERM = (
+    "CAST(round(1000000 * (CAST(pow(2, CAST(rel AS DOUBLE)) - 1 AS DOUBLE)"
+    " / log2(CAST(pos + 1 AS DOUBLE)))) AS BIGINT)"
+)
+
+
+from kafka_to_parquet_spark.registry import ORACLE_SQL as _ORACLE_SQL
+
+# The ranked leg's oracle IS q_bm25's registered oracle, spliced in as
+# a CTE — single source of truth, the two can't drift.
+@query(
+    "q_ndcg_bm25",
+    oracle=f"""
+WITH ranked_raw AS ({_ORACLE_SQL["q_bm25"]}),
+ranked AS (
+  SELECT doc_id, n_terms AS rel,
+         row_number() OVER (ORDER BY score_units DESC, doc_id) AS pos
+  FROM ranked_raw
+),
+dcg AS (SELECT CAST(sum({_DCG_TERM}) AS BIGINT) AS dcg_micro FROM ranked),
+rels AS (
+  SELECT doc_id, CAST(count(DISTINCT word) AS BIGINT) AS rel
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)
+  WHERE word IN ({_sql_list(BM25_TERMS)}) GROUP BY doc_id
+),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos FROM rels
+),
+idcg AS (SELECT CAST(sum({_DCG_TERM}) AS BIGINT) AS idcg_micro
+         FROM ideal WHERE pos <= {_TOP_K})
+SELECT CAST({_TOP_K} AS BIGINT) AS k, dcg_micro, idcg_micro,
+       CAST(dcg_micro * 10000 // idcg_micro AS BIGINT) AS ndcg_bp
+FROM dcg CROSS JOIN idcg
+""",
+)
+def q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{k} of the BM25 ranking — the offline retrieval-quality
+    eval that closes the search family's loop (q_ann_recall /
+    q_lsh_recall grade the ANN and LSH fast paths; this grades the
+    RANKER). Relevance is the graded count of distinct query terms
+    present (1..3) — deterministic, so DCG, the ideal DCG over the
+    corpus-wide relevance distribution, and their ratio are all
+    engine-exact.
+
+    Integer discipline: each position's (2^rel − 1)/log2(pos+1) term
+    is one mirrored double expression rounded to micros BEFORE the
+    positional sum; NDCG is one integer basis-point division.
+
+    Shape: the ranked leg IS the declared q_bm25 plan (composition,
+    the q_lsh_recall discipline — the eval grades the production
+    ranking, not a private copy); the ideal leg needs only the
+    (doc, rel) aggregate the ranker already computes — filtered
+    pre-shuffle to query-term hits, so the ideal top-k ranks a
+    vanishing fraction of the corpus."""
+    ranked_raw = q_bm25(spark, sf_dir)
+    wpos = Window.orderBy(F.desc("score_units"), F.asc("doc_id"))
+    ranked = ranked_raw.select(
+        F.col("n_terms").alias("rel"), F.row_number().over(wpos).alias("pos")
+    )
+    dcg = ranked.agg(F.sum(F.expr(_DCG_TERM)).cast("long").alias("dcg_micro"))
+    docs = load(spark, sf_dir, "documents")
+    rels = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("word").cast("long").alias("rel"))
+    )
+    wideal = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = rels.select("rel", F.row_number().over(wideal).alias("pos")).filter(
+        F.col("pos") <= _TOP_K
+    )
+    idcg = ideal.agg(F.sum(F.expr(_DCG_TERM)).cast("long").alias("idcg_micro"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(_TOP_K).cast("long").alias("k"),
+            "dcg_micro",
+            "idcg_micro",
+            F.expr("CAST(dcg_micro * 10000 DIV idcg_micro AS BIGINT)").alias(
+                "ndcg_bp"
+            ),
+        )
+    )

@@ -541,3 +541,72 @@ def q_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     home_cols = home.select("vec_id", "embedding", "cent_id")
     probes = home_cols.unionByName(second)
     return _blocked_knn(probes, "cent_id", index=home_cols)
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS c_id, e.label AS c_label,
+         round({duck_cosine('q.qe', 'e.embedding')}, 6) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label <> q.ql
+)
+SELECT q_id, c_id, c_label, cos, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+      FROM pairs)
+WHERE rn <= {TOP_K}
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the top-{k} most-similar vectors with a DIFFERENT label —
+    the examples that sit closest to the decision boundary and carry
+    the training signal (random negatives are trivially separable;
+    hard negatives are what make embedding models sharp). The exact
+    complement of q_sim_topk's same-corpus retrieval: identical
+    broadcast-query shape, label-mismatch predicate instead of
+    self-exclusion.
+
+    Shape: |Q| query vectors broadcast against the corpus — O(|Q|·N)
+    with NO shuffle of the corpus side; the label predicate filters
+    BEFORE the per-query window, and the window state is top-k only.
+    At production scale the corpus leg swaps to the IVF cells
+    (q_knn_graph_ivf's machinery) unchanged; the brute-force form here
+    is the recall-1.0 baseline the audit queries grade against.
+    Cosine rounded to 6 dp with vec_id tiebreak (module discipline) so
+    ranking is engine-stable."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+        F.expr(norm_expr("embedding")).alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("c_label"),
+        F.expr(norm_expr("embedding")).alias("cn"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("c_label") != F.col("ql"))
+        .select(
+            "q_id",
+            "c_id",
+            "c_label",
+            F.round(
+                F.expr(dot_expr("qe", "ce")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "c_label", "cos", "rank")
+    )

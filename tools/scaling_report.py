@@ -121,6 +121,9 @@ QUERIES = [
     ("q_ts_cusum", "events"),
     ("q_join_null_aware", "orders"),
     ("q_graph_jaccard", "lineitem"),
+    ("q_ndcg_bm25", "documents"),
+    ("q_hard_negatives", "embeddings"),
+    ("q_dataset_card", "documents"),
 ]
 
 
