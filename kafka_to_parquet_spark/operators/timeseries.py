@@ -1096,3 +1096,159 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("long").alias("t_days"),
         F.expr("CAST(absd * 10000 DIV (t * s) AS BIGINT)").alias("cusum_bp"),
     )
+
+
+@query(
+    "q_seasonality_dow",
+    oracle="""
+WITH dd AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, dow
+),
+t AS (
+  SELECT event_type, dow, o,
+         CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY o DESC, dow) AS pick
+  FROM dd
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum((7 * o - n) * (7 * o - n)) * 1000000 // (7 * max(n) * 7) AS BIGINT)
+         AS chi2_micro,
+       CAST(max(CASE WHEN pick = 1 THEN dow END) AS BIGINT) AS peak_dow,
+       CAST(max(CASE WHEN pick = 1 THEN o END) AS BIGINT) AS peak_cnt
+FROM t
+GROUP BY event_type
+""",
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality screen per event type: the χ² statistic
+    of the observed weekday histogram against uniform, plus the peak
+    weekday — "is this metric weekly-periodic, and where is the peak"
+    (load shaping, alert-threshold scheduling). Weekday is the
+    epoch-day mod 7 (0 = Thursday) — identical arithmetic on both
+    engines, immune to locale/ISO dayofweek disagreements.
+
+    ALL-integer χ²: with uniform expected e = n/7, χ² = Σ(o−e)²/e =
+    Σ(7o−n)² / (7n) after clearing denominators — the numerator is an
+    exact BIGINT sum over the 7 weekday cells, so χ² in (floored)
+    micro-units is one integer division. No double exists anywhere in
+    this query. Peak picks deterministically via (count DESC, dow).
+
+    Shape: the fact collapses map-side to ≤|types|·7 cells; windows
+    and the final aggregate run over those cells only."""
+    ev = load(spark, sf_dir, "events")
+    dd = ev.groupBy(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+            % 7
+        ).alias("dow"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    t = dd.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).cast("long").alias("n"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(F.desc("o"), F.asc("dow"))
+        )
+        .alias("pick"),
+    )
+    return t.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(sum((7 * o - n) * (7 * o - n)) * 1000000 DIV (7 * max(n) * 7)"
+            " AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.expr("CAST(max(CASE WHEN pick = 1 THEN dow END) AS BIGINT)").alias(
+            "peak_dow"
+        ),
+        F.expr("CAST(max(CASE WHEN pick = 1 THEN o END) AS BIGINT)").alias(
+            "peak_cnt"
+        ),
+    )
+
+
+@query(
+    "q_theil_sen",
+    oracle=f"""
+WITH {_DUCK_DAILY_CENTS},
+dx AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS x, yc
+  FROM daily
+),
+sl AS (
+  SELECT a.event_type,
+         CAST(b.yc - a.yc AS DOUBLE) / (b.x - a.x) AS s
+  FROM dx a JOIN dx b ON a.event_type = b.event_type AND a.x < b.x
+),
+r AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type ORDER BY s, event_type) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM sl
+)
+SELECT event_type, CAST(max(m) AS BIGINT) AS m_pairs,
+       CAST(round(1000000 * (max(CASE WHEN rn = (m - 1) // 2 + 1 THEN s END)
+                 + max(CASE WHEN rn = m // 2 + 1 THEN s END)) / 2) AS BIGINT)
+         AS ts_slope_micro
+FROM r
+GROUP BY event_type
+""",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator per event type: the MEDIAN of
+    all pairwise daily-revenue slopes — the regression that shrugs off
+    the outlier days that drag q_ols_trend's least-squares line (up to
+    ~29% contamination). The robust complement to the OLS row, same
+    series, directly comparable slope units (cents/day, micro-scaled).
+
+    Pairwise-after-collapse: the all-pairs stage runs on the DAILY
+    series (≤|days| rows per type), so its quadratic is |days|² —
+    bounded by the calendar, NOT by N. That is the general scale rule
+    for pairwise statistics: collapse first, then pair (the
+    q_rerank_mmr pool² discipline).
+
+    Engine stability: each slope Δyc/Δx is one mirrored double from
+    exact integers — identical IEEE values on both engines, so the
+    ORDER BY s rank permutation is identical (ties are identical
+    doubles; any rank assignment within a tie selects the same VALUE
+    for the median pick). The doubled lower+upper median average and
+    micro rounding are single mirrored ops."""
+    daily = _daily_cents(spark, sf_dir)
+    dx = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        "yc",
+    )
+    a = dx.select("event_type", F.col("x").alias("xa"), F.col("yc").alias("ya"))
+    b = dx.select("event_type", F.col("x").alias("xb"), F.col("yc").alias("yb"))
+    sl = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            F.expr("CAST(yb - ya AS DOUBLE) / (xb - xa)").alias("s"),
+        )
+    )
+    r = sl.select(
+        "event_type",
+        "s",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("s", "event_type"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).cast("long").alias("m"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("m").cast("long").alias("m_pairs"),
+        F.expr(
+            "CAST(round(1000000 * (max(CASE WHEN rn = (m - 1) DIV 2 + 1 THEN s END)"
+            " + max(CASE WHEN rn = m DIV 2 + 1 THEN s END)) / 2) AS BIGINT)"
+        ).alias("ts_slope_micro"),
+    )

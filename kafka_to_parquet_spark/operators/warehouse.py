@@ -536,3 +536,52 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_c"),
         )
     )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+WITH kc AS (
+  SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       quantile_cont(cnt, 0.5) AS p50_cnt,
+       quantile_cont(cnt, 0.99) AS p99_cnt,
+       CAST(max(cnt) * 10000 // sum(cnt) AS BIGINT) AS top1_bp
+FROM kc
+""",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for lineitem.l_suppkey — the profile
+    an engineer reads BEFORE choosing a join strategy (it is the
+    measured basis for this repo's own q_join_skew_salted /
+    q_agg_salted decisions): key cardinality, the hottest key's row
+    count and its share of the table in basis points, and the
+    p50/p99 of per-key counts (a heavy tail with p99 ≫ p50 is the
+    salting signal; a high top1_bp is the AQE-skew-join signal).
+
+    Engine stability: per-key counts are exact BIGINTs; the
+    interpolated percentiles operate on integers so their linear
+    interpolation yields exact binary fractions (the q_agg_percentile
+    argument); top-1 share is one integer basis-point division.
+
+    Shape: one map-side-combinable groupBy collapses the fact to its
+    key histogram (bounded by |keys|, not N); the profile is a single
+    reduce over that histogram — including the exact percentiles,
+    which sort key-count rows, never fact rows."""
+    kc = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return kc.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_cnt"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+        F.expr("CAST(max(cnt) * 10000 DIV sum(cnt) AS BIGINT)").alias("top1_bp"),
+    )

@@ -124,6 +124,9 @@ QUERIES = [
     ("q_ndcg_bm25", "documents"),
     ("q_hard_negatives", "embeddings"),
     ("q_dataset_card", "documents"),
+    ("q_skew_report", "lineitem"),
+    ("q_seasonality_dow", "events"),
+    ("q_theil_sen", "events"),
 ]
 
 
