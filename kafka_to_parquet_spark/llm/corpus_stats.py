@@ -1241,3 +1241,87 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(chars) * 100 DIV max(n) AS BIGINT)").alias("mean_chars_c"),
         F.sum(F.expr(_LANG_H_TERM)).cast("long").alias("lang_h_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget planning under a temperature-rebalanced mix
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_TOKENS = 1_000_000_000  # planning target: 1B training tokens
+
+
+@query(
+    "q_mix_token_budget",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS toks,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, n_docs, toks,
+         CAST(round(1000000 * sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS rt
+  FROM tok
+),
+t AS (SELECT *, CAST(sum(rt) OVER () AS BIGINT) AS rtot FROM r)
+SELECT source, n_docs, toks,
+       CAST(rt * 10000 // rtot AS BIGINT) AS share_bp,
+       CAST({MIX_BUDGET_TOKENS} * rt // rtot AS BIGINT) AS alloc_tokens,
+       CAST(({MIX_BUDGET_TOKENS} * rt // rtot) * 1000 // toks AS BIGINT) AS epochs_milli
+FROM t
+""",
+)
+def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget plan for a √-temperature source mix at a fixed
+    1B-token training target: each source's target share ∝ √(its
+    token count) (the mT5/PaLM rebalancing q_sample_temperature
+    applies at the document level, here planned at the TOKEN level),
+    its allocated token budget, and the resulting epochs over its data
+    in milli-epochs — epochs_milli > 1000 is the overfit flag: the mix
+    wants more tokens from that source than it has, i.e. the source
+    will repeat. This is the table a pretraining-data planner reads
+    before launching a run (Hoffmann-style budget splits).
+
+    Engine stability: per-source token counts are exact BIGINTs; the
+    ONE irrational step (√toks) is a mirrored double micro-rounded to
+    BIGINT per source BEFORE the cross-source total, so the share
+    denominator is an exact integer sum (the q_mutual_information
+    ordering rule) and every downstream quantity is integer division.
+
+    Shape: one tokenize+count aggregate collapses the corpus to
+    |sources| rows; the window total and plan arithmetic run on those
+    rows. At 100 TB the toks aggregate is the only corpus pass —
+    map-side combinable on (source). Ceiling: BUDGET·rt stays in
+    int64 through ~10^12 corpus tokens at the 10^6 sqrt scale; past
+    that, drop the sqrt fence to 10^3 units (same plan, one constant)."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(tokens_col(F.col("text")))).cast("long").alias("toks"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+    r = tok.select(
+        "source",
+        "n_docs",
+        "toks",
+        F.expr("CAST(round(1000000 * sqrt(CAST(toks AS DOUBLE))) AS BIGINT)").alias(
+            "rt"
+        ),
+    )
+    t = r.select(
+        "*", F.sum("rt").over(Window.partitionBy()).cast("long").alias("rtot")
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "toks",
+        F.expr("CAST(rt * 10000 DIV rtot AS BIGINT)").alias("share_bp"),
+        F.expr(f"CAST({MIX_BUDGET_TOKENS} * rt DIV rtot AS BIGINT)").alias(
+            "alloc_tokens"
+        ),
+        F.expr(
+            f"CAST(({MIX_BUDGET_TOKENS} * rt DIV rtot) * 1000 DIV toks AS BIGINT)"
+        ).alias("epochs_milli"),
+    )

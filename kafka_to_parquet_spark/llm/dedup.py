@@ -1139,3 +1139,74 @@ def q_dedup_typo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn(
         "dist", F.levenshtein("word_a", "word_b").cast("long")
     ).filter(F.col("dist") <= 1)
+
+
+@query(
+    "q_dup_provenance",
+    oracle="""
+WITH fam AS (
+  SELECT sha256(text) AS fp, source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY sha256(text), source
+),
+cross_pairs AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(sum(a.c * b.c) AS BIGINT) AS p
+  FROM fam a JOIN fam b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+same_pairs AS (
+  SELECT source AS sa, source AS sb, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS p
+  FROM fam WHERE c >= 2 GROUP BY source
+)
+SELECT sa, sb, CAST(sum(p) AS BIGINT) AS dup_pairs
+FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs)
+GROUP BY sa, sb
+""",
+)
+def q_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how
+    many exact-duplicate document pairs span them — the provenance
+    diagnostic behind mirror detection ("src3 is a scrape of src7")
+    and dedup-order policy (which source's copy to keep). The
+    actionable rollup of q_dedup_exact's families.
+
+    NO pair explosion: a family with c_a copies in source a and c_b in
+    source b contributes exactly c_a·c_b cross pairs and C(c_a, 2)
+    within-source pairs — computed from the (family, source, count)
+    aggregate by COMBINATORICS, never by materializing the quadratic
+    pair set that q_dedup_minhash's stress run showed growing 234×.
+    This is the family-form answer SCALING.md's span-strip audit names
+    as the production shape for mass-duplicated corpora.
+
+    Shape: digest-only shuffle to (fp, source) counts (the
+    q_dedup_exact discipline — 32-byte hashes, not bodies); the
+    self-join keys on fp with per-family fan-out bounded by |sources|;
+    output is the ≤|sources|² matrix."""
+    fam = (
+        load(spark, sf_dir, "documents")
+        .select(F.sha2("text", 256).alias("fp"), "source")
+        .groupBy("fp", "source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a = fam.select("fp", F.col("source").alias("sa"), F.col("c").alias("ca"))
+    b = fam.select("fp", F.col("source").alias("sb"), F.col("c").alias("cb"))
+    cross = (
+        a.join(b, "fp")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("p"))
+    )
+    same = (
+        fam.filter(F.col("c") >= 2)
+        .select(
+            F.col("source").alias("sa"),
+            F.col("source").alias("sb"),
+            F.expr("c * (c - 1) DIV 2").alias("p"),
+        )
+        .groupBy("sa", "sb")
+        .agg(F.sum("p").cast("long").alias("p"))
+    )
+    return (
+        cross.unionByName(same)
+        .groupBy("sa", "sb")
+        .agg(F.sum("p").cast("long").alias("dup_pairs"))
+    )

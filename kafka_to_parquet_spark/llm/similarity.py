@@ -610,3 +610,85 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "c_id", "c_label", "cos", "rank")
     )
+
+
+OUTLIER_K = 3
+
+_ASSIGN_CTE = f"""cent AS (
+  SELECT vec_id AS cent_id, embedding AS cente
+  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+),
+scored AS (
+  SELECT e.vec_id, c.cent_id,
+         round({duck_cosine('e.embedding', 'c.cente')}, 6) AS cs
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cent_id, cs
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+)"""
+
+
+@query(
+    "q_embed_outliers",
+    oracle=f"""
+WITH {_ASSIGN_CTE}
+SELECT cent_id, vec_id, cs, CAST(rk AS INTEGER) AS rank
+FROM (SELECT cent_id, vec_id, cs,
+             row_number() OVER (PARTITION BY cent_id ORDER BY cs ASC, vec_id) AS rk
+      FROM assign)
+WHERE rk <= {OUTLIER_K}
+""",
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen: per IVF cell, the {k} vectors
+    FARTHEST from their own centroid (lowest cosine) — the noise /
+    mislabeled-sample review queue of embedding-based curation
+    (SemDeDup prunes the densest neighborhoods; this surfaces the
+    sparsest). Threshold-free by design: a ranked queue per cell
+    instead of a tuned cutoff, which is how review pipelines actually
+    consume it.
+
+    Shape: the centroid assignment is the same broadcast-centroid
+    argmin as q_sim_ivf (deterministic centroids, N·k linear, cells
+    bounded as N grows); the per-cell bottom-k is one window over the
+    assignment with top-k state only. Cosine rounded to 6 dp with
+    vec_id tiebreak — the module's engine-stability rule.
+
+    Note the deliberate contrast with q_dedup_embedding (too-CLOSE
+    pairs) — the two queries share machinery and bracket the
+    embedding-quality spectrum from both ends."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cente"),
+        F.expr(norm_expr("embedding")).alias("cn"),
+    )
+    scored = (
+        e.select(
+            "vec_id", "embedding", F.expr(norm_expr("embedding")).alias("en")
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(
+                F.expr(dot_expr("embedding", "cente")) / (F.col("en") * F.col("cn")),
+                6,
+            ).alias("cs"),
+        )
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "cs")
+    )
+    wout = Window.partitionBy("cent_id").orderBy(F.asc("cs"), F.asc("vec_id"))
+    return (
+        assign.withColumn("rank", F.row_number().over(wout))
+        .filter(F.col("rank") <= OUTLIER_K)
+        .select("cent_id", "vec_id", "cs", "rank")
+    )

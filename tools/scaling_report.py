@@ -127,6 +127,9 @@ QUERIES = [
     ("q_skew_report", "lineitem"),
     ("q_seasonality_dow", "events"),
     ("q_theil_sen", "events"),
+    ("q_dup_provenance", "documents"),
+    ("q_embed_outliers", "embeddings"),
+    ("q_mix_token_budget", "documents"),
 ]
 
 
