@@ -58,7 +58,16 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # interesting measurement).
            "q_avro_roundtrip", "q_ks_test", "q_join_interval_overlap",
            "q_bpe_merge_step", "q_gini_tokens", "q_ngram_novelty",
-           "q_dedup_typo", "q_time_weighted_avg"]
+           "q_dedup_typo", "q_time_weighted_avg",
+           # round-6 session additions: skew report rides the 10x fact
+           # key histogram; welch/ols/seasonality/theil-sen collapse
+           # the 10x event log to moments/series (their cost IS the
+           # first aggregate - the claim under test); dup_provenance's
+           # combinatoric matrix must stay flat while its naive
+           # pair-explosion twin would grow 100x on 10-way families.
+           "q_skew_report", "q_welch_ttest", "q_ols_trend",
+           "q_seasonality_dow", "q_theil_sen", "q_dup_provenance",
+           "q_mix_token_budget"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
