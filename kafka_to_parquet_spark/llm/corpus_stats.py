@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.functions.hashes import H31_P, duck_h31, spark_h31
+from kafka_to_parquet_spark.functions.rounding import int_units
 from kafka_to_parquet_spark.functions.text import _STOP_SQL, _TOKENS_SQL, tokens_col
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
@@ -1325,3 +1326,178 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({MIX_BUDGET_TOKENS} * rt DIV rtot) * 1000 DIV toks AS BIGINT)"
         ).alias("epochs_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap (source similarity matrix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_source_vocab_overlap",
+    oracle=f"""
+WITH sv AS (
+  SELECT DISTINCT source, word
+  FROM (SELECT source, unnest({_TOKENS_SQL}) AS word FROM documents)
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vsz FROM sv GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.n_common,
+       CAST(za.vsz + zb.vsz - i.n_common AS BIGINT) AS n_union,
+       {int_units('CAST(i.n_common AS DOUBLE) / (za.vsz + zb.vsz - i.n_common)')}
+         AS jaccard_mu
+FROM inter i
+JOIN sz za ON za.source = i.src_a
+JOIN sz zb ON zb.source = i.src_b
+ORDER BY i.src_a, i.src_b
+""",
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between every pair of sources — the
+    source-similarity matrix a curation pipeline consults before
+    weighting a corpus mix (two crawls sharing 90% of their vocabulary
+    are near-redundant; a low-overlap source adds diversity).
+
+    Engine stability: intersections and unions are exact integer set
+    sizes over the canonical tokenizer; the only double is the final
+    Jaccard ratio of two BIGINTs, floor-rounded to micro units.
+
+    Shape: distinct (source, word) collapses the corpus map-side to
+    ≤ |sources|·|vocab| rows; the self-join key is the word, whose
+    per-key match size is capped by |sources| (20), so the pair stage
+    is |vocab|·C(|sources|,2) at worst — bounded by vocabulary, not
+    corpus size. Size lookups broadcast (|sources| rows). At 100 TB
+    the only corpus-sized stage is the tokenize+distinct pass."""
+    docs = load(spark, sf_dir, "documents")
+    sv = (
+        docs.select("source", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    sz = sv.groupBy("source").agg(F.count("*").cast("long").alias("vsz"))
+    a, b = sv.alias("a"), sv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("vsz").alias("vsz_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("vsz").alias("vsz_b"))
+    return (
+        inter.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.expr("CAST(vsz_a + vsz_b - n_common AS BIGINT)").alias("n_union"),
+            F.expr(
+                int_units("CAST(n_common AS DOUBLE) / (vsz_a + vsz_b - n_common)")
+            ).alias("jaccard_mu"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps'-law checkpoints)
+# ---------------------------------------------------------------------------
+
+GROWTH_BUCKETS = 20
+
+
+@query(
+    "q_vocab_growth",
+    oracle=f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+nt AS (
+  SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS ntok FROM documents
+),
+fo AS (
+  SELECT word, min(doc_id) AS fd
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY word
+),
+nw AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS neww FROM fo GROUP BY fd),
+per AS (
+  SELECT CAST(nt.doc_id * {GROWTH_BUCKETS} // (mx.m + 1) AS BIGINT) AS bucket,
+         nt.ntok, coalesce(nw.neww, 0) AS neww
+  FROM nt CROSS JOIN mx LEFT JOIN nw ON nw.doc_id = nt.doc_id
+),
+bk AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ntok) AS BIGINT) AS toks, CAST(sum(neww) AS BIGINT) AS neww
+  FROM per GROUP BY bucket
+)
+SELECT bucket,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS docs_cum,
+       CAST(sum(toks) OVER w AS BIGINT) AS tokens_cum,
+       CAST(sum(neww) OVER w AS BIGINT) AS vocab_cum
+FROM bk
+WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY bucket
+""",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): cumulative distinct
+    vocabulary vs cumulative tokens at {GROWTH_BUCKETS} fixed
+    checkpoints of the doc_id ingest order — the saturation diagnostic
+    that tells a corpus builder whether more of the same source still
+    adds new types or only repeats (flattening curve ⇒ diminishing
+    lexical returns).
+
+    The naive cumulative-distinct is a running set — quadratic or
+    stateful. The scale-safe identity: a word contributes to the
+    vocabulary from its FIRST occurrence on, so vocab(≤d) = #{words
+    with min(doc_id) ≤ d} — first occurrences are a min-aggregate,
+    per-checkpoint news are integer sums, and the cumulative is a
+    window over a FIXED number of bucket rows (doc-id range split into
+    {GROWTH_BUCKETS} equal buckets via exact integer division against
+    the broadcast max id — bucket count doesn't grow with N, so the
+    single-partition window is 20 rows at any scale). All integers.
+
+    Shape: one tokenize+explode pass feeds both the per-word min and
+    the per-doc token counts (map-side combinable); everything after
+    is bucket-sized. At 100 TB: two corpus-keyed shuffles ((doc,word)
+    min + per-doc counts), then constant-size arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    nt = docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("ntok")
+    )
+    fo = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    nw = fo.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("neww")
+    )
+    per = (
+        nt.crossJoin(F.broadcast(mx))
+        .join(nw, "doc_id", "left")
+        .select(
+            F.expr(f"CAST(doc_id * {GROWTH_BUCKETS} DIV (m + 1) AS BIGINT)").alias(
+                "bucket"
+            ),
+            "ntok",
+            F.coalesce(F.col("neww"), F.lit(0)).alias("neww"),
+        )
+    )
+    bk = per.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("toks"),
+        F.sum("neww").cast("long").alias("neww"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return bk.select(
+        "bucket",
+        F.sum("n_docs").over(w).cast("long").alias("docs_cum"),
+        F.sum("toks").over(w).cast("long").alias("tokens_cum"),
+        F.sum("neww").over(w).cast("long").alias("vocab_cum"),
+    ).orderBy("bucket")

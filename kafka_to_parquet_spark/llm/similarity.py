@@ -692,3 +692,106 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= OUTLIER_K)
         .select("cent_id", "vec_id", "cs", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encoding — the memory side of ANN indexing
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subquantizers: 64-dim vector → 4 × 16-dim subspaces
+PQ_SUBDIM = 16
+PQ_SEED_MOD = 50  # codebook: sub-vectors of every 50th vector ...
+PQ_K = 8  # ... capped at 8 entries (a codebook is a FIXED model artifact)
+
+
+def _pq_oracle() -> str:
+    from kafka_to_parquet_spark.functions.vectors import duck_sqdist
+
+    dist_cols, mins, codes, errs = [], [], [], []
+    for s in range(PQ_M):
+        a, b = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        dist_cols.append(
+            f"round({duck_sqdist(f'e.embedding[{a}:{b}]', f'c.cente[{a}:{b}]')}, 6)"
+            f" AS d{s}"
+        )
+        mins.append(f"min({{'d': d{s}, 'c': cent_id}}) AS m{s}")
+        codes.append(f"CAST(m{s}.c AS BIGINT) AS code{s}")
+        errs.append(f"CAST(floor(m{s}.d * 1000000.0 + 0.5) AS BIGINT)")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cente FROM embeddings
+  WHERE vec_id % {PQ_SEED_MOD} = 0 AND vec_id < {PQ_SEED_MOD * PQ_K}
+),
+scored AS (
+  SELECT e.vec_id, c.cent_id, {", ".join(dist_cols)}
+  FROM embeddings e CROSS JOIN cent c
+),
+agg AS (SELECT vec_id, {", ".join(mins)} FROM scored GROUP BY vec_id)
+SELECT vec_id, {", ".join(codes)}, CAST({" + ".join(errs)} AS BIGINT) AS err_mu
+FROM agg
+ORDER BY vec_id
+"""
+
+
+@query("q_embed_pq", oracle=_pq_oracle())
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., PAMI 2011 — the
+    compression layer of every large ANN index): each 64-dim vector is
+    split into {PQ_M} 16-dim sub-vectors, each assigned to its nearest
+    entry of a per-subspace codebook, and stored as {PQ_M} small codes
+    — 64 floats → 4 bytes, the trick that lets a 100 TB embedding
+    corpus keep its index in RAM. Codebook entries are the sub-vectors
+    of a fixed {PQ_K}-seed sample (deterministic stand-in for the
+    k-means-trained codebook; the assignment machinery is identical),
+    k FIXED per the q_kmeans_step lesson — codebook size is a model
+    hyperparameter, never ∝ N. Output: per vector, the {PQ_M} codes
+    plus the total quantization error in micro units — the
+    reconstruction-quality number a recall-vs-memory tradeoff is
+    tuned against.
+
+    Engine stability: each sub-distance is the shared rounded-6dp
+    sqdist fold; argmins break ties by (d2, cent_id) via min(struct)
+    vs DuckDB's lexicographic min over {{'d', 'c'}} structs; per-
+    subspace errors are floor-rounded to integer micros BEFORE the
+    cross-subspace sum.
+
+    Shape: ONE broadcast cross join scores all {PQ_M} subspaces per
+    (vector, seed) row — {PQ_M} map-side-combinable min(struct)
+    aggregates reduce k·N scored rows to N code rows before the only
+    shuffle, the same pre-reduced-exchange discipline as ivf_assign.
+    At 100 TB: one pass, one shuffle of N skinny code rows."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        (F.col("vec_id") % PQ_SEED_MOD == 0)
+        & (F.col("vec_id") < PQ_SEED_MOD * PQ_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"))
+    from kafka_to_parquet_spark.functions.vectors import sqdist_expr
+
+    dists = [
+        F.round(
+            F.expr(
+                sqdist_expr(
+                    f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
+                    f"slice(cente, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
+                )
+            ),
+            6,
+        ).alias(f"d{s}")
+        for s in range(PQ_M)
+    ]
+    scored = e.crossJoin(F.broadcast(cent)).select("vec_id", "cent_id", *dists)
+    agg = scored.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("cent_id").alias("c")))
+            .alias(f"m{s}")
+            for s in range(PQ_M)
+        ]
+    )
+    err = " + ".join(
+        f"CAST(floor(m{s}.d * 1000000.0 + 0.5) AS BIGINT)" for s in range(PQ_M)
+    )
+    return agg.select(
+        "vec_id",
+        *[F.expr(f"CAST(m{s}.c AS BIGINT)").alias(f"code{s}") for s in range(PQ_M)],
+        F.expr(f"CAST({err} AS BIGINT)").alias("err_mu"),
+    ).orderBy("vec_id")

@@ -580,3 +580,192 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((r2a - n1 * (n1 + 1)) * 5000 DIV (n1 * n2) AS BIGINT)"
         ).alias("auc_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance audit
+# ---------------------------------------------------------------------------
+
+# χ² term and expected-proportion expressions, shared verbatim with the
+# oracle text. Inputs n (cell count) / nt (flag total) / digit are exact
+# BIGINTs; log10 on an exact small integer ratio is one transcendental
+# evaluated on identical doubles, and each cell's term is micro-rounded
+# BEFORE the cross-cell window sum (the chi2/MI/PSI order-immunity
+# discipline), so the per-flag χ² is an integer sum of integers.
+_BENFORD_E = "(CAST(nt AS DOUBLE) * log10(1 + 1 / CAST(digit AS DOUBLE)))"
+_BENFORD_TERM = (
+    f"CAST(round(1000000 * ((CAST(n AS DOUBLE) - {_BENFORD_E}) "
+    f"* (CAST(n AS DOUBLE) - {_BENFORD_E}) / {_BENFORD_E})) AS BIGINT)"
+)
+_BENFORD_PPM = "CAST(round(1000000 * log10(1 + 1 / CAST(digit AS DOUBLE))) AS BIGINT)"
+
+
+@query(
+    "q_benford",
+    oracle=f"""
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (
+  SELECT l_returnflag, digit, n,
+         CAST(sum(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nt
+  FROM d
+)
+SELECT l_returnflag, digit, n,
+       CAST(n * 1000000 // nt AS BIGINT) AS obs_ppm,
+       {_BENFORD_PPM} AS benford_ppm,
+       CAST(sum({_BENFORD_TERM}) OVER (PARTITION BY l_returnflag) AS BIGINT)
+         AS chi2_micro
+FROM t
+ORDER BY l_returnflag, digit
+""",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of l_extendedprice per return
+    flag: observed vs expected log10(1+1/d) digit shares, with the
+    per-flag χ² conformance statistic — the classic forensic screen
+    for fabricated or truncated monetary columns (amounts spanning
+    several orders of magnitude follow Benford; clamped or synthetic
+    generators don't, and the χ² quantifies by how much).
+
+    Engine stability: the first significant digit is extracted from
+    the DECIMAL STRING of exact integer cents (integer-to-string
+    renders identically in both engines — no log10-of-a-near-power
+    float edge), all shares are integer ppm via BIGINT division, and
+    each χ² cell term is micro-rounded before the flag-level sum, so
+    the window sum adds integers in any order.
+
+    Shape: one map-side-combinable groupBy collapses the fact to
+    ≤ |flags|·9 cells; both windows run over those cells only. At
+    100 TB this is one pass and one shuffle of 27 partial rows per
+    task."""
+    li = load(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        "l_returnflag",
+        F.expr(
+            "CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING), 1, 1)"
+            " AS BIGINT)"
+        ).alias("digit"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    t = d.withColumn(
+        "nt", F.sum("n").over(Window.partitionBy("l_returnflag")).cast("long")
+    )
+    return t.select(
+        "l_returnflag",
+        "digit",
+        "n",
+        F.expr("CAST(n * 1000000 DIV nt AS BIGINT)").alias("obs_ppm"),
+        F.expr(_BENFORD_PPM).alias("benford_ppm"),
+        F.sum(F.expr(_BENFORD_TERM))
+        .over(Window.partitionBy("l_returnflag"))
+        .cast("long")
+        .alias("chi2_micro"),
+    ).orderBy("l_returnflag", "digit")
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix (multi-column profiling)
+# ---------------------------------------------------------------------------
+
+# The four profiled variables as exact integer quantizations. Price is
+# whole DOLLARS (not cents) so the second-moment partial sums stay well
+# inside the BIGINT accumulator: ~1e10 per row squared, 6e16 at sf≈1,
+# 2^63 headroom to ~sf100 per partial (and Spark partials are per-task,
+# far smaller). The closed-form corr is evaluated on doubles CAST from
+# those exact sums — n·sxy − sx·sy products would overflow BIGINT at
+# sf≈1 (n grows the product quadratically), doubles of exact < 2^53
+# integers round identically in both engines.
+_CORR_VARS = {
+    "qty": "CAST(l_quantity AS BIGINT)",
+    "price": "CAST(round(l_extendedprice) AS BIGINT)",
+    "disc": "CAST(round(l_discount * 100) AS BIGINT)",
+    "tax": "CAST(round(l_tax * 100) AS BIGINT)",
+}
+_CORR_PAIRS = [
+    ("qty", "price"), ("qty", "disc"), ("qty", "tax"),
+    ("price", "disc"), ("price", "tax"), ("disc", "tax"),
+]
+
+
+def _corr_micro(x: str, y: str) -> str:
+    """Mirrored Pearson-r expression over the moment row (micro units)."""
+    return (
+        f"CAST(round(1000000 * ((CAST(n AS DOUBLE) * s_{x}_{y} - CAST(s_{x} AS DOUBLE) * s_{y}) "
+        f"/ sqrt((CAST(n AS DOUBLE) * s_{x}_{x} - CAST(s_{x} AS DOUBLE) * s_{x}) "
+        f"* (CAST(n AS DOUBLE) * s_{y}_{y} - CAST(s_{y} AS DOUBLE) * s_{y})))) AS BIGINT)"
+    )
+
+
+def _corr_moment_sql() -> str:
+    """The shared single-row moment aggregate (engine-neutral SQL)."""
+    cols = ["CAST(count(*) AS BIGINT) AS n"]
+    for k, e in _CORR_VARS.items():
+        cols.append(f"CAST(sum({e}) AS BIGINT) AS s_{k}")
+    done = set()
+    for a in _CORR_VARS:
+        for b in _CORR_VARS:
+            key = tuple(sorted((a, b)))
+            if key in done:
+                continue
+            done.add(key)
+            cols.append(
+                f"CAST(sum({_CORR_VARS[key[0]]} * {_CORR_VARS[key[1]]}) AS BIGINT)"
+                f" AS s_{key[0]}_{key[1]}"
+            )
+    return "SELECT " + ", ".join(cols) + " FROM lineitem"
+
+
+def _corr_pair_selects() -> list[str]:
+    out = []
+    for a, b in _CORR_PAIRS:
+        x, y = sorted((a, b))
+        out.append(
+            f"SELECT '{a}' AS var_x, '{b}' AS var_y, n, "
+            f"{_corr_micro(x, y)} AS corr_micro FROM m"
+        )
+    return out
+
+
+@query(
+    "q_corr_matrix",
+    oracle=(
+        "WITH m AS (" + _corr_moment_sql() + ")\n"
+        + "\nUNION ALL\n".join(_corr_pair_selects())
+        + "\nORDER BY var_x, var_y"
+    ),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the four numeric lineitem
+    measures (quantity, price-in-dollars, discount-pct, tax-pct) in
+    long form — the multi-column screen a profiler runs before feature
+    selection or drift baselining; extends q_agg_stats' single-pair
+    moments discipline to all C(4,2) pairs in ONE pass over the fact.
+
+    Engine stability: 15 exact BIGINT moments (n, 4 sums, 4 squares, 6
+    cross products) from integer-quantized inputs; each r is one
+    mirrored double expression over those integers (products taken in
+    double — the n·sxy cross terms exceed BIGINT at sf≈1), rounded to
+    integer micros. Both sides expand the same pair list — the oracle
+    as a 6-way UNION over the moment CTE, Spark as a stack() generator
+    over the single moment row — so the matrix rows can't diverge.
+
+    Shape: one map-side-combinable aggregation collapses the fact to a
+    single 15-column row; the 6 output rows are a generator over that
+    one row (the oracle's UNION re-reads a 1-row CTE; Spark's stack
+    avoids re-evaluating the aggregate 6×). At 100 TB: one pass, one
+    partial row per task."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    m = spark.sql(_corr_moment_sql())
+    cells = []
+    for a, b in _CORR_PAIRS:
+        x, y = sorted((a, b))
+        cells += [f"'{a}'", f"'{b}'", "n", _corr_micro(x, y)]
+    return m.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {', '.join(cells)})"
+        " AS (var_x, var_y, n, corr_micro)"
+    ).orderBy("var_x", "var_y")

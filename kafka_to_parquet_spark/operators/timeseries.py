@@ -1252,3 +1252,214 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + max(CASE WHEN rn = m DIV 2 + 1 THEN s END)) / 2) AS BIGINT)"
         ).alias("ts_slope_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / trailing-7-day WAU (sliding-window distinct users)
+# ---------------------------------------------------------------------------
+
+_EPOCH_DAY_DUCK = "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)"
+
+
+@query(
+    "q_active_users",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT {_EPOCH_DAY_DUCK} AS dnum, user_id FROM events
+),
+bounds AS (SELECT min(dnum) AS mn, max(dnum) AS mx FROM du),
+tw AS (
+  SELECT DISTINCT du.dnum + i.i AS tday, du.user_id
+  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i
+),
+wau AS (
+  SELECT tday, CAST(count(*) AS BIGINT) AS wau
+  FROM tw, bounds WHERE tday BETWEEN mn AND mx GROUP BY tday
+),
+dau AS (SELECT dnum AS tday, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY dnum)
+SELECT w.tday AS dnum, CAST(coalesce(d.dau, 0) AS BIGINT) AS dau, w.wau,
+       CAST(coalesce(d.dau, 0) * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+FROM wau w LEFT JOIN dau d ON d.tday = w.tday
+ORDER BY dnum
+""",
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU and trailing-7-day WAU (distinct active users), plus
+    the DAU/WAU stickiness ratio — the engagement report every event
+    pipeline lands on a dashboard.
+
+    COUNT(DISTINCT) OVER a sliding frame isn't a window Spark (or
+    SQL) supports, and re-scanning 7 days per output day is 7× the
+    work. The scale-safe identity: a (day, user) activity grain
+    contributes that user to the windows of exactly days d..d+6, so
+    exploding each distinct (day, user) to its 7 target days and
+    de-duplicating per target day yields the sliding distinct count
+    with a BOUNDED ×7 expansion of the already-collapsed daily grain
+    (≤ |users|·|days| rows, never the raw event count).
+
+    Engine stability: day numbers are epoch-day integers, counts are
+    exact, and stickiness is BIGINT ppm division — no doubles at all.
+
+    Shape: events collapse map-side to the (day, user) grain; the ×7
+    explode and second distinct shuffle only that grain; the DAU leg
+    joins on day (tiny). At 100 TB the daily-grain table is what
+    shuffles — days × users, orders of magnitude below the fact."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("dnum"),
+        "user_id",
+    ).distinct()
+    bounds = du.agg(F.min("dnum").alias("mn"), F.max("dnum").alias("mx"))
+    tw = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "dnum", "user_id"
+        )
+        .select((F.col("dnum") + F.col("i")).alias("tday"), "user_id")
+        .distinct()
+    )
+    wau = (
+        tw.crossJoin(F.broadcast(bounds))
+        .filter((F.col("tday") >= F.col("mn")) & (F.col("tday") <= F.col("mx")))
+        .groupBy("tday")
+        .agg(F.count("*").cast("long").alias("wau"))
+    )
+    dau = du.groupBy(F.col("dnum").alias("tday")).agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    return (
+        wau.join(dau, "tday", "left")
+        .select(
+            F.col("tday").alias("dnum"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            "wau",
+            F.expr("CAST(coalesce(dau, 0) * 1000000 DIV wau AS BIGINT)").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("dnum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly rate-spike detection (trailing-24h z-score on counts)
+# ---------------------------------------------------------------------------
+
+SPIKE_BASE_H = 24  # trailing baseline window, hours (excludes current)
+SPIKE_Z_MICRO = 2_000_000  # flag threshold: |z| >= 2 in micro units
+
+# Mirrored z expression over exact integer window sums (c = current
+# count, sw/sww = trailing sum / sum of squares over exactly 24 hours).
+_SPIKE_Z = (
+    "CAST(round(1000000 * ((CAST(c AS DOUBLE) - CAST(sw AS DOUBLE) / 24) "
+    "/ sqrt((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * sw / 24) / 23))) AS BIGINT)"
+)
+
+
+@query(
+    "q_rate_spike",
+    oracle=f"""
+WITH b AS (
+  SELECT min({_EPOCH_DAY_DUCK} * 24 + hour(ts)) AS mn,
+         max({_EPOCH_DAY_DUCK} * 24 + hour(ts)) AS mx
+  FROM events
+),
+cnt AS (
+  SELECT event_type, {_EPOCH_DAY_DUCK} * 24 + hour(ts) AS ehour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, g.ehour, coalesce(cnt.c, 0) AS c
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(mn, mx + 1)) AS ehour FROM b) g
+  LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.ehour = g.ehour
+),
+w AS (
+  SELECT event_type, ehour, c,
+         CAST(sum(c) OVER tw AS BIGINT) AS sw,
+         CAST(sum(c * c) OVER tw AS BIGINT) AS sww,
+         CAST(count(*) OVER tw AS BIGINT) AS nw
+  FROM grid
+  WINDOW tw AS (PARTITION BY event_type ORDER BY ehour
+                ROWS BETWEEN {SPIKE_BASE_H} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, ehour, c, sw AS base_sum, {_SPIKE_Z} AS z_micro
+FROM w
+WHERE nw = {SPIKE_BASE_H} AND 24 * sww > sw * sw
+  AND abs({_SPIKE_Z}) >= {SPIKE_Z_MICRO}
+ORDER BY event_type, ehour
+""",
+)
+def q_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly ingest-rate anomaly detection per event type: z-score of
+    each hour's event count against its trailing-24-hour baseline,
+    flagging |z| ≥ 2 — the rate monitor an operator points at a Kafka
+    topic to catch producer outages (negative spikes) and retry storms
+    (positive) before they hit the sink.
+
+    Missing hours COUNT: the hour grid is completed from the broadcast
+    min/max hour with zero-fill before windowing, so a silent hour
+    drags the baseline and is itself flaggable — a counts-only
+    baseline over observed rows would hide exactly the incidents this
+    exists to catch.
+
+    Engine stability: hours are epoch-hour integers, counts and both
+    window moments are exact BIGINTs over an exactly-24-row frame; z
+    is ONE mirrored double expression micro-rounded, the flag compares
+    that INTEGER against {SPIKE_Z_MICRO}, and zero-variance baselines
+    are excluded by the integer predicate 24·Σc² > (Σc)² — no float
+    ever decides a row's membership.
+
+    Shape: the fact collapses map-side to (type, hour) cells; the
+    grid, windows, and filter run over |types|·|hours| rows — bounded
+    by calendar time, not event volume. At 100 TB of events this is
+    one aggregation shuffle plus arithmetic on a few thousand cells."""
+    ev = load(spark, sf_dir, "events")
+    ehour = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long") * 24
+        + F.hour("ts")
+    ).alias("ehour")
+    b = ev.select(ehour).agg(
+        F.min("ehour").alias("mn"), F.max("ehour").alias("mx")
+    )
+    cnt = ev.groupBy("event_type", ehour).agg(F.count("*").cast("long").alias("c"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(
+            F.broadcast(b).select(
+                F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("ehour")
+            )
+        )
+        .join(cnt, ["event_type", "ehour"], "left")
+        .select("event_type", "ehour", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("ehour")
+        .rowsBetween(-SPIKE_BASE_H, -1)
+    )
+    w = grid.select(
+        "event_type",
+        "ehour",
+        "c",
+        F.sum("c").over(tw).cast("long").alias("sw"),
+        F.sum(F.col("c") * F.col("c")).over(tw).cast("long").alias("sww"),
+        F.count("*").over(tw).cast("long").alias("nw"),
+    )
+    return (
+        w.filter(
+            (F.col("nw") == SPIKE_BASE_H)
+            & (24 * F.col("sww") > F.col("sw") * F.col("sw"))
+            & (F.abs(F.expr(_SPIKE_Z)) >= SPIKE_Z_MICRO)
+        )
+        .select(
+            "event_type",
+            "ehour",
+            "c",
+            F.col("sw").alias("base_sum"),
+            F.expr(_SPIKE_Z).alias("z_micro"),
+        )
+        .orderBy("event_type", "ehour")
+    )

@@ -153,3 +153,81 @@ def q_str_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".parquet"),
         ).alias("path")
     ).distinct()
+
+
+@query(
+    "q_consumer_lag",
+    oracle=f"""
+WITH r AS (
+  SELECT "partition", "offset",
+         row_number() OVER (PARTITION BY "partition" ORDER BY "offset") AS rk
+  FROM ({_ANALOG_SQL})
+),
+s AS (
+  SELECT "partition", CAST(count(*) AS BIGINT) AS n_msgs,
+         CAST(max("offset") AS BIGINT) AS end_offset
+  FROM r GROUP BY "partition"
+)
+SELECT s."partition", s.n_msgs, s.end_offset,
+       CAST(s.n_msgs // {BATCH_SIZE} AS BIGINT) AS batches_committed,
+       CAST(c."offset" AS BIGINT) AS committed_offset,
+       CAST(s.n_msgs % {BATCH_SIZE} AS BIGINT) AS uncommitted
+FROM s LEFT JOIN r c
+  ON c."partition" = s."partition"
+ AND c.rk = (s.n_msgs // {BATCH_SIZE}) * {BATCH_SIZE}
+ORDER BY s."partition"
+""",
+)
+def q_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6-adjacent observability: the consumer-group lag report for the
+    reference's commit discipline. The reference commits offsets only
+    AFTER a full {BATCH_SIZE}-record batch is flushed to parquet
+    (main.rs:256-267 buffers, then commits) — so at any instant each
+    partition has ``n DIV {BATCH_SIZE}`` committed batches, its
+    committed offset is the offset of the last record of the last FULL
+    batch, and ``n mod {BATCH_SIZE}`` records are consumed-but-
+    uncommitted: exactly the replay window a crash would reprocess.
+    This query materializes that per-partition ledger — the
+    ``kafka-consumer-groups --describe`` view of the analog stream.
+
+    Engine stability: offsets, ranks and counts are exact integers;
+    committed_offset is NULL (not 0) for a partition that never filled
+    a batch — the LEFT JOIN misses rank 0.
+
+    Shape: the rank window partitions by source partition (the Kafka
+    consumption model — state bounded per partition), the summary is a
+    |partitions|-row aggregate, and the rank→offset lookup joins that
+    tiny summary back on (partition, rank). At 100 TB the only
+    full-data stage is the per-partition window, which a real broker
+    source gets for free from its per-partition ordering."""
+    rec = kafka_records(spark, sf_dir)
+    w = Window.partitionBy("partition").orderBy("offset")
+    r = rec.select("partition", "offset", F.row_number().over(w).alias("rk"))
+    s = r.groupBy("partition").agg(
+        F.count("*").cast("long").alias("n_msgs"),
+        F.max("offset").cast("long").alias("end_offset"),
+    )
+    c = r.select(
+        F.col("partition").alias("p2"),
+        F.col("rk").alias("rk2"),
+        F.col("offset").alias("committed_offset"),
+    )
+    return (
+        s.join(
+            c,
+            (F.col("partition") == F.col("p2"))
+            & (F.col("rk2") == (F.expr(f"n_msgs DIV {BATCH_SIZE}") * BATCH_SIZE)),
+            "left",
+        )
+        .select(
+            "partition",
+            "n_msgs",
+            "end_offset",
+            F.expr(f"CAST(n_msgs DIV {BATCH_SIZE} AS BIGINT)").alias(
+                "batches_committed"
+            ),
+            F.col("committed_offset").cast("long"),
+            F.expr(f"CAST(n_msgs % {BATCH_SIZE} AS BIGINT)").alias("uncommitted"),
+        )
+        .orderBy("partition")
+    )

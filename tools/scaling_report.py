@@ -130,6 +130,14 @@ QUERIES = [
     ("q_dup_provenance", "documents"),
     ("q_embed_outliers", "embeddings"),
     ("q_mix_token_budget", "documents"),
+    ("q_benford", "lineitem"),
+    ("q_corr_matrix", "lineitem"),
+    ("q_source_vocab_overlap", "documents"),
+    ("q_vocab_growth", "documents"),
+    ("q_consumer_lag", "events"),
+    ("q_active_users", "events"),
+    ("q_rate_spike", "events"),
+    ("q_embed_pq", "embeddings"),
 ]
 
 
