@@ -67,7 +67,18 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # pair-explosion twin would grow 100x on 10-way families.
            "q_skew_report", "q_welch_ttest", "q_ols_trend",
            "q_seasonality_dow", "q_theil_sen", "q_dup_provenance",
-           "q_mix_token_budget"]
+           "q_mix_token_budget",
+           # round-6 second session: benford/corr collapse the 10x fact
+           # to 27 cells / 15 moments (one-pass claims under test);
+           # consumer_lag/active_users/rate_spike ride the 10x event
+           # log (rate_spike's hour grid is fixed, so only the first
+           # aggregate grows); the vocab pair rides 10-way dup
+           # families, where overlap's word-keyed join meets maximal
+           # per-word source fan-out and growth's new-type curve
+           # flattens to zero in replicated buckets.
+           "q_benford", "q_corr_matrix", "q_consumer_lag",
+           "q_active_users", "q_rate_spike",
+           "q_source_vocab_overlap", "q_vocab_growth"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
