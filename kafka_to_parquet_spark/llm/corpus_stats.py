@@ -1501,3 +1501,94 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").over(w).cast("long").alias("tokens_cum"),
         F.sum("neww").over(w).cast("long").alias("vocab_cum"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# CMS error profile across the frequency spectrum (sketch audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cms_error_bands",
+    oracle=f"""
+WITH tokcnt AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY word
+),
+h AS (SELECT word, cnt, ({duck_h31('word')}) AS hw FROM tokcnt),
+cells AS (
+  SELECT word, cnt, CAST(generate_subscripts(cs, 1) - 1 AS INTEGER) AS j,
+         unnest(cs) AS cell
+  FROM (SELECT word, cnt, [{", ".join(_cms_cell_exprs())}] AS cs FROM h)
+),
+sketch AS (SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS c FROM cells GROUP BY j, cell),
+est AS (
+  SELECT ce.word, ce.cnt, CAST(min(s.c) AS BIGINT) AS est
+  FROM cells ce JOIN sketch s ON ce.j = s.j AND ce.cell = s.cell
+  GROUP BY ce.word, ce.cnt
+)
+SELECT CAST(length(bin(cnt)) - 1 AS INTEGER) AS band,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN est = cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(cnt) AS BIGINT) AS exact_mass,
+       CAST(sum(est - cnt) * 1000000 // sum(cnt) AS BIGINT) AS over_ppm
+FROM est
+GROUP BY band
+ORDER BY band
+""",
+)
+def q_cms_error_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch error profile over the WHOLE vocabulary, banded
+    by true frequency (band = ⌊log₂ cnt⌋): per band, how many words the
+    {CMS_D}×{CMS_W} sketch estimates exactly and the aggregate relative
+    overestimate in ppm. This is the audit that quantifies the CMS
+    guarantee the q_heavy_hitters_cms docstring asserts — heavy bands
+    should be near-exact (collisions add little relative to a large
+    count), tail bands absorb the collision mass — so the sketch's
+    fitness for a threshold decision is a measured property, not a
+    hope. Same discipline as q_ann_recall / q_lsh_recall, applied to
+    the frequency-sketch fast path.
+
+    Engine stability: ALL integers — the band comes from the binary-
+    string length of the exact count (no log2 float edge), estimates
+    are integer cell minima over the shared deterministic hash
+    machinery (coefficients and cell expressions literally shared with
+    q_heavy_hitters_cms), and over_ppm is BIGINT division.
+
+    Shape: one tokenize pass to vocab counts; the cells table is
+    |vocab|·{CMS_D} rows; the sketch is 4 096 cells (broadcast back);
+    output is ≤ ~20 band rows. The exact-count leg exists to expose
+    the error — production ships the sketch alone."""
+    d = load(spark, sf_dir, "documents")
+    tokcnt = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    h = tokcnt.select("word", "cnt", F.expr(spark_h31("word")).alias("hw"))
+    cells = h.select(
+        "word", "cnt", F.posexplode(F.array(*[F.expr(c) for c in _cms_cell_exprs()])).alias("j", "cell")
+    )
+    sketch = cells.groupBy("j", "cell").agg(F.sum("cnt").cast("long").alias("c"))
+    est = (
+        cells.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("word", "cnt")
+        .agg(F.min("c").cast("long").alias("est"))
+    )
+    return (
+        est.groupBy(
+            F.expr("CAST(length(bin(cnt)) - 1 AS INT)").alias("band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.expr("CASE WHEN est = cnt THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_exact"),
+            F.sum("cnt").cast("long").alias("exact_mass"),
+            F.expr(
+                "CAST(sum(est - cnt) * 1000000 DIV sum(cnt) AS BIGINT)"
+            ).alias("over_ppm"),
+        )
+        .orderBy("band")
+    )

@@ -778,3 +778,109 @@ def q_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_clean"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) guardrail on the deterministic splitter
+# ---------------------------------------------------------------------------
+
+# Expected per-mille allocation of the 80/10/10 splitter, and the χ²
+# threshold for df=2 at α=0.05 (5.991) in micro units. The χ² term is
+# computed per cell as one mirrored double expression over exact
+# integers ((1000·o − n·r)² would overflow BIGINT past ~1e9 rows) and
+# micro-rounded BEFORE the 3-cell sum — the established order-immunity
+# discipline.
+SRM_EXPECTED = {"train": 800, "val": 100, "test": 100}
+SRM_CHI2_CRIT_MICRO = 5_991_000
+_SRM_TERM = (
+    "CAST(round(1000000 * (CAST(1000 * o - n * r AS DOUBLE) "
+    "* (1000 * o - n * r) / (1000.0 * n * r))) AS BIGINT)"
+)
+_SRM_EXPECTED_SQL = (
+    "SELECT 'train' AS split, 800 AS r UNION ALL "
+    "SELECT 'val', 100 UNION ALL SELECT 'test', 100"
+)
+
+
+@query(
+    "q_srm_check",
+    oracle=f"""
+WITH obs AS (
+  SELECT lang, {_SPLIT_CASE} AS split, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+),
+exp AS ({_SRM_EXPECTED_SQL}),
+grid AS (
+  SELECT l.lang, e.split, CAST(e.r AS BIGINT) AS r, coalesce(obs.o, 0) AS o
+  FROM (SELECT DISTINCT lang FROM documents) l
+  CROSS JOIN exp e
+  LEFT JOIN obs ON obs.lang = l.lang AND obs.split = e.split
+),
+t AS (
+  SELECT lang, split, r, o,
+         CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM grid
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum({_SRM_TERM}) AS BIGINT) AS chi2_micro,
+       CAST(CASE WHEN sum({_SRM_TERM}) > {SRM_CHI2_CRIT_MICRO}
+            THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+FROM t
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: per language, the χ² of the
+    observed train/val/test document counts against the splitter's
+    declared 80/10/10 allocation, flagged at the df=2 / α=0.05
+    critical value — the standard experimentation-platform health
+    check, here pointed at q_split_assign's multiplicative-hash
+    splitter. An SRM flag means the hash is interacting with the id
+    structure of that stratum (e.g. ids assigned in lockstep with
+    language) — the failure mode deterministic splitters must be
+    monitored for, and the audit-the-fast-path discipline of
+    q_ann_recall / q_lsh_recall applied to the sampling tier.
+
+    Engine stability: counts are exact integers on a zero-filled
+    lang×split grid (a missing split cell must CONTRIBUTE — its term
+    is n·r/1000, not zero); each χ² term is one mirrored double
+    expression micro-rounded before the 3-cell sum; the flag compares
+    integers.
+
+    Shape: one map-side-combinable groupBy to ≤ |langs|·3 cells, then
+    constant-size grid arithmetic. At 100 TB: one pass, 15 cells."""
+    d = load(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", F.expr(_SPLIT_CASE).alias("split")).agg(
+        F.count("*").cast("long").alias("o")
+    )
+    exp = spark.createDataFrame(
+        [(s, r) for s, r in SRM_EXPECTED.items()], "split string, r long"
+    )
+    grid = (
+        d.select("lang")
+        .distinct()
+        .crossJoin(F.broadcast(exp))
+        .join(obs, ["lang", "split"], "left")
+        .select("lang", "split", "r", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    t = grid.withColumn(
+        "n", F.sum("o").over(Window.partitionBy("lang")).cast("long")
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.sum(F.expr(_SRM_TERM)).cast("long").alias("chi2_micro"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "chi2_micro",
+            F.expr(
+                f"CAST(CASE WHEN chi2_micro > {SRM_CHI2_CRIT_MICRO} "
+                "THEN 1 ELSE 0 END AS INT)"
+            ).alias("srm_flag"),
+        )
+        .orderBy("lang")
+    )

@@ -704,10 +704,13 @@ PQ_SEED_MOD = 50  # codebook: sub-vectors of every 50th vector ...
 PQ_K = 8  # ... capped at 8 entries (a codebook is a FIXED model artifact)
 
 
-def _pq_oracle() -> str:
+def _pq_cte() -> str:
+    """DuckDB cent/scored/agg CTE fragment shared by q_embed_pq and
+    q_pq_adc_recall — one definition so the code assignment can't
+    drift between the encoder and its recall audit."""
     from kafka_to_parquet_spark.functions.vectors import duck_sqdist
 
-    dist_cols, mins, codes, errs = [], [], [], []
+    dist_cols, mins = [], []
     for s in range(PQ_M):
         a, b = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
         dist_cols.append(
@@ -715,10 +718,7 @@ def _pq_oracle() -> str:
             f" AS d{s}"
         )
         mins.append(f"min({{'d': d{s}, 'c': cent_id}}) AS m{s}")
-        codes.append(f"CAST(m{s}.c AS BIGINT) AS code{s}")
-        errs.append(f"CAST(floor(m{s}.d * 1000000.0 + 0.5) AS BIGINT)")
-    return f"""
-WITH cent AS (
+    return f"""cent AS (
   SELECT vec_id AS cent_id, embedding AS cente FROM embeddings
   WHERE vec_id % {PQ_SEED_MOD} = 0 AND vec_id < {PQ_SEED_MOD * PQ_K}
 ),
@@ -726,7 +726,14 @@ scored AS (
   SELECT e.vec_id, c.cent_id, {", ".join(dist_cols)}
   FROM embeddings e CROSS JOIN cent c
 ),
-agg AS (SELECT vec_id, {", ".join(mins)} FROM scored GROUP BY vec_id)
+agg AS (SELECT vec_id, {", ".join(mins)} FROM scored GROUP BY vec_id)"""
+
+
+def _pq_oracle() -> str:
+    codes = [f"CAST(m{s}.c AS BIGINT) AS code{s}" for s in range(PQ_M)]
+    errs = [f"CAST(floor(m{s}.d * 1000000.0 + 0.5) AS BIGINT)" for s in range(PQ_M)]
+    return f"""
+WITH {_pq_cte()}
 SELECT vec_id, {", ".join(codes)}, CAST({" + ".join(errs)} AS BIGINT) AS err_mu
 FROM agg
 ORDER BY vec_id
@@ -795,3 +802,206 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(f"CAST(m{s}.c AS BIGINT)").alias(f"code{s}") for s in range(PQ_M)],
         F.expr(f"CAST({err} AS BIGINT)").alias("err_mu"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance recall audit (grades the compressed index)
+# ---------------------------------------------------------------------------
+
+
+def _pq_adc_oracle() -> str:
+    from kafka_to_parquet_spark.functions.vectors import duck_sqdist
+
+    code_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, CAST(m{s}.c AS BIGINT) AS code FROM agg"
+        for s in range(PQ_M)
+    )
+    lut_rows = []
+    for s in range(PQ_M):
+        a, b = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        lut_rows.append(
+            f"SELECT q_id, {s} AS s, cent_id, "
+            f"round({duck_sqdist(f'qe[{a}:{b}]', f'cente[{a}:{b}]')}, 6) AS d "
+            "FROM q CROSS JOIN cent"
+        )
+    return f"""
+WITH {_pq_cte()},
+codes AS ({code_rows}),
+q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+lut AS ({" UNION ALL ".join(lut_rows)}),
+adc AS (
+  SELECT l.q_id, c.vec_id,
+         CAST(sum(CAST(floor(l.d * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS adc_mu
+  FROM codes c JOIN lut l ON l.s = c.s AND l.cent_id = c.code
+  WHERE c.vec_id <> l.q_id
+  GROUP BY l.q_id, c.vec_id
+),
+ta AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc_mu, vec_id) AS rn
+    FROM adc) WHERE rn <= {TOP_K}
+),
+ex AS (
+  SELECT q.q_id, e.vec_id,
+         round({duck_sqdist('q.qe', 'e.embedding')}, 6) AS d2
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id
+),
+te AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+    FROM ex) WHERE rn <= {TOP_K}
+)
+SELECT te.q_id,
+       CAST(sum(CASE WHEN ta.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(sum(CASE WHEN ta.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // {TOP_K} AS BIGINT) AS recall_bp
+FROM te LEFT JOIN ta ON ta.q_id = te.q_id AND ta.vec_id = te.vec_id
+GROUP BY te.q_id
+ORDER BY te.q_id
+"""
+
+
+@query("q_pq_adc_recall", oracle=_pq_adc_oracle())
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of PQ asymmetric-distance search against the
+    exact L2 ground truth — the audit that closes the loop on
+    q_embed_pq, the same discipline as q_ann_recall (IVF), q_lsh_recall
+    (banding) and q_cms_error_bands (sketch): a compressed index is
+    only deployable once the recall it costs is a measured number. ADC
+    (Jégou et al.) scores each database vector WITHOUT decompressing
+    it: per subspace, the query precomputes its distance to each of
+    the {PQ_K} codebook entries ({PQ_M}·{PQ_K}·|Q| lookup rows), and a
+    vector's score is the sum of the {PQ_M} table lookups selected by
+    its stored codes.
+
+    Engine stability: the code assignment is literally the shared
+    _pq_cte/_pq_codes stage; LUT entries are the shared rounded-6dp
+    sqdist fold, floor-rounded to integer micros BEFORE the
+    {PQ_M}-term sum, so ADC scores are exact integers and both top-k
+    orders break ties on (score, vec_id).
+
+    Shape: codes explode to {PQ_M}·N skinny rows that join a BROADCAST
+    {PQ_M}·{PQ_K}·|Q| lookup table — the N·|Q| candidate scoring never
+    touches a raw embedding, which is the entire point of PQ; the
+    exact leg is the one brute-force pass (audit-only, not shipped).
+    At 100 TB the ADC leg's cost is a broadcast hash join over code
+    rows — the RAM-resident search a production IVF-PQ index runs
+    inside each probed cell."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        (F.col("vec_id") % PQ_SEED_MOD == 0)
+        & (F.col("vec_id") < PQ_SEED_MOD * PQ_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente"))
+    from kafka_to_parquet_spark.functions.vectors import sqdist_expr
+
+    # codes in long form: reuse the exact scored/argmin stage of
+    # q_embed_pq (shared sub-distance expressions), then posexplode.
+    dists = [
+        F.round(
+            F.expr(
+                sqdist_expr(
+                    f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
+                    f"slice(cente, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
+                )
+            ),
+            6,
+        ).alias(f"d{s}")
+        for s in range(PQ_M)
+    ]
+    scored = e.crossJoin(F.broadcast(cent)).select("vec_id", "cent_id", *dists)
+    agg = scored.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("cent_id").alias("c")))
+            .alias(f"m{s}")
+            for s in range(PQ_M)
+        ]
+    )
+    codes = agg.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.expr(f"CAST(m{s}.c AS BIGINT)") for s in range(PQ_M)])
+        ).alias("s", "code"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    lut_d = [
+        F.round(
+            F.expr(
+                sqdist_expr(
+                    f"slice(qe, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
+                    f"slice(cente, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
+                )
+            ),
+            6,
+        ).alias(f"ld{s}")
+        for s in range(PQ_M)
+    ]
+    lut = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "cent_id", *lut_d)
+        .select(
+            "q_id",
+            "cent_id",
+            F.posexplode(F.array(*[F.col(f"ld{s}") for s in range(PQ_M)])).alias(
+                "s", "d"
+            ),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.s == lut.s) & (codes.code == lut.cent_id),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum(F.expr("CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("adc_mu")
+        )
+    )
+    wa = Window.partitionBy("q_id").orderBy("adc_mu", "vec_id")
+    ta = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= TOP_K)
+        .select(F.col("q_id").alias("ta_q"), F.col("vec_id").alias("a_vec"))
+    )
+    ex = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(F.expr(sqdist_expr("qe", "embedding")), 6).alias("d2"),
+        )
+    )
+    we = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    te = (
+        ex.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+    return (
+        te.join(
+            ta,
+            (F.col("q_id") == F.col("ta_q")) & (F.col("vec_id") == F.col("a_vec")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                F.when(F.col("a_vec").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(
+                f"CAST(sum(CASE WHEN a_vec IS NOT NULL THEN 1 ELSE 0 END) "
+                f"* 10000 DIV {TOP_K} AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+        .orderBy("q_id")
+    )

@@ -1463,3 +1463,335 @@ def q_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "ehour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union / activity coverage (gaps-and-islands over spans)
+# ---------------------------------------------------------------------------
+
+DWELL_SECS = 3600  # each event opens a [ts, ts+1h) activity interval
+
+
+@query(
+    "q_interval_union",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+flag AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN max(es + {DWELL_SECS}) OVER (
+                PARTITION BY user_id ORDER BY es, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > es
+              THEN 0 ELSE 1 END AS new_island
+  FROM pts
+),
+isl AS (
+  SELECT user_id, es,
+         CAST(sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY es, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+  FROM flag
+),
+agg AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(es) + {DWELL_SECS} - min(es) AS BIGINT) AS span
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(span) AS BIGINT) AS coverage_secs
+FROM agg GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user: every event opens a [ts, ts+1h)
+    activity span; overlapping spans merge into islands and the total
+    covered seconds is the user's activity coverage — the
+    heartbeat-to-session-time measure (billing meters, engagement
+    time) that a naive SUM of dwell would double-count wherever events
+    overlap. The classic gaps-and-islands: an event starts a new
+    island iff the running max of all previous interval ENDS does not
+    reach it (strict overlap merges; a span starting exactly at the
+    previous end is adjacent, not overlapping, and opens a new
+    island).
+
+    Engine stability: all integer epoch-seconds arithmetic; the
+    running max and the island-id running sum use (es, event_id) as a
+    total order so ties can't reorder across engines.
+
+    Shape: two per-user windows (Kafka-partition-style bounded state,
+    shuffled once on user_id) and two hash aggregations; nothing
+    global, nothing quadratic. At 100 TB: one user-keyed exchange."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = pts.select(
+        "user_id",
+        "event_id",
+        "es",
+        F.when(
+            F.max(F.col("es") + DWELL_SECS).over(wprev) > F.col("es"), 0
+        )
+        .otherwise(1)
+        .alias("new_island"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = flag.select(
+        "user_id", "es", F.sum("new_island").over(wrun).cast("long").alias("island")
+    )
+    agg = isl.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("es") + DWELL_SECS - F.min("es")).cast("long").alias("span"),
+    )
+    return (
+        agg.groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_islands"),
+            F.sum("span").cast("long").alias("coverage_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded conversion funnel (signup → purchase within 24 h)
+# ---------------------------------------------------------------------------
+
+CONV_WINDOW_SECS = 86400
+
+
+@query(
+    "q_funnel_window",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) OVER (
+           PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase
+  FROM events
+  WHERE event_type IN ('signup', 'purchase')
+),
+s AS (
+  SELECT es // 86400 AS dnum,
+         CASE WHEN next_purchase IS NOT NULL
+                   AND next_purchase - es <= {CONV_WINDOW_SECS}
+              THEN 1 ELSE 0 END AS conv
+  FROM seq WHERE event_type = 'signup'
+)
+SELECT CAST(dnum AS BIGINT) AS dnum,
+       CAST(count(*) AS BIGINT) AS n_signups,
+       CAST(sum(conv) AS BIGINT) AS n_conv,
+       CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS cvr_ppm
+FROM s GROUP BY dnum
+ORDER BY dnum
+""",
+)
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: of the signups on each day, how
+    many converted to a purchase within 24 hours — the windowed
+    conversion-rate report (unlike q_funnel's unbounded strict-order
+    funnel, the business question here is "did they convert FAST").
+
+    The per-signup lookup of the next purchase is NOT a join: one
+    ordered pass per user with a forward-looking min window (rows
+    1 FOLLOWING → ∞) picks each signup's earliest strictly-later
+    purchase — signup and purchase rows share the same (es, event_id)
+    total order, so a same-second purchase counts only via the
+    event_id tiebreak, identically in both engines.
+
+    Engine stability: epoch seconds, day numbers, and the 24 h bound
+    are all integer comparisons; conversion rate is BIGINT ppm.
+
+    Shape: one user-keyed exchange for the window, then a day-keyed
+    aggregation of signup rows only. At 100 TB: the same single
+    exchange every per-user sequence op in this module pays."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    es = F.floor(F.unix_timestamp("ts")).cast("long")
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    seq = ev.select(
+        "user_id", "event_id", "event_type", es.alias("es")
+    ).withColumn(
+        "next_purchase",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("es"))
+        ).over(wnext),
+    )
+    s = seq.filter(F.col("event_type") == "signup").select(
+        F.expr("es DIV 86400").alias("dnum"),
+        F.when(
+            F.col("next_purchase").isNotNull()
+            & (F.col("next_purchase") - F.col("es") <= CONV_WINDOW_SECS),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    return (
+        s.groupBy(F.col("dnum").cast("long").alias("dnum"))
+        .agg(
+            F.count("*").cast("long").alias("n_signups"),
+            F.sum("conv").cast("long").alias("n_conv"),
+            F.expr("CAST(sum(conv) * 1000000 DIV count(*) AS BIGINT)").alias(
+                "cvr_ppm"
+            ),
+        )
+        .orderBy("dnum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test (value-sequence randomness screen)
+# ---------------------------------------------------------------------------
+
+# Normal-approximation z over exact integers (n, n1, runs; n2 = n−n1
+# inline). One mirrored double expression, micro-rounded; guarded by
+# the integer predicates n1>0, n−n1>0, 2·n1·(n−n1)>n (variance > 0).
+_RUNS_Z = (
+    "CAST(round(1000000 * ((CAST(runs AS DOUBLE) "
+    "- (1 + 2 * CAST(n1 AS DOUBLE) * (n - n1) / n)) "
+    "/ sqrt(2 * CAST(n1 AS DOUBLE) * (n - n1) "
+    "* (2 * CAST(n1 AS DOUBLE) * (n - n1) - n) "
+    "/ (CAST(n AS DOUBLE) * n * (n - 1))))) AS BIGINT)"
+)
+
+
+@query(
+    "q_runs_test",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc
+  FROM base GROUP BY event_type
+),
+s AS (
+  SELECT b.event_type, b.es, b.event_id,
+         CASE WHEN m.n * b.c > m.sc THEN 1 ELSE 0 END AS s
+  FROM base b JOIN m ON m.event_type = b.event_type
+),
+ch AS (
+  SELECT event_type, s,
+         CASE WHEN lag(s) OVER w IS NOT NULL AND lag(s) OVER w <> s
+              THEN 1 ELSE 0 END AS chg
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY es, event_id)
+),
+t AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS n1,
+         CAST(1 + sum(chg) AS BIGINT) AS runs
+  FROM ch GROUP BY event_type
+)
+SELECT event_type, n, n1, runs,
+       CASE WHEN n1 > 0 AND n - n1 > 0 AND 2 * n1 * (n - n1) > n
+            THEN {_RUNS_Z} END AS z_micro
+FROM t
+ORDER BY event_type
+""",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: is the sequence of
+    above-mean / below-mean values (in time order) random, or does it
+    cluster (too few runs ⇒ regime persistence / level shifts) or
+    alternate (too many ⇒ negative autocorrelation)? The classic
+    nonparametric randomness screen next to q_ts_autocorr's parametric
+    one; "above" is STRICTLY above the per-type mean via the exact
+    integer predicate n·c > Σc (ties count below).
+
+    Scale shape: counting adjacent sign changes needs the full time
+    order, but NOT one giant window — the Spark plan chunks by (type,
+    day): within-day changes via lag inside bounded (type, day)
+    partitions, plus day-boundary changes via a lag over the per-day
+    first/last signs (first/last = min/max over (es, event_id, s)
+    structs — order-unambiguous), a calendar-bounded second level.
+    The oracle counts the same changes with one flat window — the
+    decomposition is algebraically exact, so the two must agree to
+    the integer. z is one mirrored double expression micro-rounded,
+    NULL when the variance guard fails.
+
+    At 100 TB: one type-keyed broadcast of means, one (type, day)
+    exchange, then day-level arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    m = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_t"),
+        F.sum("c").cast("long").alias("sc"),
+    )
+    s = base.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "es",
+        "event_id",
+        F.expr("es DIV 86400").alias("dnum"),
+        F.expr("CASE WHEN n_t * c > sc THEN 1 ELSE 0 END").alias("s"),
+    )
+    chg = s.withColumn(
+        "chg",
+        F.expr(
+            "CASE WHEN lag(s) OVER (PARTITION BY event_type, dnum "
+            "ORDER BY es, event_id) IS NOT NULL AND lag(s) OVER "
+            "(PARTITION BY event_type, dnum ORDER BY es, event_id) <> s "
+            "THEN 1 ELSE 0 END"
+        ),
+    )
+    day = chg.groupBy("event_type", "dnum").agg(
+        F.sum("chg").cast("long").alias("chg_sum"),
+        F.min(F.struct("es", "event_id", "s")).getItem("s").alias("first_s"),
+        F.max(F.struct("es", "event_id", "s")).getItem("s").alias("last_s"),
+        F.sum("s").cast("long").alias("n1_d"),
+        F.count("*").cast("long").alias("n_d"),
+    )
+    wdy = Window.partitionBy("event_type").orderBy("dnum")
+    bnd = day.withColumn(
+        "bnd",
+        F.when(
+            F.lag("last_s").over(wdy).isNotNull()
+            & (F.lag("last_s").over(wdy) != F.col("first_s")),
+            1,
+        ).otherwise(0),
+    )
+    t = bnd.groupBy("event_type").agg(
+        F.sum("n_d").cast("long").alias("n"),
+        F.sum("n1_d").cast("long").alias("n1"),
+        (1 + F.sum("chg_sum") + F.sum("bnd")).cast("long").alias("runs"),
+    )
+    return t.select(
+        "event_type",
+        "n",
+        "n1",
+        "runs",
+        F.expr(
+            f"CASE WHEN n1 > 0 AND n - n1 > 0 AND 2 * n1 * (n - n1) > n "
+            f"THEN {_RUNS_Z} END"
+        ).alias("z_micro"),
+    ).orderBy("event_type")

@@ -184,11 +184,15 @@ def ordered_queries() -> dict[str, QueryFn]:
     """Registry reordered for the driver's bounded correctness gate
     (first GATE_WINDOW entries get a row this round):
 
-    1. never-certified queries (registration order) — must land a row;
-       if there are more of these than the window holds, the window is
-       spent entirely on them and the remainder spill to the FRONT of
-       next round's queue (registration order is stable);
-    2. ``RECERTIFY`` — certified queries whose code changed this round;
+    1. ``RECERTIFY`` — certified queries whose code changed this
+       round. These outrank everything: their on-disk rows were earned
+       by OLD code, so until re-verified the correctness record
+       overstates what's proven — a stale green row is worse than a
+       missing one (which the next tier merely has to wait for);
+    2. never-certified queries (registration order) — each must land
+       its first row; when declarations outnumber the remaining slots
+       the newest spill to the FRONT of next round's queue
+       (registration order is stable);
     3. the remaining certified queries, rotated left by a round-derived
        offset so successive rounds re-verify a different slice instead
        of permanently parking the same ~35 names past the window.
@@ -202,7 +206,7 @@ def ordered_queries() -> dict[str, QueryFn]:
     if tail:
         off = (_round_number() * GATE_WINDOW) % len(tail)
         tail = tail[off:] + tail[:off]
-    return {n: QUERIES[n] for n in (*pending, *recert, *tail)}
+    return {n: QUERIES[n] for n in (*recert, *pending, *tail)}
 
 
 def load_all() -> None:

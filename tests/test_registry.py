@@ -74,17 +74,18 @@ def test_ordered_queries_window_properties():
     assert set(ordered) == set(registry.QUERIES)  # reorder, never drop
     window = set(ordered[: registry.GATE_WINDOW])
     pending = [n for n in registry.QUERIES if n not in registry.CERTIFIED]
-    if len(pending) >= registry.GATE_WINDOW:
-        # More never-certified queries than the window holds: the
-        # window must be spent ENTIRELY on them (no slot wasted on a
-        # re-certification), and the spillover stays at the front of
-        # next round's queue by stable registration order.
-        assert window == set(pending[: registry.GATE_WINDOW])
+    # Code-changed re-certifications outrank everything (their on-disk
+    # rows were earned by OLD code — a stale green row misleads, a
+    # missing one merely waits), so they must ALL be in the window...
+    assert registry.RECERTIFY <= window
+    # ...and the remaining slots go to never-certified queries in
+    # stable registration order; any spillover is the NEWEST
+    # declarations, which head next round's queue.
+    slots = registry.GATE_WINDOW - len(registry.RECERTIFY)
+    if len(pending) >= slots:
+        assert set(pending[:slots]) <= window
     else:
-        # Never-certified and code-changed queries must get a row this
-        # round.
         assert set(pending) <= window
-        assert registry.RECERTIFY <= window
     # The certified tail rotates with the round number so every
     # certified query is eventually re-verified. Simulate the rotation
     # directly: over enough rounds, every tail index must fall inside

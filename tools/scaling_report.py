@@ -138,6 +138,12 @@ QUERIES = [
     ("q_active_users", "events"),
     ("q_rate_spike", "events"),
     ("q_embed_pq", "embeddings"),
+    ("q_srm_check", "documents"),
+    ("q_cms_error_bands", "documents"),
+    ("q_interval_union", "events"),
+    ("q_funnel_window", "events"),
+    ("q_runs_test", "events"),
+    ("q_pq_adc_recall", "embeddings"),
 ]
 
 

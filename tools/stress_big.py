@@ -78,7 +78,13 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # flattens to zero in replicated buckets.
            "q_benford", "q_corr_matrix", "q_consumer_lag",
            "q_active_users", "q_rate_spike",
-           "q_source_vocab_overlap", "q_vocab_growth"]
+           "q_source_vocab_overlap", "q_vocab_growth",
+           # the sketch/splitter audits collapse to cells; the per-user
+           # sequence pair (interval union, windowed funnel) and the
+           # day-stitched runs test ride the 10x event log — their
+           # cost IS the single user-/type-keyed exchange under test.
+           "q_srm_check", "q_cms_error_bands", "q_interval_union",
+           "q_funnel_window", "q_runs_test"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
