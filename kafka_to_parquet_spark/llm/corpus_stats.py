@@ -1592,3 +1592,217 @@ def q_cms_error_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document co-occurrence PMI over the head vocabulary
+# ---------------------------------------------------------------------------
+
+COOC_K = 30  # head-vocabulary size (by document frequency)
+
+# Mirrored PMI in integer micro-nats: ln(N * c_ab / (df_a * df_b)) from
+# four exact BIGINTs — the q_mutual_information ln discipline applied
+# per pair (each pair's value is rounded independently; no cross-cell
+# float sum exists here at all).
+_PMI_MICRO = (
+    "CAST(round(1000000 * ln((CAST(c_ab AS DOUBLE) * n_docs) "
+    "/ (CAST(df_a AS DOUBLE) * df_b))) AS BIGINT)"
+)
+
+
+@query(
+    "q_cooccur_pmi",
+    oracle=f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)
+),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS dfreq FROM dw GROUP BY word),
+top AS (SELECT word, dfreq FROM df ORDER BY dfreq DESC, word LIMIT {COOC_K}),
+dt AS (SELECT dw.doc_id, dw.word FROM dw JOIN top ON dw.word = top.word),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+p AS (
+  SELECT a.word AS word_a, b.word AS word_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2
+)
+SELECT word_a, word_b, c_ab,
+       da.dfreq AS df_a, db.dfreq AS df_b,
+       {_PMI_MICRO} AS pmi_micro
+FROM p
+JOIN top da ON word_a = da.word
+JOIN top db ON word_b = db.word
+CROSS JOIN n
+ORDER BY word_a, word_b
+""",
+)
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of head-vocabulary word pairs that
+    co-occur within a document — the collocation detector behind
+    phrase mining and embedding-quality checks (high-PMI pairs are the
+    multiword expressions a tokenizer should not split; near-zero PMI
+    on frequent pairs flags word-salad corpora).
+
+    The pair space is bounded BEFORE any pairwise work: only the top
+    {COOC_K}-by-document-frequency words participate (deterministic
+    total order: df DESC, word ASC), so each document contributes at
+    most C({COOC_K},2) = 435 pairs regardless of its length, and the
+    output is capped at 435 rows at ANY corpus size — the unbounded
+    all-pairs PMI is exactly the quadratic blowup this head-filter
+    exists to avoid (tail co-occurrence belongs to sketch territory).
+
+    Engine stability: document frequencies, pair counts, and the
+    corpus size are exact BIGINTs; each pair's PMI is ONE mirrored
+    double ln-expression over those integers, micro-rounded per pair
+    (no cross-pair float aggregation exists).
+
+    Shape: one distinct over (doc, word), one small df aggregate, a
+    broadcast head-vocabulary semi-filter, then a doc-keyed self-join
+    whose per-key fan-out is ≤ {COOC_K}; final marginal joins run over
+    ≤435 rows against the ≤{COOC_K}-row broadcast head table."""
+    d = load(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    df = dw.groupBy("word").agg(F.count("*").cast("long").alias("dfreq"))
+    top = df.orderBy(F.col("dfreq").desc(), "word").limit(COOC_K)
+    dt = dw.join(F.broadcast(top.select("word")), "word").select("doc_id", "word")
+    n = d.agg(F.count("*").cast("long").alias("n_docs"))
+    a, b = dt.alias("a"), dt.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    da = F.broadcast(top.select(F.col("word").alias("word_a"), F.col("dfreq").alias("df_a")))
+    db = F.broadcast(top.select(F.col("word").alias("word_b"), F.col("dfreq").alias("df_b")))
+    return (
+        p.join(da, "word_a")
+        .join(db, "word_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "word_a", "word_b", "c_ab", "df_a", "df_b",
+            F.expr(_PMI_MICRO).alias("pmi_micro"),
+        )
+        .orderBy("word_a", "word_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-cardinality sketch + exactness audit
+# ---------------------------------------------------------------------------
+
+KMV_K = 256  # sketch size: expected relative error ~ 1/sqrt(K-2) ≈ 6%
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+WITH dw AS (
+  SELECT DISTINCT source, word
+  FROM (SELECT source, unnest({_TOKENS_SQL}) AS word FROM documents)
+),
+hv AS (
+  SELECT source, hv FROM (SELECT DISTINCT source, {duck_h31("word")} AS hv FROM dw)
+  UNION ALL
+  SELECT 'ALL' AS source, hv FROM (SELECT DISTINCT {duck_h31("word")} AS hv FROM dw)
+),
+ex AS (
+  SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact FROM dw GROUP BY source
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT word) AS BIGINT) FROM dw
+),
+r AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+  FROM hv
+),
+k AS (SELECT source, CAST(hv AS BIGINT) AS h_k FROM r WHERE rk = {KMV_K}),
+est AS (
+  SELECT ex.source, ex.n_exact,
+         CAST(coalesce(CAST({KMV_K} - 1 AS BIGINT) * {H31_P} // k.h_k, ex.n_exact)
+              AS BIGINT) AS est
+  FROM ex LEFT JOIN k ON ex.source = k.source
+)
+SELECT source, n_exact, est,
+       CAST(abs(est - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
+FROM est ORDER BY source
+""",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-vocabulary estimate per source
+    AND for the all-source union, each next to its exact count and the
+    realized error in ppm — the mergeable distinct-count sketch
+    (Bar-Yossef et al.): keep the K smallest hash values; the K-th
+    smallest h_K estimates D ≈ (K−1)·M/h_K. The union row demonstrates
+    the property HLL is usually bought for — per-source sketches merge
+    by just pooling hashes — and the audit columns make the sketch's
+    guarantee a measured number (the q_ann_recall/q_lsh_recall
+    discipline applied to cardinality estimation; complements the
+    rows-only HLL++ q_agg_approx_distinct with a fully
+    oracle-checkable sketch, since KMV's estimate is a deterministic
+    integer function of the data).
+
+    Engine stability: hash values are the shared 31-bit md5 fold
+    (functions/hashes.py), ranks are integer row_numbers over the
+    (source, hash) total order, and the estimate (K−1)·M // h_K and
+    error are BIGINT divisions — no float exists in the plan.
+    Saturated strata (fewer than K distinct hashes) fall back to their
+    exact count via the LEFT JOIN + coalesce.
+
+    Shape: one distinct over (source, word), per-source rank windows
+    over VOCABULARY-sized rows (not corpus rows). The rank-everything
+    form is the oracle-mirrorable demo; the production form keeps only
+    a K-row heap per partition (Spark: min_by/top-K aggregate) —
+    same output contract."""
+    d = load(spark, sf_dir, "documents")
+    dw = d.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("word")
+    ).distinct()
+    per = dw.select("source", F.expr(spark_h31("word")).alias("hv")).distinct()
+    alls = dw.select(F.expr(spark_h31("word")).alias("hv")).distinct().select(
+        F.lit("ALL").alias("source"), "hv"
+    )
+    hv = per.unionByName(alls)
+    ex = (
+        dw.groupBy("source")
+        .agg(F.countDistinct("word").cast("long").alias("n_exact"))
+        .unionByName(
+            dw.agg(
+                F.lit("ALL").alias("source"),
+                F.countDistinct("word").cast("long").alias("n_exact"),
+            )
+        )
+    )
+    r = hv.select(
+        "source",
+        "hv",
+        F.row_number().over(Window.partitionBy("source").orderBy("hv")).alias("rk"),
+    )
+    k = r.filter(F.col("rk") == KMV_K).select(
+        "source", F.col("hv").cast("long").alias("h_k")
+    )
+    est = (
+        ex.join(F.broadcast(k), "source", "left")
+        .select(
+            "source",
+            "n_exact",
+            F.expr(
+                f"CAST(coalesce(CAST({KMV_K} - 1 AS BIGINT) * {H31_P} DIV h_k,"
+                " n_exact) AS BIGINT)"
+            ).alias("est"),
+        )
+    )
+    return est.select(
+        "source",
+        "n_exact",
+        "est",
+        F.expr("CAST(abs(est - n_exact) * 1000000 DIV n_exact AS BIGINT)").alias(
+            "err_ppm"
+        ),
+    ).orderBy("source")

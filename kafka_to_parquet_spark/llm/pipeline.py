@@ -884,3 +884,99 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified rebalancing sample (equalize language strata)
+# ---------------------------------------------------------------------------
+
+# Per-document keep predicate: an independent multiplicative hash of
+# the id (same Knuth constant as _SPLIT_BUCKET but reduced mod 1e6, so
+# the keep decision and the train/val/test split use different bucket
+# granularities) compared against the stratum's integer-ppm quota.
+_STRAT_HASH = "(doc_id * 2654435761) % 1000000"
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+WITH m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+t AS (
+  SELECT lang, n_docs,
+         CAST(min(n_docs) OVER () * 1000000 // n_docs AS BIGINT) AS thr_ppm
+  FROM m
+),
+k AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(n_chars) AS BIGINT) AS kept_chars
+  FROM documents d JOIN t ON d.lang = t.lang
+  WHERE {_STRAT_HASH} < thr_ppm
+  GROUP BY d.lang
+)
+SELECT t.lang, t.n_docs, t.thr_ppm,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.n_kept, 0) * 1000000 // t.n_docs AS BIGINT) AS realized_ppm,
+       CAST(coalesce(k.kept_chars, 0) AS BIGINT) AS kept_chars
+FROM t LEFT JOIN k ON t.lang = k.lang
+ORDER BY t.lang
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample that equalizes language
+    strata to the smallest one: each language gets an integer-ppm keep
+    quota min(n)/n_lang, and a document survives iff an independent
+    multiplicative hash of its id falls under its stratum's quota —
+    the rebalancing step a multilingual pretraining mix runs so the
+    head language can't drown the tail (the hard-equalize complement
+    to q_sample_temperature's sqrt softening).
+
+    No RNG state: like q_split_assign, the keep decision is a pure
+    per-row integer expression — reproducible across runs, engines,
+    partitionings, and cluster sizes, which ``sample()``/``rand()``
+    sampling is not. Exactness of the realized rate is itself part of
+    the output (realized_ppm vs thr_ppm — the hash-uniformity audit).
+
+    Engine stability: quotas, counts, and realized rates are all
+    BIGINT ppm divisions; the keep predicate compares two integers.
+    doc_id·2654435761 stays inside BIGINT for any id < 3.5e9 (the
+    fixture's offset-replicated ids included); a production run with
+    full 64-bit ids reduces the id mod a prime first.
+
+    Shape: one small per-lang count, a broadcast quota join, one
+    filtered pass with a map-side-combinable re-aggregate. Two scans
+    of the fact (count, then filter) and bounded everything else; at
+    100 TB the filter column never materializes."""
+    d = load(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    t = m.select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "CAST(min(n_docs) OVER () * 1000000 DIV n_docs AS BIGINT)"
+        ).alias("thr_ppm"),
+    )
+    k = (
+        d.join(F.broadcast(t), "lang")
+        .filter(F.expr(_STRAT_HASH) < F.col("thr_ppm"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
+    return (
+        t.join(k, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "thr_ppm",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.expr(
+                "CAST(coalesce(n_kept, 0) * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("realized_ppm"),
+            F.coalesce(F.col("kept_chars"), F.lit(0)).cast("long").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -496,3 +496,114 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jac_bp"), F.desc("support"), F.asc("pa"), F.asc("pb"))
         .limit(JACCARD_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS levels from a deterministic seed (fixed-round frontier expansion)
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 3
+
+
+def _bfs_oracle() -> str:
+    """Chained-CTE mirror of the fixed-round Spark loop (q_graph_pagerank's
+    oracle pattern): r_k holds min-level-so-far for every node reached
+    within k hops."""
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)""",
+        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "r0 AS (SELECT min(node) AS node, CAST(0 AS BIGINT) AS lvl FROM nodes)",
+    ]
+    for k in range(1, _BFS_ROUNDS + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT node, CAST(min(lvl) AS BIGINT) AS lvl FROM (
+    SELECT node, lvl FROM r{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.lvl + 1 AS lvl
+    FROM edges e JOIN r{k - 1} r ON e.src = r.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT lvl, CAST(count(*) AS BIGINT) AS n_nodes
+FROM r{_BFS_ROUNDS} GROUP BY lvl
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS lvl, CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT node FROM nodes EXCEPT SELECT node FROM r{_BFS_ROUNDS})
+ORDER BY lvl
+"""
+    )
+
+
+@query("q_bfs_levels", oracle=_bfs_oracle())
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first-search level histogram from a deterministic seed
+    (the minimum node id) over the customer↔supplier bipartite graph,
+    bounded at 3 hops — the reachability profile ("how much of the
+    graph is within k hops of this account") behind blast-radius and
+    influence analyses; lvl −1 counts what 3 hops can't reach.
+
+    Iteration is FIXED-ROUND and fully declarative, like
+    q_graph_pagerank: each round unions the carried (node, min-level)
+    relation with the frontier expansion edges⋈levels and re-minimizes
+    — no driver loop state beyond the constant round count, so the
+    oracle mirrors it as chained CTEs. min-level is monotone, so
+    re-expanding already-settled nodes is idempotent (no visited-set
+    bookkeeping to diverge on).
+
+    Engine stability: node ids, levels, and counts are all integers.
+
+    Shape per round: one edges⋈levels hash join (edge relation keyed
+    by src) + a map-side-combinable min per node — the level relation
+    that shuffles is NODE-sized; edges stream through the join. At
+    100 TB the k-hop frontier form is exactly how distributed BFS is
+    run; unbounded-diameter BFS would move to the q_dedup_components
+    convergence loop."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    # Same persistence choice as q_graph_pagerank: the symmetric edge
+    # relation is consumed by every round's frontier join AND the
+    # final anti-join — persist it pre-hashed+pre-sorted on src so
+    # Catalyst sees the partitioning and no round re-derives or
+    # re-exchanges the double-distinct.
+    edges = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    r = nodes.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("lvl")
+    )
+    for _ in range(_BFS_ROUNDS):
+        frontier = edges.join(r, edges.src == r.node).select(
+            F.col("dst").alias("node"), (F.col("lvl") + 1).alias("lvl")
+        )
+        r = (
+            r.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("lvl").cast("long").alias("lvl"))
+        )
+    reached = r.groupBy("lvl").agg(F.count("*").cast("long").alias("n_nodes"))
+    unreached = (
+        nodes.join(r, "node", "left_anti")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .select(F.lit(-1).cast("long").alias("lvl"), "n_nodes")
+    )
+    return reached.unionByName(unreached).orderBy("lvl")

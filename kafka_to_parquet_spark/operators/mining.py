@@ -1,0 +1,410 @@
+"""Data-mining operators over the warehouse tables: market-basket
+association rules (support / confidence / lift) and market-concentration
+audits (HHI, CR4).
+
+These are the classic "what co-occurs / who dominates" questions a
+curation or BI pipeline asks of transactional data. Both collapse the
+fact table to a bounded cell grid before any pairwise or ranked work,
+so the expensive stages never see row-count-proportional cardinality.
+
+Reference parity note: the reference (main.rs) stops at sink-side
+parquet; this module is part of the driver-mandated analytics
+extension tier over those sunk tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (brand co-occurrence within orders)
+# ---------------------------------------------------------------------------
+
+# Mirrored integer rule metrics (c_ab, c_a, c_b, n_orders all BIGINT;
+# every product stays < 2^63 at sf>=10: ppm(1e6) * n_orders(1.5e7)).
+# Staged integer division is OUR declared definition — both engines
+# evaluate the identical expression, so associativity loss cannot
+# diverge.
+_SUPPORT = "CAST(c_ab * 1000000 DIV n_orders AS BIGINT)"
+_CONF = "CAST(c_ab * 1000000 DIV c_a AS BIGINT)"
+_LIFT = "CAST((c_ab * 1000000 DIV c_a) * n_orders DIV c_b AS BIGINT)"
+
+
+@query(
+    "q_assoc_rules",
+    oracle=f"""
+WITH i AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM i),
+m AS (SELECT brand, CAST(count(*) AS BIGINT) AS c FROM i GROUP BY brand),
+p AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM i a JOIN i b ON a.ok = b.ok AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, c_ab,
+       {_SUPPORT.replace("DIV", "//")} AS support_ppm,
+       {_CONF.replace("DIV", "//")} AS conf_ppm,
+       {_LIFT.replace("DIV", "//")} AS lift_ppm
+FROM p
+JOIN (SELECT brand AS brand_a, c AS c_a FROM m) ma USING (brand_a)
+JOIN (SELECT brand AS brand_b, c AS c_b FROM m) mb USING (brand_b)
+CROSS JOIN n
+ORDER BY brand_a, brand_b
+""",
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    ordered brand pair (a < b), the support, confidence(a→b) and lift
+    in integer ppm — the co-purchase screen behind "customers who
+    bought X" recommenders and assortment planning.
+
+    Engine stability: all four inputs (pair count, two item counts,
+    basket count) are exact BIGINTs from count aggregates; the three
+    metrics are mirrored staged-integer-division expressions, so no
+    float is ever produced. The oracle expands the identical CTE
+    pipeline.
+
+    Shape: the basket relation collapses to DISTINCT (order, brand) —
+    per-order brand fan-out is bounded by order size (≤7 lines in
+    TPC-H), so the order-keyed self-join emits ≤ C(7,2) pairs per
+    basket and the pair space is capped at C(|brands|,2) = C(25,2)
+    = 300 output cells at ANY corpus size. Marginals and the basket
+    total are one more pass over the same bounded relation; the final
+    metric joins run over ≤300 rows against two ≤25-row broadcast
+    sides. At 100 TB: two shuffles of the slim (order, brand) pairs,
+    everything after is constant-size."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    i = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = i.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    m = i.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
+    a, b = i.alias("a"), i.alias("b")
+    p = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    ma = F.broadcast(m.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a")))
+    mb = F.broadcast(m.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b")))
+    return (
+        p.join(ma, "brand_a")
+        .join(mb, "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            F.expr(_SUPPORT).alias("support_ppm"),
+            F.expr(_CONF).alias("conf_ppm"),
+            F.expr(_LIFT).alias("lift_ppm"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (HHI + CR4 per market)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+WITH f AS (
+  SELECT p_type AS market, n_name AS firm,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT market, firm, rev_c,
+         CAST(sum(rev_c) OVER (PARTITION BY market) AS BIGINT) AS tot,
+         row_number() OVER (PARTITION BY market ORDER BY rev_c DESC, firm) AS rk
+  FROM f
+)
+SELECT market,
+       CAST(count(*) AS BIGINT) AS n_firms,
+       CAST(max(tot) AS BIGINT) AS rev_cents,
+       CAST(sum((rev_c * 1000000 // tot) * (rev_c * 1000000 // tot)) // 1000000
+            AS BIGINT) AS hhi_ppm,
+       CAST(sum(CASE WHEN rk <= 4 THEN rev_c * 1000000 // tot ELSE 0 END)
+            AS BIGINT) AS cr4_ppm
+FROM s GROUP BY market ORDER BY market
+""",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index and CR4 (top-4 share)
+    of supplier-nation revenue within each part-type market — the
+    antitrust-style dominance audit a marketplace or sourcing team
+    runs to spot single-supplier risk per category.
+
+    Engine stability: revenue is exact integer cents; each firm's
+    share is integer ppm via BIGINT division; HHI sums the SQUARED
+    integer shares (≤1e12 each, ≤2.5e13 per market — far inside
+    BIGINT) and rescales by one more integer division; CR4 picks the
+    top 4 by the total order (rev_c DESC, firm name ASC — no ranking
+    tie ambiguity) and adds integer shares. No float anywhere.
+
+    Shape: three broadcast dim joins (part/supplier/nation) keep the
+    fact pass shuffle-free until ONE map-side-combinable groupBy
+    collapses it to |types|×|nations| ≤ 150·25 cells; both windows and
+    the final rollup run over those cells only. At 100 TB: one
+    aggregation shuffle of bounded partials, then arithmetic on ≤3750
+    rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    f = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("p_type").alias("market"), F.col("n_name").alias("firm"))
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("market")
+    wr = Window.partitionBy("market").orderBy(F.col("rev_c").desc(), "firm")
+    s = f.select(
+        "market",
+        "firm",
+        "rev_c",
+        F.sum("rev_c").over(w).cast("long").alias("tot"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    return (
+        s.groupBy("market")
+        .agg(
+            F.count("*").cast("long").alias("n_firms"),
+            F.max("tot").alias("rev_cents"),
+            F.expr(
+                "CAST(sum((rev_c * 1000000 DIV tot) * (rev_c * 1000000 DIV tot))"
+                " DIV 1000000 AS BIGINT)"
+            ).alias("hhi_ppm"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk <= 4 THEN rev_c * 1000000 DIV tot"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("cr4_ppm"),
+        )
+        .orderBy("market")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey AS ck,
+         CAST(max(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS BIGINT) AS last_es,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT CAST(max(last_es) AS BIGINT) AS ref_es FROM cust),
+q AS (
+  SELECT ck, freq, mon_c,
+         CAST((ref_es - last_es) // 86400 AS BIGINT) AS recency_d,
+         ntile(5) OVER (ORDER BY (ref_es - last_es) // 86400, ck) AS r_q,
+         ntile(5) OVER (ORDER BY freq DESC, ck) AS f_q,
+         ntile(5) OVER (ORDER BY mon_c DESC, ck) AS m_q
+  FROM cust CROSS JOIN mx
+)
+SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+       CAST(m_q AS INTEGER) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(mon_c) AS BIGINT) AS mon_cents,
+       CAST(min(recency_d) AS BIGINT) AS min_recency_d,
+       CAST(max(recency_d) AS BIGINT) AS max_recency_d
+FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1–5 on Recency (days
+    since last order, 1 = most recent), Frequency (order count, 1 =
+    most), and Monetary (lifetime cents, 1 = highest) via ntile
+    quintiles, rolled up to segment cells — the classic CRM
+    slice-and-target grid (at most 125 segments at any customer
+    count).
+
+    Determinism: every ntile ORDER BY carries the customer key as the
+    final tiebreak, so the quintile assignment is a pure function of
+    the data in both engines (SQL-standard ntile: the first n MOD 5
+    tiles take the extra rows — same rule in Spark and DuckDB, which
+    the driver row proves). Recency is measured from the corpus's own
+    max order date (one broadcast scalar), so the query is
+    reproducible rather than wall-clock-dependent.
+
+    Engine stability: epoch seconds, day diffs, cents, counts — all
+    exact BIGINTs; there is no float in the plan.
+
+    Scale note: the three ntile windows sort the CUSTOMER AGGREGATE
+    (dimension cardinality, shuffled once per ordering), not the order
+    fact — at 10^9 customers you'd swap exact ntile for
+    approx-quantile cut points (q_winsorize's broadcast pattern) and
+    keep the same output contract; at dimension scale the exact sort
+    is the right plan and the oracle can mirror it."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(F.floor(F.unix_timestamp("o_orderdate")).cast("long")).alias("last_es"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("mon_c"),
+    )
+    mx = cust.agg(F.max("last_es").alias("ref_es"))
+    base = cust.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_d",
+        F.expr("CAST((ref_es - last_es) DIV 86400 AS BIGINT)"),
+    )
+    q = base.select(
+        "ck",
+        "freq",
+        "mon_c",
+        "recency_d",
+        F.ntile(5).over(Window.orderBy("recency_d", "ck")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "ck")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy(F.col("mon_c").desc(), "ck")).alias("m_q"),
+    )
+    return (
+        q.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("mon_c").alias("mon_cents"),
+            F.min("recency_d").alias("min_recency_d"),
+            F.max("recency_d").alias("max_recency_d"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres unit-value price index (matched basket vs base month)
+# ---------------------------------------------------------------------------
+
+# Mirrored index ratio over two exact BIGINT basket sums (the sums
+# themselves stay integer; only the final ratio is double — the
+# q_corr_matrix overflow discipline: s1 * 1e6 would pass 2^63 at scale).
+_LASPEYRES_PPM = (
+    "CAST(round(1000000 * (CAST(s1 AS DOUBLE) / s0)) AS BIGINT)"
+)
+
+
+@query(
+    "q_price_index",
+    oracle=f"""
+WITH pb AS (
+  SELECT p_brand AS brand,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS m,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+),
+b AS (SELECT CAST(min(m) AS BIGINT) AS m0 FROM pb),
+base AS (
+  SELECT brand, qty AS q0, rev_c * 1000000 // qty AS uv0
+  FROM pb CROSS JOIN b WHERE m = m0
+),
+cur AS (SELECT brand, m, rev_c * 1000000 // qty AS uv FROM pb),
+s AS (
+  SELECT cur.m,
+         CAST(count(*) AS BIGINT) AS n_brands,
+         CAST(sum(base.q0 * cur.uv) AS BIGINT) AS s1,
+         CAST(sum(base.q0 * base.uv0) AS BIGINT) AS s0
+  FROM cur JOIN base ON cur.brand = base.brand
+  GROUP BY cur.m
+)
+SELECT m, n_brands, {_LASPEYRES_PPM} AS laspeyres_ppm
+FROM s ORDER BY m
+""",
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres unit-value price index per month: each month's
+    basket cost at base-month quantities, relative to the base month
+    itself (ppm; 1,000,000 = no change) — the inflation/price-drift
+    monitor a marketplace runs per category, with the basket matched
+    on brands present in the base month so assortment churn can't
+    masquerade as price movement.
+
+    Engine stability: unit values are integer micro-cents per unit
+    (BIGINT division of exact cents by exact quantity — OUR declared
+    unit-value definition, mirrored); both basket sums are exact
+    BIGINTs (q0·uv ≈ 1e15 per brand at sf≈1, ×25 brands ≪ 2^63); the
+    final ratio is ONE mirrored double expression micro-rounded (s1 ·
+    1e6 would overflow BIGINT at scale — the q_corr_matrix
+    discipline).
+
+    Shape: one broadcast dim join + ONE map-side collapse of the fact
+    to |brands|×|months| cells; the base-month slice re-joins as a
+    ≤|brands|-row broadcast. At 100 TB: one aggregation shuffle,
+    arithmetic on ≤25·84 cells."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pb = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)"
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("rev_c"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+    )
+    b = pb.agg(F.min("m").alias("m0"))
+    base = (
+        pb.crossJoin(F.broadcast(b))
+        .filter(F.col("m") == F.col("m0"))
+        .select(
+            "brand",
+            F.col("qty").alias("q0"),
+            F.expr("CAST(rev_c * 1000000 DIV qty AS BIGINT)").alias("uv0"),
+        )
+    )
+    cur = pb.select(
+        "brand", "m", F.expr("CAST(rev_c * 1000000 DIV qty AS BIGINT)").alias("uv")
+    )
+    s = (
+        cur.join(F.broadcast(base), "brand")
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_brands"),
+            F.sum(F.col("q0") * F.col("uv")).cast("long").alias("s1"),
+            F.sum(F.col("q0") * F.col("uv0")).cast("long").alias("s0"),
+        )
+    )
+    return s.select("m", "n_brands", F.expr(_LASPEYRES_PPM).alias("laspeyres_ppm")).orderBy("m")

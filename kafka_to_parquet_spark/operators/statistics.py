@@ -769,3 +769,263 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_CORR_PAIRS)}, {', '.join(cells)})"
         " AS (var_x, var_y, n, corr_micro)"
     ).orderBy("var_x", "var_y")
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected, cell-collapsed)
+# ---------------------------------------------------------------------------
+
+# Mirrored Pearson-on-ranks expression over the per-flag moment row.
+# Products are taken in DOUBLE (n·sxy cross terms exceed BIGINT) from
+# exact BIGINT sums — identical shape to q_corr_matrix's driver-proven
+# _corr_micro.
+_SPEARMAN_MICRO = (
+    "CAST(round(1000000 * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+    "/ sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) "
+    "* (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))) AS BIGINT)"
+)
+
+
+@query(
+    "q_spearman_corr",
+    oracle=f"""
+WITH cells AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2, 3
+),
+mx AS (SELECT flag, x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY flag, x),
+my AS (SELECT flag, y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY flag, y),
+rx AS (
+  SELECT flag, x,
+         CAST((2 * (sum(cx) OVER (PARTITION BY flag ORDER BY x) - cx) + cx + 1)
+              * 1000000 // (2 * sum(cx) OVER (PARTITION BY flag)) AS BIGINT) AS rxp
+  FROM mx
+),
+ry AS (
+  SELECT flag, y,
+         CAST((2 * (sum(cy) OVER (PARTITION BY flag ORDER BY y) - cy) + cy + 1)
+              * 1000000 // (2 * sum(cy) OVER (PARTITION BY flag)) AS BIGINT) AS ryp
+  FROM my
+),
+j AS (
+  SELECT cells.flag, c, rxp, ryp
+  FROM cells
+  JOIN rx ON cells.flag = rx.flag AND cells.x = rx.x
+  JOIN ry ON cells.flag = ry.flag AND cells.y = ry.y
+),
+m AS (
+  SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * rxp) AS BIGINT) AS sx,
+         CAST(sum(c * ryp) AS BIGINT) AS sy,
+         CAST(sum(c * rxp * rxp) AS BIGINT) AS sxx,
+         CAST(sum(c * ryp * ryp) AS BIGINT) AS syy,
+         CAST(sum(c * rxp * ryp) AS BIGINT) AS sxy
+  FROM j GROUP BY flag
+)
+SELECT flag AS l_returnflag, n, {_SPEARMAN_MICRO} AS rho_micro
+FROM m
+WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+  AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+ORDER BY l_returnflag
+""",
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between quantity and
+    discount per return flag — the monotone-dependence complement to
+    q_corr_matrix's Pearson r (robust to any monotone transform of
+    either measure; the screen for "does discount grow with volume"
+    that outliers can't hijack).
+
+    Rank computation is CELL-COLLAPSED, not row-ranked: both measures
+    have small discrete domains (quantity 1..50, discount-pct 0..10),
+    so the fact collapses to ≤550 (flag, x, y) cells in one pass, and
+    each distinct value's tie-averaged rank derives from the CUMULATIVE
+    MARGINAL counts (avg rank = ranks-before + (ties+1)/2) — a window
+    over ≤50 marginal rows, never a per-row rank() over the corpus.
+    That is the plan that survives 100 TB: one aggregation shuffle,
+    then arithmetic on a bounded grid.
+
+    Engine stability: 2× avg-rank is an exact integer (2·before+ties+1);
+    it is quantized to integer ppm of 2n by BIGINT division, so all six
+    weighted moments stay exact BIGINTs (Σc·r² ≤ n·1e12 — inside 2^63
+    through ~sf3; beyond, coarsen the rank grid a decade); rho is ONE
+    mirrored double expression over those integers, micro-rounded.
+    Degenerate flags (zero rank variance) are excluded by the double
+    predicate on the same exact inputs."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("y"),
+    ).agg(F.count("*").cast("long").alias("c"))
+
+    def ranks(col: str, cnt: str, out: str) -> DataFrame:
+        marg = cells.groupBy("flag", col).agg(F.sum("c").cast("long").alias(cnt))
+        cum = Window.partitionBy("flag").orderBy(col)
+        tot = Window.partitionBy("flag")
+        return marg.select(
+            "flag",
+            col,
+            (
+                (
+                    2 * (F.sum(cnt).over(cum) - F.col(cnt))
+                    + F.col(cnt)
+                    + 1
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("_num"),
+            (2 * F.sum(cnt).over(tot)).cast("long").alias("_den"),
+        ).select(
+            "flag", col, F.expr("CAST(_num DIV _den AS BIGINT)").alias(out)
+        )
+
+    rx = ranks("x", "cx", "rxp")
+    ry = ranks("y", "cy", "ryp")
+    j = cells.join(F.broadcast(rx), ["flag", "x"]).join(
+        F.broadcast(ry), ["flag", "y"]
+    )
+    m = j.groupBy("flag").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("rxp")).cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("ryp")).cast("long").alias("sy"),
+        F.sum(F.col("c") * F.col("rxp") * F.col("rxp")).cast("long").alias("sxx"),
+        F.sum(F.col("c") * F.col("ryp") * F.col("ryp")).cast("long").alias("syy"),
+        F.sum(F.col("c") * F.col("rxp") * F.col("ryp")).cast("long").alias("sxy"),
+    )
+    return (
+        m.filter(
+            (F.expr("CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx") > 0)
+            & (F.expr("CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy") > 0)
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "n",
+            F.expr(_SPEARMAN_MICRO).alias("rho_micro"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (tie-corrected, cell-collapsed concordance)
+# ---------------------------------------------------------------------------
+
+# Mirrored tau-b over the per-flag pair/tie counts. conc/disc/n0/n1/n2
+# are exact BIGINTs; only the final ratio is double.
+_TAU_MICRO = (
+    "CAST(round(1000000 * (CAST(conc AS DOUBLE) - disc) "
+    "/ sqrt((CAST(n0 AS DOUBLE) - n1) * (CAST(n0 AS DOUBLE) - n2))) AS BIGINT)"
+)
+
+
+@query(
+    "q_kendall_tau",
+    oracle=f"""
+WITH cells AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2, 3
+),
+cd AS (
+  SELECT a.flag,
+         CAST(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+         CAST(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+  FROM cells a JOIN cells b ON a.flag = b.flag AND a.x < b.x
+  GROUP BY a.flag
+),
+tx AS (
+  SELECT flag, CAST(sum(cx * (cx - 1) // 2) AS BIGINT) AS n1
+  FROM (SELECT flag, x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY flag, x)
+  GROUP BY flag
+),
+ty AS (
+  SELECT flag, CAST(sum(cy * (cy - 1) // 2) AS BIGINT) AS n2
+  FROM (SELECT flag, y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY flag, y)
+  GROUP BY flag
+),
+nn AS (
+  SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c) * (sum(c) - 1) // 2 AS BIGINT) AS n0
+  FROM cells GROUP BY flag
+)
+SELECT flag AS l_returnflag, n, conc, disc, {_TAU_MICRO} AS tau_micro
+FROM nn JOIN cd USING (flag) JOIN tx USING (flag) JOIN ty USING (flag)
+WHERE n0 > n1 AND n0 > n2
+ORDER BY l_returnflag
+""",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kendall tau-b between quantity and discount per
+    return flag — the concordance companion to q_spearman_corr (tau
+    weights each PAIR of observations equally, so it is the robust
+    choice when the question is "how often does more volume come with
+    more discount" rather than "how linear are the ranks").
+
+    The O(n²) pair enumeration is CELL-COLLAPSED: the fact collapses
+    to ≤550 (flag, x, y) cells, and concordant/discordant pair mass
+    comes from the cell-grid self-join restricted to a.x < b.x (each
+    unordered distinct-x pair counted exactly once, weight c_a·c_b) —
+    ≤550² bounded combinations per flag regardless of corpus size,
+    against the row-pair form's N². Tie corrections n1/n2 come from
+    the marginal counts (Σt(t−1)/2), n0 = n(n−1)/2 from the total.
+
+    Engine stability: conc, disc, n0, n1, n2 are exact BIGINTs (pair
+    masses ≤ n²/2 ≈ 2e12 at sf≈1 — inside 2^63 through ~sf1000);
+    tau-b is ONE mirrored double expression over them, micro-rounded;
+    degenerate flags are excluded by the pure-integer predicates
+    n0 > n1 AND n0 > n2."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("y"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.flag") == F.col("b.flag")) & (F.col("a.x") < F.col("b.x")),
+        )
+        .groupBy(F.col("a.flag").alias("flag"))
+        .agg(
+            F.sum(
+                F.when(F.col("a.y") < F.col("b.y"), F.col("a.c") * F.col("b.c"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("conc"),
+            F.sum(
+                F.when(F.col("a.y") > F.col("b.y"), F.col("a.c") * F.col("b.c"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("disc"),
+        )
+    )
+    tx = (
+        cells.groupBy("flag", "x")
+        .agg(F.sum("c").cast("long").alias("cx"))
+        .groupBy("flag")
+        .agg(F.expr("CAST(sum(cx * (cx - 1) DIV 2) AS BIGINT)").alias("n1"))
+    )
+    ty = (
+        cells.groupBy("flag", "y")
+        .agg(F.sum("c").cast("long").alias("cy"))
+        .groupBy("flag")
+        .agg(F.expr("CAST(sum(cy * (cy - 1) DIV 2) AS BIGINT)").alias("n2"))
+    )
+    nn = cells.groupBy("flag").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.expr("CAST(sum(c) * (sum(c) - 1) DIV 2 AS BIGINT)").alias("n0"),
+    )
+    return (
+        nn.join(cd, "flag").join(tx, "flag").join(ty, "flag")
+        .filter((F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2")))
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "n", "conc", "disc",
+            F.expr(_TAU_MICRO).alias("tau_micro"),
+        )
+        .orderBy("l_returnflag")
+    )

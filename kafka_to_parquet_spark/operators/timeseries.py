@@ -1795,3 +1795,569 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"THEN {_RUNS_Z} END"
         ).alias("z_micro"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Burstiness / Fano factor of the hourly arrival process
+# ---------------------------------------------------------------------------
+
+# Mirrored population Fano factor over the zero-filled hour grid:
+# mean = s/g, var = (g*ss - s^2)/g^2, fano = var/mean = (g*ss - s^2)/(g*s).
+_FANO_MICRO = (
+    "CAST(round(1000000 * (CAST(g AS DOUBLE) * ss - CAST(s AS DOUBLE) * s) "
+    "/ (CAST(g AS DOUBLE) * s)) AS BIGINT)"
+)
+
+
+@query(
+    "q_burstiness",
+    oracle=f"""
+WITH b AS (
+  SELECT min({_EPOCH_DAY_DUCK} * 24 + hour(ts)) AS mn,
+         max({_EPOCH_DAY_DUCK} * 24 + hour(ts)) AS mx
+  FROM events
+),
+cnt AS (
+  SELECT event_type, {_EPOCH_DAY_DUCK} * 24 + hour(ts) AS ehour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss,
+         CAST(count(*) AS BIGINT) AS nh
+  FROM cnt GROUP BY event_type
+)
+SELECT event_type,
+       g,
+       s AS n_events, nh AS active_hours,
+       CAST(nh * 1000000 // g AS BIGINT) AS occupancy_ppm,
+       {_FANO_MICRO} AS fano_micro,
+       CAST(g * ss - s * s > g * s AS INTEGER) AS overdispersed
+FROM (SELECT m.*, CAST(mx - mn + 1 AS BIGINT) AS g FROM m CROSS JOIN b)
+ORDER BY event_type
+""",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of each event type's hourly
+    arrival counts over the corpus's full hour grid — the burstiness
+    screen that separates Poisson-like steady producers (fano ≈ 1)
+    from bursty retry/batch traffic (fano ≫ 1) and clamped schedulers
+    (fano < 1); the stationary companion to q_rate_spike's pointwise
+    z-alerts.
+
+    Missing hours COUNT, without materializing the grid: zero-count
+    hours contribute nothing to Σc or Σc², so both moments come from
+    the observed (type, hour) cells alone and only the grid LENGTH
+    g = max−min+1 (one broadcast min/max row) enters the formula —
+    the zero-fill is algebraic, not physical.
+
+    Engine stability: s, ss, nh, g are exact BIGINTs; fano is ONE
+    mirrored double expression micro-rounded; the overdispersion flag
+    is the pure-integer predicate g·Σc² − (Σc)² > g·Σc (variance >
+    mean without any division); occupancy is BIGINT ppm division.
+
+    Shape: the event log collapses map-side to (type, hour) cells,
+    then to |types| moment rows. One aggregation shuffle at any scale;
+    the grid length is calendar-bounded, so cell counts grow with
+    time, not volume."""
+    ev = load(spark, sf_dir, "events")
+    ehour = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long") * 24
+        + F.hour("ts")
+    ).alias("ehour")
+    b = ev.select(ehour).agg(F.min("ehour").alias("mn"), F.max("ehour").alias("mx"))
+    cnt = ev.groupBy("event_type", ehour).agg(F.count("*").cast("long").alias("c"))
+    m = cnt.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.count("*").cast("long").alias("nh"),
+    )
+    g = m.crossJoin(F.broadcast(b)).withColumn(
+        "g", (F.col("mx") - F.col("mn") + 1).cast("long")
+    )
+    return g.select(
+        "event_type",
+        "g",
+        F.col("s").alias("n_events"),
+        F.col("nh").alias("active_hours"),
+        F.expr("CAST(nh * 1000000 DIV g AS BIGINT)").alias("occupancy_ppm"),
+        F.expr(_FANO_MICRO).alias("fano_micro"),
+        F.expr("CAST(g * ss - s * s > g * s AS INTEGER)").alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Markov transition entropy of the event-type process
+# ---------------------------------------------------------------------------
+
+# Per-cell entropy term, micro-rounded BEFORE the per-source sum (the
+# q_mutual_information ln discipline): p·ln p with p = c/nc from two
+# exact BIGINTs.
+_MARKOV_TERM = (
+    "CAST(round(1000000 * (CAST(c AS DOUBLE) / nc) "
+    "* ln(CAST(c AS DOUBLE) / nc)) AS BIGINT)"
+)
+
+
+@query(
+    "q_markov_entropy",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY floor(epoch(ts)), event_id) AS nxt
+  FROM events
+),
+cells AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+m AS (
+  SELECT cur, nxt, c,
+         CAST(sum(c) OVER (PARTITION BY cur) AS BIGINT) AS nc
+  FROM cells
+)
+SELECT cur AS cur_type,
+       CAST(max(nc) AS BIGINT) AS n_trans,
+       CAST(count(*) AS BIGINT) AS n_next,
+       CAST(-sum({_MARKOV_TERM}) AS BIGINT) AS h_micro
+FROM m GROUP BY cur ORDER BY cur
+""",
+)
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next | current) of each user's event-type
+    Markov chain, in integer micro-nats per current state — the
+    predictability profile of the clickstream (a state with h ≈ 0 has
+    a deterministic successor worth prefetching; h near ln(|types|)
+    means the next step is anyone's guess). Complements
+    q_stream_transitions (which counts ONE pattern, streaming) with
+    the full batch transition-matrix view.
+
+    Transitions come from one lead() pass over the shared per-user
+    (epoch-second, event_id) total order — the same order every
+    sequence operator in this module uses, so a same-second pair
+    resolves identically in both engines via the event_id tiebreak.
+
+    Engine stability: transition counts and row marginals are exact
+    BIGINTs; each cell's p·ln p is ONE mirrored double expression
+    micro-rounded BEFORE the per-state sum, so hash-order summation
+    operates on integers only.
+
+    Shape: one user-keyed exchange for the lead window, then map-side
+    collapse to ≤|types|² cells; everything after runs on ≤25 rows at
+    any scale."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.floor(F.unix_timestamp("ts")).cast("long"), "event_id"
+    )
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    cells = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    m = cells.select(
+        "cur", "nxt", "c",
+        F.sum("c").over(Window.partitionBy("cur")).cast("long").alias("nc"),
+    )
+    return (
+        m.groupBy(F.col("cur").alias("cur_type"))
+        .agg(
+            F.max("nc").alias("n_trans"),
+            F.count("*").cast("long").alias("n_next"),
+            (-F.sum(F.expr(_MARKOV_TERM))).cast("long").alias("h_micro"),
+        )
+        .orderBy("cur_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (purchases credited to the preceding channel)
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_SECS = 7 * 86_400  # lookback: credit expires after 7 days
+
+# Sortable fixed-width encoding of a candidate touch: zero-padded epoch
+# second (10 digits) + zero-padded event_id (12) + the channel name.
+# max() over these strings IS "latest preceding touch" — an argmax
+# without struct comparisons, identical lexicographic semantics in
+# both engines.
+_TOUCH_ENC = (
+    "lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), 10, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0') || event_type"
+)
+_TOUCH_ENC_SPARK = (
+    "lpad(CAST(CAST(floor(unix_timestamp(ts)) AS BIGINT) AS STRING), 10, '0') || "
+    "lpad(CAST(event_id AS STRING), 12, '0') || event_type"
+)
+
+
+@query(
+    "q_attribution",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         max(CASE WHEN event_type <> 'purchase' THEN {_TOUCH_ENC} END) OVER (
+           PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+),
+p AS (
+  SELECT CASE WHEN touch IS NOT NULL
+                   AND es - CAST(substr(touch, 1, 10) AS BIGINT) <= {ATTR_WINDOW_SECS}
+              THEN substr(touch, 23) ELSE '(none)' END AS channel
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT) AS share_ppm
+FROM p GROUP BY channel ORDER BY channel
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the
+    user's most recent preceding non-purchase event within a 7-day
+    lookback ('(none)' when the trail is cold) — the marketing
+    attribution report that decides channel budgets downstream of the
+    reference's sink.
+
+    The "latest preceding touch" is NOT a join or a second pass: each
+    candidate touch is encoded as a fixed-width sortable string
+    (zero-padded epoch second + zero-padded event_id + channel), and a
+    running max() over the user's (epoch, event_id) order — frame
+    UNBOUNDED PRECEDING..1 PRECEDING, so a purchase can't attribute to
+    itself or a later event — IS the argmax, with identical
+    lexicographic semantics in both engines (no struct-comparison
+    portability risk). The 7-day expiry and the channel are decoded
+    from the string by fixed offsets.
+
+    Engine stability: epoch seconds, ids, and the window bound are all
+    integers; string comparison of fixed-width zero-padded digits
+    equals numeric comparison by construction; share_ppm is BIGINT
+    division over exact counts.
+
+    Shape: one user-keyed exchange shared by the single window pass,
+    then a map-side collapse to ≤|types|+1 channels. At 100 TB: one
+    shuffle of (user, es, event_id, type), constant-size output."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.floor(F.unix_timestamp("ts")).cast("long"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.max(
+            F.when(F.col("event_type") != "purchase", F.expr(_TOUCH_ENC_SPARK))
+        ).over(w).alias("touch"),
+    )
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        F.expr(
+            f"CASE WHEN touch IS NOT NULL"
+            f" AND es - CAST(substr(touch, 1, 10) AS BIGINT) <= {ATTR_WINDOW_SECS}"
+            f" THEN substr(touch, 23) ELSE '(none)' END"
+        ).alias("channel")
+    )
+    cnt = p.groupBy("channel").agg(F.count("*").cast("long").alias("n_purchases"))
+    return cnt.select(
+        "channel",
+        "n_purchases",
+        F.expr(
+            "CAST(n_purchases * 1000000 DIV sum(n_purchases) OVER () AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day activity streak (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_streak_longest",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+),
+isl AS (
+  SELECT user_id,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM ud
+),
+st AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, grp
+),
+mx AS (SELECT user_id, CAST(max(len) AS BIGINT) AS streak FROM st GROUP BY user_id)
+SELECT streak, CAST(count(*) AS BIGINT) AS n_users
+FROM mx GROUP BY streak ORDER BY streak
+""",
+)
+def q_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of each user's LONGEST consecutive-day activity
+    streak — the engagement metric behind "7-day streak" product
+    mechanics and retention health dashboards; the run-length
+    companion to q_active_users' calendar view.
+
+    Classic gaps-and-islands on integers: distinct active days per
+    user, island key = day − row_number() over the user's day order
+    (consecutive days share it, any gap breaks it), streak = island
+    size, then one max per user and a bounded histogram (streak
+    lengths are calendar-bounded).
+
+    Engine stability: everything is exact integer arithmetic on epoch
+    days — no floats exist anywhere in this plan.
+
+    Shape: the event log collapses map-side to DISTINCT (user, day) —
+    calendar-bounded per user — then one user-keyed exchange serves
+    the window, both groupBys, and the max. At 100 TB: one shuffle of
+    (user, day) pairs, output rows bounded by the calendar."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts)) DIV 86400 AS BIGINT)").alias("d"),
+    ).distinct()
+    isl = ud.select(
+        "user_id",
+        (F.col("d") - F.row_number().over(
+            Window.partitionBy("user_id").orderBy("d")
+        )).alias("grp"),
+    )
+    st = isl.groupBy("user_id", "grp").agg(F.count("*").cast("long").alias("len"))
+    mx = st.groupBy("user_id").agg(F.max("len").alias("streak"))
+    return (
+        mx.groupBy("streak")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("streak")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survival curve of user lifespans (retention S(k))
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_survival_curve",
+    oracle="""
+WITH ud AS (
+  SELECT user_id,
+         CAST(max(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+            - min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS BIGINT) AS lifespan
+  FROM events GROUP BY user_id
+),
+h AS (SELECT lifespan, CAST(count(*) AS BIGINT) AS c FROM ud GROUP BY lifespan),
+g AS (SELECT unnest(range(0, (SELECT max(lifespan) FROM ud) + 1)) AS k),
+grid AS (
+  SELECT g.k, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+  FROM g LEFT JOIN h ON h.lifespan = g.k
+),
+w AS (SELECT k, c, CAST(sum(c) OVER (ORDER BY k) AS BIGINT) AS cum FROM grid),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ud)
+SELECT CAST(k AS BIGINT) AS k_days,
+       CAST(n - (cum - c) AS BIGINT) AS n_surviving,
+       CAST((n - (cum - c)) * 1000000 // n AS BIGINT) AS surv_ppm
+FROM w CROSS JOIN tot ORDER BY k_days
+""",
+)
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival function S(k) of user lifespans: the fraction of users
+    whose observed activity span (last day − first day) reaches at
+    least k days, on the full zero-filled day grid — the retention
+    curve a growth team reads for median lifetime and decay shape
+    (the duration-domain companion to q_retention_cohort's calendar
+    view).
+
+    S(k) is computed WITHOUT a per-k pass: one lifespan histogram,
+    zero-filled onto the 0..max grid, then survivors(k) = N −
+    cumulative(k−1) from a single running sum — the classic
+    complement-of-CDF identity.
+
+    Engine stability: lifespans are integer epoch-day differences;
+    the histogram, the running sum, and the ppm share are exact
+    BIGINT arithmetic — no float in the plan.
+
+    Shape: the event log collapses map-side to per-user min/max day
+    (one user-keyed aggregate); everything after runs on the
+    calendar-bounded grid. At 100 TB: one aggregation shuffle."""
+    ev = load(spark, sf_dir, "events")
+    d = F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV 86400")
+    ud = ev.select("user_id", d.alias("d")).groupBy("user_id").agg(
+        (F.max("d") - F.min("d")).cast("long").alias("lifespan")
+    )
+    h = ud.groupBy("lifespan").agg(F.count("*").cast("long").alias("c"))
+    mx = ud.agg(F.max("lifespan").alias("mxl"))
+    g = F.broadcast(mx).select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("mxl"))).alias("k")
+    )
+    grid = g.join(h, g.k == h.lifespan, "left").select(
+        "k", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    w = grid.select(
+        "k", "c",
+        F.sum("c").over(Window.partitionBy().orderBy("k")).cast("long").alias("cum"),
+    )
+    tot = ud.agg(F.count("*").cast("long").alias("n"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("k_days"),
+            (F.col("n") - (F.col("cum") - F.col("c"))).cast("long").alias("n_surviving"),
+            F.expr(
+                "CAST((n - (cum - c)) * 1000000 DIV n AS BIGINT)"
+            ).alias("surv_ppm"),
+        )
+        .orderBy("k_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (cumulative revenue per cohort by month age)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey AS ck,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c
+  FROM orders
+),
+fst AS (SELECT ck, CAST(min(m) AS BIGINT) AS cohort_m FROM o GROUP BY ck),
+cells AS (
+  SELECT cohort_m, CAST(m - cohort_m AS BIGINT) AS age_m,
+         CAST(sum(rev_c) AS BIGINT) AS rev_cents,
+         CAST(count(DISTINCT o.ck) AS BIGINT) AS n_active
+  FROM o JOIN fst ON o.ck = fst.ck
+  GROUP BY cohort_m, m - cohort_m
+),
+sz AS (SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_n FROM fst GROUP BY cohort_m)
+SELECT cells.cohort_m, age_m, cohort_n, n_active, rev_cents,
+       CAST(sum(rev_cents) OVER (PARTITION BY cells.cohort_m ORDER BY age_m)
+            AS BIGINT) AS cum_rev_cents,
+       CAST(sum(rev_cents) OVER (PARTITION BY cells.cohort_m ORDER BY age_m)
+            // cohort_n AS BIGINT) AS ltv_cents_per_user
+FROM cells JOIN sz ON cells.cohort_m = sz.cohort_m
+ORDER BY cells.cohort_m, age_m
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, each cohort's revenue laid out by month age with the
+    running cumulative and per-user LTV — the payback/LTV grid a
+    finance team reads against acquisition cost (the monetary
+    companion to q_retention_cohort's activity triangle).
+
+    Engine stability: months are integer (year·12+month) indices,
+    revenue is exact cents, the LTV is BIGINT division after an
+    integer window sum — no float in the plan.
+
+    Shape: one customer-keyed aggregate pins each customer's cohort
+    (broadcast back into the fact via the customer-keyed join), one
+    map-side collapse to (cohort, age) cells — calendar² bounded —
+    and windows over those cells only. At 100 TB: two shuffles of
+    keyed aggregates, bounded everything after."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.expr(
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)"
+        ).alias("m"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("rev_c"),
+    )
+    fst = o.groupBy("ck").agg(F.min("m").alias("cohort_m"))
+    cells = (
+        o.join(fst, "ck")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_m"))
+        .agg(
+            F.sum("rev_c").cast("long").alias("rev_cents"),
+            F.countDistinct("ck").cast("long").alias("n_active"),
+        )
+    )
+    sz = fst.groupBy("cohort_m").agg(F.count("*").cast("long").alias("cohort_n"))
+    w = Window.partitionBy("cohort_m").orderBy("age_m")
+    return (
+        cells.join(F.broadcast(sz), "cohort_m")
+        .select(
+            "cohort_m",
+            "age_m",
+            "cohort_n",
+            "n_active",
+            "rev_cents",
+            F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+            F.expr(
+                "CAST(sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age_m)"
+                " DIV cohort_n AS BIGINT)"
+            ).alias("ltv_cents_per_user"),
+        )
+        .orderBy("cohort_m", "age_m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repurchase-gap distribution (inter-order intervals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_repurchase_gaps",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey AS ck,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+         o_orderkey AS okey
+  FROM orders
+),
+g AS (
+  SELECT ck, d - lag(d) OVER (PARTITION BY ck ORDER BY d, okey) AS gap
+  FROM o
+)
+SELECT CAST(gap AS BIGINT) AS gap_days,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT) AS share_ppm
+FROM g WHERE gap IS NOT NULL
+GROUP BY gap ORDER BY gap_days
+""",
+)
+def q_repurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of inter-order gaps (days between a customer's
+    consecutive orders) — the repurchase-cycle histogram that sets
+    re-engagement timing and churn cutoffs ("a customer 2σ past their
+    usual gap is at risk"); the order-domain companion to
+    q_streak_longest's activity view.
+
+    Engine stability: epoch days are integers, consecutive order
+    pairs come from one lag() over the per-customer (day, order key)
+    total order — same-day orders resolve identically in both engines
+    via the key tiebreak — and counts/shares are exact BIGINT
+    arithmetic.
+
+    Shape: one customer-keyed exchange serves the lag window, then a
+    map-side collapse to the calendar-bounded gap histogram. At
+    100 TB: one shuffle of (customer, day, key) triples."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.expr("CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400").alias("d"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    w = Window.partitionBy("ck").orderBy("d", "okey")
+    g = o.select("ck", (F.col("d") - F.lag("d").over(w)).alias("gap"))
+    cnt = (
+        g.filter(F.col("gap").isNotNull())
+        .groupBy(F.col("gap").cast("long").alias("gap_days"))
+        .agg(F.count("*").cast("long").alias("n_gaps"))
+    )
+    return cnt.select(
+        "gap_days",
+        "n_gaps",
+        F.expr(
+            "CAST(n_gaps * 1000000 DIV sum(n_gaps) OVER () AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("gap_days")

@@ -224,6 +224,7 @@ def load_all() -> None:
     from kafka_to_parquet_spark.operators import tpch_more  # noqa: F401
     from kafka_to_parquet_spark.operators import tpch_batch3  # noqa: F401
     from kafka_to_parquet_spark.operators import tpch_batch4  # noqa: F401
+    from kafka_to_parquet_spark.operators import mining  # noqa: F401
     from kafka_to_parquet_spark.operators import preference  # noqa: F401
     from kafka_to_parquet_spark.operators import warehouse  # noqa: F401
     from kafka_to_parquet_spark.operators import windows  # noqa: F401

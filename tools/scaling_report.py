@@ -144,6 +144,23 @@ QUERIES = [
     ("q_funnel_window", "events"),
     ("q_runs_test", "events"),
     ("q_pq_adc_recall", "embeddings"),
+    ("q_assoc_rules", "lineitem"),
+    ("q_hhi_concentration", "lineitem"),
+    ("q_spearman_corr", "lineitem"),
+    ("q_burstiness", "events"),
+    ("q_cooccur_pmi", "documents"),
+    ("q_stratified_sample", "documents"),
+    ("q_kendall_tau", "lineitem"),
+    ("q_markov_entropy", "events"),
+    ("q_attribution", "events"),
+    ("q_streak_longest", "events"),
+    ("q_rfm_segments", "orders"),
+    ("q_kmv_distinct", "documents"),
+    ("q_bfs_levels", "lineitem"),
+    ("q_survival_curve", "events"),
+    ("q_cohort_ltv", "orders"),
+    ("q_price_index", "lineitem"),
+    ("q_repurchase_gaps", "orders"),
 ]
 
 

@@ -84,7 +84,27 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # day-stitched runs test ride the 10x event log — their
            # cost IS the single user-/type-keyed exchange under test.
            "q_srm_check", "q_cms_error_bands", "q_interval_union",
-           "q_funnel_window", "q_runs_test"]
+           "q_funnel_window", "q_runs_test",
+           # round-6 eighth batch: basket pairs and market cells ride
+           # the 10x fact (their bounded-cell claims under test);
+           # spearman's marginal-rank grid must stay ~550 cells on 10x
+           # rows; burstiness rides the 10x event log; PMI rides the
+           # 10-way dup families (df scales 10x, pair space stays 435).
+           "q_assoc_rules", "q_hhi_concentration", "q_spearman_corr",
+           "q_burstiness", "q_cooccur_pmi",
+           # ninth batch: kendall's cell grid must stay ~550 cells on
+           # 10x rows; markov/attribution/streak ride the 10x event
+           # log's single user exchange; rfm windows the 10x-order
+           # customer aggregate; kmv ranks a vocabulary that BARELY
+           # grows under 10-way duplication (distinct words!).
+           "q_kendall_tau", "q_markov_entropy", "q_attribution",
+           "q_streak_longest", "q_rfm_segments", "q_kmv_distinct",
+           # tenth batch: bfs's node-sized level relation vs 10x
+           # edges; survival/cohort/gap curves ride the 10x event/
+           # order logs with calendar-bounded outputs; price index's
+           # brand-month grid is fixed while the fact under it is 10x.
+           "q_bfs_levels", "q_survival_curve", "q_cohort_ltv",
+           "q_price_index", "q_repurchase_gaps"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
