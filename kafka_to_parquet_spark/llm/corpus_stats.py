@@ -1806,3 +1806,292 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_ppm"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Word burstiness (Church–Gale cf/df) over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+BURST_MIN_DF = 5  # ignore ultra-rare words: cf/df of a df=1 word is just tf
+BURST_TOP = 50
+
+
+@query(
+    "q_word_burstiness",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+),
+s AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM t GROUP BY word
+)
+SELECT word, cf, df, CAST(cf * 1000000 // df AS BIGINT) AS burst_ppm
+FROM s WHERE df >= {BURST_MIN_DF}
+ORDER BY burst_ppm DESC, word
+LIMIT {BURST_TOP}
+""",
+)
+def q_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale burstiness of each vocabulary word — total
+    occurrences per CONTAINING document (cf/df, integer ppm), top-50
+    — separating topical words that cluster hard inside few documents
+    (high cf/df: likely content/boilerplate markers worth dedup
+    attention) from function words spread thin everywhere (cf/df → 1).
+    The df floor keeps one-document flukes out of the ranking.
+
+    Engine stability: cf and df are exact counts from one aggregate;
+    the ratio is a BIGINT ppm division; the top-50 order carries the
+    word as tiebreak (total order → identical LIMIT in both engines).
+
+    Shape: one token explode + ONE combined aggregate producing both
+    cf and df per word (count + count distinct share the word-keyed
+    exchange), then a vocabulary-sized sort bounded to 50 rows
+    (TakeOrderedAndProject — no global sort materializes). At 100 TB:
+    one shuffle of (word, doc) pairs."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+    s = t.groupBy("word").agg(
+        F.count("*").cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        s.filter(F.col("df") >= BURST_MIN_DF)
+        .select(
+            "word", "cf", "df",
+            F.expr("CAST(cf * 1000000 DIV df AS BIGINT)").alias("burst_ppm"),
+        )
+        .orderBy(F.col("burst_ppm").desc(), "word")
+        .limit(BURST_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Head-vocabulary token coverage curve (tokenizer budget planning)
+# ---------------------------------------------------------------------------
+
+COVER_KS = [10, 100, 1000]  # head sizes; clamped to the actual vocabulary
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH c AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY word
+),
+r AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, word) AS rk,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, word) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS tot,
+         CAST(count(*) OVER () AS BIGINT) AS v
+  FROM c
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in COVER_KS)}]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(least(ks.k, r.v) AS BIGINT) AS k_eff,
+       r.cum AS head_tokens, r.tot AS total_tokens,
+       CAST(r.cum * 1000000 // r.tot AS BIGINT) AS cover_ppm
+FROM ks JOIN r ON r.rk = least(ks.k, r.v)
+ORDER BY k
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage of the top-k vocabulary head at k = 10/100/1000
+    (clamped to the actual vocabulary): what share of ALL corpus
+    tokens the k most frequent words account for — the coverage curve
+    that sizes tokenizer vocabularies and stopword lists (Zipf's law
+    makes this curve brutally concave; q_zipf_slope fits the exponent,
+    this measures the budget consequence).
+
+    Engine stability: counts, ranks, and cumulative sums are exact
+    BIGINTs over the (count DESC, word) total order — the word
+    tiebreak makes rank and running sum identical in both engines;
+    coverage is BIGINT ppm division.
+
+    Shape: one token-count aggregate, then rank/cumsum windows over
+    the VOCABULARY (not the corpus), probed at 3 fixed checkpoints via
+    an equality join on rank. At 100 TB: one shuffle of (word, count)
+    partials; the window input is vocabulary-sized."""
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wo = Window.orderBy(F.col("cnt").desc(), "word")
+    wg = Window.partitionBy()
+    r = c.select(
+        "cnt",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("cnt").over(wo).cast("long").alias("cum"),
+        F.sum("cnt").over(wg).cast("long").alias("tot"),
+        F.count("*").over(wg).cast("long").alias("v"),
+    )
+    ks = spark.createDataFrame([(k,) for k in COVER_KS], "k long")
+    return (
+        F.broadcast(ks)
+        .join(r, F.least(F.col("k"), F.col("v")) == F.col("rk"))
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("v")).cast("long").alias("k_eff"),
+            F.col("cum").alias("head_tokens"),
+            F.col("tot").alias("total_tokens"),
+            F.expr("CAST(cum * 1000000 DIV tot AS BIGINT)").alias("cover_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive-rate audit (measured vs theoretical)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 131_072  # filter size in bits (2^17)
+BLOOM_K = 3        # hash functions (salted h31)
+BLOOM_SRC = "src1"  # the member set: this source's shingle vocabulary
+
+# Membership universe: word TRIGRAM shingles, not unigrams — the
+# fixture's unigram vocabulary is so small (~31 words) that every
+# source contains every word and the true-negative probe set would be
+# EMPTY; trigram shingles are also what a dedup pipeline actually asks
+# a Bloom filter about. Mirrored shingle expressions:
+_SHINGLE_DUCK = (
+    "CASE WHEN len(toks) >= 3 THEN list_transform("
+    "range(1, CAST(len(toks) AS INTEGER) - 1),"
+    " bl_i -> toks[bl_i] || ' ' || toks[bl_i+1] || ' ' || toks[bl_i+2])"
+    " ELSE [] END"
+)
+_SHINGLE_SPARK = (
+    "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2),"
+    " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+    " element_at(toks, i + 2))) ELSE array() END"
+)
+
+# Theoretical FPR of a Bloom filter with `bits` of `m` set, probed k
+# times: (bits/m)^k — ONE mirrored double expression micro-rounded.
+_BLOOM_EXP_PPM = (
+    f"CAST(round(1000000 * pow(CAST(bits_set AS DOUBLE) / {BLOOM_M}, {BLOOM_K}))"
+    " AS BIGINT)"
+)
+
+
+def _bloom_pos(col: str, salt: int, duck: bool) -> str:
+    """Position of salted hash i in the bit array (mirrored)."""
+    h = duck_h31(f"'{salt}:' || {col}") if duck else spark_h31(f"'{salt}:' || {col}")
+    return f"({h}) % {BLOOM_M}"
+
+
+@query(
+    "q_bloom_fpr_audit",
+    oracle=f"""
+WITH sh AS (
+  SELECT source, unnest({_SHINGLE_DUCK}) AS word
+  FROM (SELECT source, {_TOKENS_SQL} AS toks FROM documents)
+),
+va AS (SELECT DISTINCT word FROM sh WHERE source = '{BLOOM_SRC}'),
+vb AS (
+  SELECT word FROM (
+    SELECT DISTINCT word FROM sh WHERE source <> '{BLOOM_SRC}'
+  ) EXCEPT SELECT word FROM va
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos('word', i, True)} AS pos FROM va" for i in range(BLOOM_K))}
+  )
+),
+probe AS (
+  {" UNION ALL ".join(f"SELECT word, {_bloom_pos('word', i, True)} AS pos FROM vb" for i in range(BLOOM_K))}
+),
+hits AS (
+  SELECT probe.word, CAST(count(bits.pos) AS BIGINT) AS hit
+  FROM probe LEFT JOIN bits ON probe.pos = bits.pos
+  GROUP BY probe.word
+),
+m AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM va) AS n_member,
+         (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+         CAST(count(*) AS BIGINT) AS n_probe,
+         CAST(sum(CASE WHEN hit = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+  FROM hits
+)
+SELECT n_member, bits_set, n_probe, n_fp,
+       CAST(n_fp * 1000000 // n_probe AS BIGINT) AS fpr_ppm,
+       {_BLOOM_EXP_PPM} AS expected_ppm
+FROM m
+""",
+)
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive audit: build a {BLOOM_K}-hash,
+    {BLOOM_M}-bit filter over one source's trigram-shingle set (the
+    thing a dedup pipeline actually asks membership about — unigrams
+    would leave an empty probe set, the fixture's word vocabulary
+    being near-universal per source), probe it with every shingle that
+    source does NOT contain (true negatives by construction), and
+    report the MEASURED false-positive rate next to
+    the theoretical (bits/m)^k — completing the sketch-audit trio
+    (q_cms_error_bands for counts, q_kmv_distinct for cardinality,
+    this for membership). A pipeline that gates shuffles behind Bloom
+    filters (as Spark's own runtime bloom join does) should know its
+    real FPR, not the textbook one.
+
+    The filter is fully relational and deterministic: the bit array
+    is the DISTINCT set of salted-h31 positions of the member
+    vocabulary (≤ k·|A| rows, no bitmap state), and a probe is a
+    false positive iff ALL k of its positions hash-join into that
+    set. No randomness, no UDF, both engines share the exact hash
+    (functions/hashes.py).
+
+    Engine stability: positions, counts, and the measured rate are
+    exact integers; the theoretical rate is ONE mirrored double pow()
+    micro-rounded.
+
+    Shape: two vocabulary builds, a position explode (constant ×k),
+    one position-keyed hash join bounded by vocabulary sizes, one
+    reduce. At 100 TB everything after the (word) distinct is
+    vocabulary-sized."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "source", tokens_col(F.col("text")).alias("toks")
+    ).select("source", F.explode(F.expr(_SHINGLE_SPARK)).alias("word"))
+    va = words.filter(F.col("source") == BLOOM_SRC).select("word").distinct()
+    vb = (
+        words.filter(F.col("source") != BLOOM_SRC)
+        .select("word")
+        .distinct()
+        .exceptAll(va)
+    )
+    bits = None
+    probe = None
+    for i in range(BLOOM_K):
+        pa = va.select(F.expr(_bloom_pos("word", i, False)).alias("pos"))
+        pb = vb.select("word", F.expr(_bloom_pos("word", i, False)).alias("pos"))
+        bits = pa if bits is None else bits.unionByName(pa)
+        probe = pb if probe is None else probe.unionByName(pb)
+    bits = bits.distinct()
+    hits = (
+        probe.join(bits.withColumnRenamed("pos", "bpos"),
+                   probe.pos == F.col("bpos"), "left")
+        .groupBy("word")
+        .agg(F.count("bpos").cast("long").alias("hit"))
+    )
+    n_member = va.agg(F.count("*").cast("long").alias("n_member"))
+    n_bits = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    m = (
+        hits.agg(
+            F.count("*").cast("long").alias("n_probe"),
+            F.sum(F.when(F.col("hit") == BLOOM_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_fp"),
+        )
+        .crossJoin(F.broadcast(n_member))
+        .crossJoin(F.broadcast(n_bits))
+    )
+    return m.select(
+        "n_member", "bits_set", "n_probe", "n_fp",
+        F.expr("CAST(n_fp * 1000000 DIV n_probe AS BIGINT)").alias("fpr_ppm"),
+        F.expr(_BLOOM_EXP_PPM).alias("expected_ppm"),
+    )

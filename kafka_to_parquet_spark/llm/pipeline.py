@@ -980,3 +980,90 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Splitter hash-uniformity audit (KS vs discrete uniform)
+# ---------------------------------------------------------------------------
+
+# KS flag at alpha = 0.05: D > 1.358 / sqrt(n). One mirrored double
+# predicate over exact integers (both engines compute the identical
+# IEEE expression from the same BIGINTs).
+_UNIF_FLAG = (
+    "CAST((CAST(d_scaled AS DOUBLE) / (1000 * CAST(n AS DOUBLE)))"
+    " * sqrt(CAST(n AS DOUBLE)) > 1.358 AS INTEGER)"
+)
+
+
+@query(
+    "q_hash_uniformity",
+    oracle=f"""
+WITH b AS (
+  SELECT {_SPLIT_BUCKET} AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+),
+g AS (SELECT unnest(range(0, 1000)) AS bucket),
+grid AS (
+  SELECT g.bucket, CAST(coalesce(b.c, 0) AS BIGINT) AS c
+  FROM g LEFT JOIN b ON b.bucket = g.bucket
+),
+w AS (
+  SELECT bucket, c,
+         CAST(sum(c) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM grid
+),
+m AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(max(abs(1000 * cum - (bucket + 1) * n)) AS BIGINT) AS d_scaled
+  FROM w
+)
+SELECT n AS n_docs, d_scaled,
+       CAST(d_scaled * 1000000 // (1000 * n) AS BIGINT) AS d_ppm,
+       {_UNIF_FLAG} AS reject_uniform
+FROM m
+""",
+)
+def q_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov uniformity audit of q_split_assign's
+    multiplicative-hash bucket (doc_id·2654435761 mod 1000): the exact
+    sup-distance between the observed bucket CDF and the discrete
+    uniform, with the α=0.05 rejection flag — the audit that makes the
+    splitter's "deterministic ≈ random" claim a measured number (SRM
+    checks the per-language mix; this checks the raw hash itself, all
+    1000 buckets zero-filled so an unhit bucket counts against it).
+
+    Engine stability: the sup-distance clears every denominator —
+    d_scaled = max|1000·cum − (bucket+1)·n| is exact BIGINT (the
+    q_ks_test discipline); d_ppm is integer division; the flag is one
+    mirrored double expression over the same integers.
+
+    Shape: the corpus collapses map-side to ≤1000 bucket counts; the
+    grid, window, and reduce run on those. One aggregation shuffle at
+    any scale."""
+    d = load(spark, sf_dir, "documents")
+    b = d.groupBy(F.expr(_SPLIT_BUCKET).alias("bucket")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    g = spark.range(0, 1000).select(F.col("id").alias("bucket"))
+    grid = g.join(b, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    w = grid.select(
+        "bucket",
+        "c",
+        F.sum("c").over(Window.partitionBy().orderBy("bucket")).cast("long").alias("cum"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    m = w.agg(
+        F.max("n").alias("n"),
+        F.max(F.abs(1000 * F.col("cum") - (F.col("bucket") + 1) * F.col("n")))
+        .cast("long")
+        .alias("d_scaled"),
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        "d_scaled",
+        F.expr("CAST(d_scaled * 1000000 DIV (1000 * n) AS BIGINT)").alias("d_ppm"),
+        F.expr(_UNIF_FLAG).alias("reject_uniform"),
+    )

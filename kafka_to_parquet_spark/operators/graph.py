@@ -607,3 +607,97 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(-1).cast("long").alias("lvl"), "n_nodes")
     )
     return reached.unionByName(unreached).orderBy("lvl")
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (do hubs trade with hubs?)
+# ---------------------------------------------------------------------------
+
+# Mirrored Pearson r over the per-edge degree moments (q_corr_matrix
+# shape: exact BIGINT sums, products in double, micro-rounded).
+_ASSORT_MICRO = (
+    "CAST(round(1000000 * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+    "/ sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) "
+    "* (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))) AS BIGINT)"
+)
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ds.d) AS BIGINT) AS sx, CAST(sum(dd.d) AS BIGINT) AS sy,
+         CAST(sum(ds.d * ds.d) AS BIGINT) AS sxx,
+         CAST(sum(dd.d * dd.d) AS BIGINT) AS syy,
+         CAST(sum(ds.d * dd.d) AS BIGINT) AS sxy
+  FROM edges e
+  JOIN deg ds ON e.src = ds.node
+  JOIN deg dd ON e.dst = dd.node
+)
+SELECT n AS n_directed_edges, {_ASSORT_MICRO} AS assort_micro
+FROM m
+WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+  AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+""",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer↔supplier graph: the
+    Pearson correlation of endpoint degrees over all directed edges
+    (symmetrized, so it equals the undirected coefficient) — negative
+    = hubs attach to leaves (typical bipartite marketplaces), positive
+    = rich-club wiring; the one-number structure summary read before
+    trusting degree-based sampling or salting decisions.
+
+    Engine stability: degrees and all six moments are exact BIGINTs
+    (d² ≤ 1e8 per edge, Σ ≤ 1e15 at sf≈1); r is ONE mirrored double
+    expression micro-rounded, with the degenerate case excluded by the
+    same double-on-exact-integers predicates as q_spearman_corr.
+
+    Shape: one distinct edge build, a node-keyed degree aggregate,
+    two broadcast-able degree joins back onto edges (node-sized build
+    sides), ONE map-side-combinable moment reduce. At 100 TB: the
+    edges stream through two hash joins; nothing pairwise exists."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
+    m = (
+        edges.join(ds, "src")
+        .join(dd, "dst")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dx").cast("long").alias("sx"),
+            F.sum("dy").cast("long").alias("sy"),
+            F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+            F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        )
+    )
+    return m.filter(
+        (F.expr("CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx") > 0)
+        & (F.expr("CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy") > 0)
+    ).select(
+        F.col("n").alias("n_directed_edges"),
+        F.expr(_ASSORT_MICRO).alias("assort_micro"),
+    )

@@ -2361,3 +2361,89 @@ def q_repurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_gaps * 1000000 DIV sum(n_gaps) OVER () AS BIGINT)"
         ).alias("share_ppm"),
     ).orderBy("gap_days")
+
+
+# ---------------------------------------------------------------------------
+# Churn-risk flags (current silence vs each customer's own cadence)
+# ---------------------------------------------------------------------------
+
+CHURN_MIN_GAPS = 2  # need >= 2 observed gaps for a meaningful median
+
+
+@query(
+    "q_churn_flags",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey AS ck,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+         o_orderkey AS okey
+  FROM orders
+),
+ref AS (SELECT CAST(max(d) AS BIGINT) AS rd FROM o),
+g AS (
+  SELECT ck, d, d - lag(d) OVER (PARTITION BY ck ORDER BY d, okey) AS gap
+  FROM o
+),
+per AS (
+  SELECT ck, CAST(count(gap) AS BIGINT) AS n_gaps,
+         CAST(2 * quantile_cont(gap, 0.5) AS BIGINT) AS med2,
+         CAST(max(d) AS BIGINT) AS last_d
+  FROM g GROUP BY ck
+),
+fl AS (
+  SELECT ck, CAST(rd - last_d AS BIGINT) AS cur_gap, med2
+  FROM per CROSS JOIN ref WHERE n_gaps >= {CHURN_MIN_GAPS}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN cur_gap > med2 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+       CAST(sum(CASE WHEN cur_gap > med2 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS risk_ppm
+FROM fl
+""",
+)
+def q_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk summary: of the customers with an established
+    cadence (≥2 observed inter-order gaps), how many have now been
+    silent LONGER than 2× their own median gap, measured against the
+    corpus's last order day — the personalized-cutoff churn screen
+    (a weekly buyer 15 days quiet is at risk; a quarterly buyer isn't),
+    built on q_repurchase_gaps' per-customer gap machinery.
+
+    Engine stability: gaps and days are integers; 2× the exact median
+    of integers is an exact integer in both engines (medians of
+    integer sets are x.0 or x.5 — doubling clears the fraction), so
+    the risk predicate cur_gap > 2·median compares two BIGINTs; counts
+    and the ppm are exact integer arithmetic.
+
+    Shape: one customer-keyed exchange shared by the lag window and
+    the per-customer aggregate (count/median/max in one pass), one
+    broadcast scalar reference day, one global reduce. At 100 TB: one
+    shuffle of (customer, day, key) triples."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.expr("CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400").alias("d"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    ref = o.agg(F.max("d").alias("rd"))
+    w = Window.partitionBy("ck").orderBy("d", "okey")
+    g = o.select("ck", "d", (F.col("d") - F.lag("d").over(w)).alias("gap"))
+    per = g.groupBy("ck").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.expr("CAST(2 * percentile(gap, 0.5) AS BIGINT)").alias("med2"),
+        F.max("d").alias("last_d"),
+    )
+    fl = (
+        per.filter(F.col("n_gaps") >= CHURN_MIN_GAPS)
+        .crossJoin(F.broadcast(ref))
+        .select((F.col("rd") - F.col("last_d")).cast("long").alias("cur_gap"), "med2")
+    )
+    return fl.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("cur_gap") > F.col("med2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_at_risk"),
+        F.expr(
+            "CAST(sum(CASE WHEN cur_gap > med2 THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("risk_ppm"),
+    )

@@ -161,6 +161,12 @@ QUERIES = [
     ("q_cohort_ltv", "orders"),
     ("q_price_index", "lineitem"),
     ("q_repurchase_gaps", "orders"),
+    ("q_word_burstiness", "documents"),
+    ("q_vocab_coverage", "documents"),
+    ("q_graph_assortativity", "lineitem"),
+    ("q_churn_flags", "orders"),
+    ("q_bloom_fpr_audit", "documents"),
+    ("q_hash_uniformity", "documents"),
 ]
 
 
