@@ -104,7 +104,15 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # order logs with calendar-bounded outputs; price index's
            # brand-month grid is fixed while the fact under it is 10x.
            "q_bfs_levels", "q_survival_curve", "q_cohort_ltv",
-           "q_price_index", "q_repurchase_gaps"]
+           "q_price_index", "q_repurchase_gaps",
+           # eleventh/twelfth batches: burstiness+coverage ride 10-way
+           # dup families (cf scales 10x, df with it — ratios flat);
+           # assortativity re-derives the 10x edge set; churn rides
+           # the 10x order log; the two audits' vocab/bucket grids
+           # barely move under replication (that IS their claim).
+           "q_word_burstiness", "q_vocab_coverage",
+           "q_graph_assortativity", "q_churn_flags",
+           "q_bloom_fpr_audit", "q_hash_uniformity"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
