@@ -589,3 +589,104 @@ def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sh.alias("sb"), F.col("corpus_doc") == F.col("sb.doc_id"))
         .select("batch_doc", "corpus_doc", floor_round(inter / union, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-error audit (signature agreement vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _est_err_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(MH_NUM_HASHES)
+    )
+    return f"""
+WITH {_minhash_cand_cte()},
+pairs AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(({agree}) * 10000 // {MH_NUM_HASHES} AS BIGINT) AS est_bp,
+         CAST(len(list_intersect(ha.sh, hb.sh)) * 10000
+              // (len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)))
+              AS BIGINT) AS exact_bp
+  FROM cand
+  JOIN sig sa ON cand.doc_a = sa.doc_id
+  JOIN sig sb ON cand.doc_b = sb.doc_id
+  JOIN sh ha ON cand.doc_a = ha.doc_id
+  JOIN sh hb ON cand.doc_b = hb.doc_id
+)
+SELECT CAST(exact_bp // 1000 AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(est_bp - exact_bp)) // count(*) AS BIGINT) AS mean_abs_err_bp,
+       CAST(max(abs(est_bp - exact_bp)) AS BIGINT) AS max_abs_err_bp
+FROM pairs
+GROUP BY exact_bp // 1000
+ORDER BY decile
+"""
+
+
+@query("q_minhash_est_err", oracle=_est_err_oracle())
+def q_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR-error audit: on every banded candidate pair,
+    the Jaccard estimate implied by signature agreement (matching
+    minima / {MH_NUM_HASHES}, basis points) against the exact shingle
+    Jaccard, summarized per exact-Jaccard decile — the third leg of
+    the MinHash audit set (q_lsh_recall grades WHICH pairs banding
+    surfaces; this grades HOW WELL the signature itself measures
+    similarity once a pair is surfaced; E[est] = J with σ = √(J(1−J)/K)
+    ≈ 12.5 points at K=16, so mean decile errors in the hundreds of
+    basis points are the EXPECTED estimator variance, not a bug —
+    which is exactly why a pipeline must verify candidates with exact
+    Jaccard before deleting, as q_dedup_minhash does).
+
+    Engine stability: agreement counts, both basis-point ratios, the
+    decile bucket, and the mean are pure BIGINT arithmetic over the
+    shared deterministic hash family (_mh_coeffs literals in both
+    engines); no float exists in the plan.
+
+    Shape: reuses the persisted kept-bands index and the declared
+    candidate join (read-only — no certified plan changes); adds two
+    signature joins and two shingle joins, all doc-keyed, over the
+    candidate set the banding already bounded."""
+    cand = minhash_candidates(spark, sf_dir)
+    base = shingled_documents(spark, sf_dir)
+    ex = base.select("doc_id", F.explode("sh").alias("s"))
+    h = ex.select("doc_id", F.expr(_SPARK_H).alias("hm"))
+    mins = [
+        F.min(F.expr(f"({a} * hm + {b}) % {MH_P}")).alias(f"m{i}")
+        for i, (a, b) in enumerate(_mh_coeffs())
+    ]
+    sig = h.groupBy("doc_id").agg(*mins)
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(MH_NUM_HASHES)
+    )
+    sh = base.select("doc_id", "sh")
+    pairs = (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .join(sh.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(sh.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        .select(
+            F.expr(
+                f"CAST(({agree}) * 10000 DIV {MH_NUM_HASHES} AS BIGINT)"
+            ).alias("est_bp"),
+            F.expr(
+                "CAST(size(array_intersect(ha.sh, hb.sh)) * 10000"
+                " DIV (size(ha.sh) + size(hb.sh)"
+                " - size(array_intersect(ha.sh, hb.sh))) AS BIGINT)"
+            ).alias("exact_bp"),
+        )
+    )
+    return (
+        pairs.groupBy(F.expr("CAST(exact_bp DIV 1000 AS BIGINT)").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(sum(abs(est_bp - exact_bp)) DIV count(*) AS BIGINT)"
+            ).alias("mean_abs_err_bp"),
+            F.max(F.abs(F.col("est_bp") - F.col("exact_bp"))).cast("long")
+            .alias("max_abs_err_bp"),
+        )
+        .orderBy("decile")
+    )

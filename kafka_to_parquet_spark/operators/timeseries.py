@@ -2447,3 +2447,150 @@ def q_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(*) AS BIGINT)"
         ).alias("risk_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Three-step windowed funnel (signup → view → purchase)
+# ---------------------------------------------------------------------------
+
+F3_W = 86_400  # per-step window: next step must land within 24 h
+# Sortable (es, event_id) key packed into ONE BIGINT: es·1e8 + id —
+# es ≈ 1.7e9 ⇒ 1.7e17 ≪ 2^63, and event_id < 1e8 at every fixture
+# scale (10× stress offsets reach 9e7).
+_F3_PACK = 100_000_000
+
+
+@query(
+    "q_funnel3",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE event_type IN ('signup', 'view', 'purchase')
+),
+s AS (SELECT user_id, es, event_id FROM e WHERE event_type = 'signup'),
+v AS (SELECT user_id, es, event_id FROM e WHERE event_type = 'view'),
+p AS (SELECT user_id, es, event_id FROM e WHERE event_type = 'purchase'),
+sv AS (
+  SELECT s.user_id, s.es AS s_es, s.event_id AS s_id,
+         CAST(min(v.es * {_F3_PACK} + v.event_id) AS BIGINT) AS v_key
+  FROM s LEFT JOIN v ON s.user_id = v.user_id
+     AND (v.es > s.es OR (v.es = s.es AND v.event_id > s.event_id))
+     AND v.es - s.es <= {F3_W}
+  GROUP BY s.user_id, s.es, s.event_id
+),
+svp AS (
+  SELECT sv.s_es, sv.v_key,
+         CAST(count(p.es) > 0 AS INTEGER) AS conv3
+  FROM sv LEFT JOIN p ON sv.v_key IS NOT NULL AND p.user_id = sv.user_id
+     AND (p.es > sv.v_key // {_F3_PACK}
+          OR (p.es = sv.v_key // {_F3_PACK}
+              AND p.event_id > sv.v_key % {_F3_PACK}))
+     AND p.es - sv.v_key // {_F3_PACK} <= {F3_W}
+  GROUP BY sv.s_es, sv.s_id, sv.v_key
+)
+SELECT CAST(s_es // 86400 AS BIGINT) AS dnum,
+       CAST(count(*) AS BIGINT) AS n_signups,
+       CAST(sum(CASE WHEN v_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step2,
+       CAST(sum(conv3) AS BIGINT) AS n_step3,
+       CAST(sum(CASE WHEN v_key IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS cvr2_ppm,
+       CAST(sum(conv3) * 1000000 // count(*) AS BIGINT) AS cvr3_ppm
+FROM svp GROUP BY s_es // 86400 ORDER BY dnum
+""",
+)
+def q_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step windowed funnel per signup day: signup → FIRST view
+    within 24 h → purchase within 24 h OF THAT VIEW (the
+    ClickHouse-windowFunnel question) — unlike q_funnel_window's
+    two-step form, step 3 is anchored on step 2's timestamp, so a
+    purchase right after signup but before any view does NOT count.
+
+    Step 2's "first view after the signup" cannot ride a single
+    forward window (step 3's anchor is data-dependent), so both steps
+    are user-keyed LEFT JOINs with (epoch, event_id) strict-order
+    predicates; the step-2 argmin packs (es, id) into ONE BIGINT
+    (es·1e8 + id — the fixed-width-encoding discipline, numeric form)
+    so min() IS "earliest view" with the same-second tiebreak
+    identical in both engines.
+
+    Engine stability: epoch seconds, packed keys, window bounds,
+    counts, and ppm rates are all exact BIGINT arithmetic.
+
+    Shape: both joins are user-keyed with per-user-day-bounded
+    fan-out (24 h windows), then one map-side collapse to signup-day
+    cells. At 100 TB: two user-keyed shuffles of slim event triples."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "view", "purchase")
+    )
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("es").alias("s_es"), F.col("event_id").alias("s_id")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_uid"), F.col("es").alias("v_es"),
+        F.col("event_id").alias("v_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("es").alias("p_es"),
+        F.col("event_id").alias("p_id"),
+    )
+    sv = (
+        s.join(
+            v,
+            (F.col("user_id") == F.col("v_uid"))
+            & (
+                (F.col("v_es") > F.col("s_es"))
+                | ((F.col("v_es") == F.col("s_es")) & (F.col("v_id") > F.col("s_id")))
+            )
+            & (F.col("v_es") - F.col("s_es") <= F3_W),
+            "left",
+        )
+        .groupBy("user_id", "s_es", "s_id")
+        .agg(
+            F.min(F.col("v_es") * _F3_PACK + F.col("v_id"))
+            .cast("long")
+            .alias("v_key")
+        )
+    )
+    svp = (
+        sv.join(
+            p,
+            F.col("v_key").isNotNull()
+            & (F.col("user_id") == F.col("p_uid"))
+            & (
+                (F.col("p_es") > F.expr(f"v_key DIV {_F3_PACK}"))
+                | (
+                    (F.col("p_es") == F.expr(f"v_key DIV {_F3_PACK}"))
+                    & (F.col("p_id") > F.expr(f"v_key % {_F3_PACK}"))
+                )
+            )
+            & (F.col("p_es") - F.expr(f"v_key DIV {_F3_PACK}") <= F3_W),
+            "left",
+        )
+        .groupBy("s_es", "s_id", "v_key")
+        .agg(F.expr("CAST(count(p_es) > 0 AS INTEGER)").alias("conv3"))
+    )
+    return (
+        svp.groupBy(F.expr("CAST(s_es DIV 86400 AS BIGINT)").alias("dnum"))
+        .agg(
+            F.count("*").cast("long").alias("n_signups"),
+            F.sum(F.when(F.col("v_key").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_step2"),
+            F.sum("conv3").cast("long").alias("n_step3"),
+            F.expr(
+                "CAST(sum(CASE WHEN v_key IS NOT NULL THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("cvr2_ppm"),
+            F.expr("CAST(sum(conv3) * 1000000 DIV count(*) AS BIGINT)").alias(
+                "cvr3_ppm"
+            ),
+        )
+        .orderBy("dnum")
+    )

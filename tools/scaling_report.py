@@ -167,6 +167,8 @@ QUERIES = [
     ("q_churn_flags", "orders"),
     ("q_bloom_fpr_audit", "documents"),
     ("q_hash_uniformity", "documents"),
+    ("q_minhash_est_err", "documents"),
+    ("q_funnel3", "events"),
 ]
 
 
