@@ -2594,3 +2594,167 @@ def q_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dnum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+  FROM events
+),
+c AS (
+  SELECT w, lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw
+  FROM uw
+),
+weekly AS (
+  SELECT w,
+         CAST(count(*) AS BIGINT) AS active,
+         CAST(sum(CASE WHEN pw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN w - pw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN pw IS NOT NULL AND w - pw > 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+  FROM c GROUP BY w
+),
+g AS (
+  SELECT unnest(range((SELECT min(w) FROM uw), (SELECT max(w) FROM uw) + 1)) AS w
+),
+grid AS (
+  SELECT g.w,
+         CAST(coalesce(active, 0) AS BIGINT) AS active,
+         CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+         CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+         CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected
+  FROM g LEFT JOIN weekly ON weekly.w = g.w
+)
+SELECT CAST(w AS BIGINT) AS w, active, n_new, n_retained, n_resurrected,
+       CAST(coalesce(lag(active) OVER (ORDER BY w), 0) - n_retained AS BIGINT)
+         AS n_churned
+FROM grid ORDER BY w
+""",
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as NEW
+    (first week ever), RETAINED (also active the previous week), or
+    RESURRECTED (returning after a gap), plus CHURNED = last week's
+    actives who didn't retain — the canonical startup growth ledger
+    (active(w) ≡ new + retained + resurrected, churn by the identity
+    active(w−1) − retained(w), both pinned in tests).
+
+    The per-user classification is one lag() over the DISTINCT
+    (user, week) grain; churn needs the PREVIOUS CALENDAR week's
+    actives, so the weekly rollup is zero-filled onto the full week
+    grid first — with observed-weeks-only, a fully-silent week would
+    silently shift the churn baseline to the wrong week.
+
+    Engine stability: epoch weeks, counts, and the churn difference
+    are pure integer arithmetic.
+
+    Shape: one user-keyed exchange (distinct + lag share it), a
+    map-side rollup to calendar-bounded weekly cells, windows over
+    those cells only."""
+    ev = load(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV 604800").alias("w"),
+    ).distinct()
+    c = uw.select(
+        "w",
+        F.lag("w").over(Window.partitionBy("user_id").orderBy("w")).alias("pw"),
+    )
+    weekly = c.groupBy("w").agg(
+        F.count("*").cast("long").alias("active"),
+        F.sum(F.when(F.col("pw").isNull(), 1).otherwise(0)).cast("long").alias("n_new"),
+        F.sum(F.when(F.col("w") - F.col("pw") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(F.col("pw").isNotNull() & (F.col("w") - F.col("pw") > 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_resurrected"),
+    )
+    b = uw.agg(F.min("w").alias("mn"), F.max("w").alias("mx"))
+    g = F.broadcast(b).select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("w")
+    )
+    grid = g.join(weekly, "w", "left").select(
+        "w",
+        *[
+            F.coalesce(F.col(col), F.lit(0)).cast("long").alias(col)
+            for col in ("active", "n_new", "n_retained", "n_resurrected")
+        ],
+    )
+    wo = Window.partitionBy().orderBy("w")
+    return grid.select(
+        "w",
+        "active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (
+            F.coalesce(F.lag("active").over(wo), F.lit(0)) - F.col("n_retained")
+        ).cast("long").alias("n_churned"),
+    ).orderBy("w")
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap between event types (pairwise user-base Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_user_type_overlap",
+    oracle="""
+WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+m AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY t),
+p AS (
+  SELECT a.t AS type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both, ma.n AS n_a, mb.n AS n_b,
+       CAST(n_both * 1000000 // (ma.n + mb.n - n_both) AS BIGINT) AS jaccard_ppm
+FROM p JOIN m ma ON type_a = ma.t JOIN m mb ON type_b = mb.t
+ORDER BY type_a, type_b
+""",
+)
+def q_user_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: the Jaccard of the user
+    bases of every type pair, in integer ppm — the
+    who-does-both screen behind feature-adoption and cross-sell
+    analyses (q_source_vocab_overlap's construction pointed at users
+    instead of vocabulary).
+
+    Shape: the event log collapses to DISTINCT (type, user); the
+    user-keyed self-join fans out at most C(|types|,2) = 10 pairs per
+    user, and the pair space is ≤10 cells at ANY volume; marginals are
+    a ≤5-row broadcast. Engine stability: counts and the Jaccard ppm
+    are pure BIGINT arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    tu = ev.select(F.col("event_type").alias("t"), F.col("user_id").alias("u")).distinct()
+    m = tu.groupBy("t").agg(F.count("*").cast("long").alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    p = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    ma = F.broadcast(m.select(F.col("t").alias("type_a"), F.col("n").alias("n_a")))
+    mb = F.broadcast(m.select(F.col("t").alias("type_b"), F.col("n").alias("n_b")))
+    return (
+        p.join(ma, "type_a")
+        .join(mb, "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.expr(
+                "CAST(n_both * 1000000 DIV (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -169,6 +169,8 @@ QUERIES = [
     ("q_hash_uniformity", "documents"),
     ("q_minhash_est_err", "documents"),
     ("q_funnel3", "events"),
+    ("q_growth_accounting", "events"),
+    ("q_user_type_overlap", "events"),
 ]
 
 
