@@ -112,7 +112,13 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # barely move under replication (that IS their claim).
            "q_word_burstiness", "q_vocab_coverage",
            "q_graph_assortativity", "q_churn_flags",
-           "q_bloom_fpr_audit", "q_hash_uniformity"]
+           "q_bloom_fpr_audit", "q_hash_uniformity",
+           # closing batches: the estimator audit's candidate set is
+           # 10-way-dup-family dense (maximal banding load); the
+           # 3-step funnel and growth ledger ride the 10x event log's
+           # single user exchange; the overlap pair grid is fixed.
+           "q_minhash_est_err", "q_funnel3",
+           "q_growth_accounting", "q_user_type_overlap"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
