@@ -2758,3 +2758,228 @@ def q_user_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time distribution (log2-bucketed, per event type)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_interarrival_dist",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         es - lag(es) OVER (PARTITION BY event_type ORDER BY es, event_id) AS gap
+  FROM e
+),
+b AS (
+  SELECT event_type,
+         CAST(CASE WHEN gap = 0 THEN 0
+                   ELSE length(bin(gap)) END AS BIGINT) AS bucket
+  FROM g WHERE gap IS NOT NULL
+)
+SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * 1000000
+            // sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
+FROM b GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+""",
+)
+def q_interarrival_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type, log2-bucketed
+    (bucket b covers [2^(b−1), 2^b) seconds; 0 = same-second) — the
+    arrival-process profile behind capacity planning and timeout
+    tuning (a Poisson stream shows a geometric bucket decay; heavy
+    upper-bucket mass means bursty-then-silent producers, the same
+    signal q_burstiness summarizes to one number, here as the full
+    spectrum).
+
+    Engine stability: gaps are integer epoch-second differences over
+    the per-type (second, event_id) total order; the bucket is the
+    BINARY-STRING length of the integer gap (the q_cms_error_bands
+    idiom — no log2 float edge at exact powers of two); counts and
+    shares are exact BIGINT arithmetic.
+
+    Shape: one type-keyed exchange for the lag window, then map-side
+    collapse to ≤|types|·~40 buckets. At 100 TB: one shuffle of
+    (type, second, id) triples."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("es", "event_id")
+    g = e.select(
+        "event_type", (F.col("es") - F.lag("es").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    b = g.select(
+        "event_type",
+        F.expr(
+            "CAST(CASE WHEN gap = 0 THEN 0 ELSE length(bin(gap)) END AS BIGINT)"
+        ).alias("bucket"),
+    )
+    cnt = b.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return cnt.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.expr(
+            "CAST(n * 1000000 DIV sum(n) OVER (PARTITION BY event_type) AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality strength (variance decomposition)
+# ---------------------------------------------------------------------------
+
+# Mirrored strength ratio: between-dow share of daily-count variance,
+# from exact BIGINTs (per-dow terms micro-rounded BEFORE the cross-dow
+# sum — the chi2/MI summation discipline).
+_SEAS_TERM = "CAST(round(1000000 * CAST(sd AS DOUBLE) * sd / nd) AS BIGINT)"
+_SEAS_STRENGTH = (
+    "CAST(round(1000000 * ((CAST(sb AS DOUBLE) / 1000000 - CAST(s AS DOUBLE) * s / n) "
+    "/ (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n))) AS BIGINT)"
+)
+
+
+@query(
+    "q_seasonal_strength",
+    oracle=f"""
+WITH b AS (
+  SELECT min({_EPOCH_DAY_DUCK}) AS mn, max({_EPOCH_DAY_DUCK}) AS mx FROM events
+),
+cnt AS (
+  SELECT event_type, {_EPOCH_DAY_DUCK} AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, g.d, CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(mn, mx + 1)) AS d FROM b) g
+  LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = g.d
+),
+dw AS (
+  SELECT event_type, d % 7 AS dow,
+         CAST(sum(c) AS BIGINT) AS sd, CAST(count(*) AS BIGINT) AS nd
+  FROM grid GROUP BY event_type, d % 7
+),
+m AS (
+  SELECT event_type,
+         CAST(sum(nd) AS BIGINT) AS n, CAST(sum(sd) AS BIGINT) AS s,
+         CAST(sum({_SEAS_TERM}) AS BIGINT) AS sb
+  FROM dw GROUP BY event_type
+),
+q AS (
+  SELECT event_type, CAST(sum(c * c) AS BIGINT) AS ss FROM grid GROUP BY event_type
+),
+pk AS (
+  SELECT event_type, dow AS peak_dow FROM (
+    SELECT event_type, dow,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY sd * 1000000 // nd DESC, dow) AS rk
+    FROM dw
+  ) WHERE rk = 1
+)
+SELECT m.event_type, n AS n_days, s AS n_events,
+       CAST(pk.peak_dow AS BIGINT) AS peak_dow,
+       {_SEAS_STRENGTH} AS strength_micro
+FROM m
+JOIN q ON m.event_type = q.event_type
+JOIN pk ON m.event_type = pk.event_type
+WHERE CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n > 0
+ORDER BY m.event_type
+""",
+)
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality STRENGTH per event type: the share of
+    daily-count variance explained by the day-of-week means (the R² of
+    the one-way DOW decomposition, integer micros) plus the peak day —
+    q_seasonality_dow reports the weekly profile itself; this grades
+    how much that profile actually matters against day-to-day noise
+    (strength ≈ 0 ⇒ scheduling by weekday is cargo cult; ≈ 1 ⇒ the
+    weekday IS the forecast).
+
+    The day grid is zero-filled (silent days are real observations of
+    zero traffic — dropping them would inflate both means and
+    strength); per-dow day counts then come from the grid, so the
+    unbalanced tail week is weighted exactly.
+
+    Engine stability: daily counts, per-dow sums, and day tallies are
+    exact BIGINTs; each dow's s²/n term is micro-rounded BEFORE the
+    cross-dow sum; the final ratio is ONE mirrored double expression
+    micro-rounded, with degenerate types excluded by the
+    double-on-exact-integers variance predicate; the peak day is an
+    integer-ratio argmax with a dow tiebreak.
+
+    Shape: map-side collapse to (type, day) cells, the calendar-
+    bounded grid join, then ≤7 dow rows per type. One aggregation
+    shuffle at any scale."""
+    ev = load(spark, sf_dir, "events")
+    d = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    b = ev.select(d.alias("d")).agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    cnt = ev.groupBy("event_type", d.alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(
+            F.broadcast(b).select(
+                F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+            )
+        )
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+        )
+    )
+    dw = grid.groupBy("event_type", (F.col("d") % 7).alias("dow")).agg(
+        F.sum("c").cast("long").alias("sd"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    m = dw.groupBy("event_type").agg(
+        F.sum("nd").cast("long").alias("n"),
+        F.sum("sd").cast("long").alias("s"),
+        F.sum(F.expr(_SEAS_TERM)).cast("long").alias("sb"),
+    )
+    q = grid.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss")
+    )
+    pk = (
+        dw.select(
+            "event_type",
+            "dow",
+            F.row_number()
+            .over(
+                Window.partitionBy("event_type").orderBy(
+                    F.expr("sd * 1000000 DIV nd").desc(), "dow"
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("dow").cast("long").alias("peak_dow"))
+    )
+    return (
+        m.join(q, "event_type")
+        .join(pk, "event_type")
+        .filter(
+            F.expr("CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n") > 0
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("s").alias("n_events"),
+            "peak_dow",
+            F.expr(_SEAS_STRENGTH).alias("strength_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -171,6 +171,8 @@ QUERIES = [
     ("q_funnel3", "events"),
     ("q_growth_accounting", "events"),
     ("q_user_type_overlap", "events"),
+    ("q_interarrival_dist", "events"),
+    ("q_seasonal_strength", "events"),
 ]
 
 
