@@ -2095,3 +2095,71 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_fp * 1000000 DIV n_probe AS BIGINT)").alias("fpr_ppm"),
         F.expr(_BLOOM_EXP_PPM).alias("expected_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unique-shingle share per source (content originality screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unique_shingle_share",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT source, word
+  FROM (
+    SELECT source, unnest({_SHINGLE_DUCK}) AS word
+    FROM (SELECT source, {_TOKENS_SQL} AS toks FROM documents)
+  )
+),
+u AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_src FROM sh GROUP BY word
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS unique_ppm
+FROM sh JOIN u USING (word)
+GROUP BY source ORDER BY source
+""",
+)
+def q_unique_shingle_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-originality screen: per source, the share of its
+    trigram-shingle vocabulary that NO other source contains — the
+    complement of q_source_vocab_overlap's pairwise view (a source
+    with unique_ppm ≈ 0 is pure boilerplate/mirror content the dedup
+    tier should collapse; a high share marks genuinely original
+    contributions worth up-weighting in the mix). Shingles, not
+    unigrams — the fixture's word vocabulary is near-universal per
+    source (the q_bloom_fpr_audit lesson).
+
+    Engine stability: distinct counts, the source-multiplicity of each
+    shingle, and the ppm share are pure BIGINT arithmetic.
+
+    Shape: one distinct over (source, shingle), a shingle-keyed
+    multiplicity aggregate joined back on the same key (exchange
+    reused), then a map-side rollup to |sources| rows. At 100 TB:
+    vocabulary-sized work after the first distinct."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", tokens_col(F.col("text")).alias("toks"))
+        .select("source", F.explode(F.expr(_SHINGLE_SPARK)).alias("word"))
+        .distinct()
+    )
+    u = sh.groupBy("word").agg(F.count("*").cast("long").alias("n_src"))
+    return (
+        sh.join(u, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("n_src") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("unique_ppm"),
+        )
+        .orderBy("source")
+    )

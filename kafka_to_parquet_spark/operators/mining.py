@@ -408,3 +408,60 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.select("m", "n_brands", F.expr(_LASPEYRES_PPM).alias("laspeyres_ppm")).orderBy("m")
+
+
+# ---------------------------------------------------------------------------
+# Basket-size distribution (lines per order)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_order_size_dist",
+    oracle="""
+WITH s AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT) AS share_ppm,
+       CAST(sum(qty) AS BIGINT) AS total_qty,
+       CAST(sum(qty) * 1000000 // sum(sum(qty)) OVER () AS BIGINT) AS qty_share_ppm
+FROM s GROUP BY n_lines ORDER BY n_lines
+""",
+)
+def q_order_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many orders carry 1, 2, … line
+    items, with each size class's share of orders AND of total
+    quantity — the fulfillment-planning histogram (pick-path sizing,
+    batching thresholds), and the degree-distribution view of the
+    order→item graph that explains why q_assoc_rules' per-basket pair
+    fan-out is bounded.
+
+    Engine stability: line counts, quantities, and both ppm shares are
+    exact BIGINT arithmetic; no float in the plan.
+
+    Shape: one map-side-combinable order-keyed aggregate, then a
+    collapse to ≤|max basket| size classes; the share windows run over
+    those ≤7 rows. At 100 TB: one shuffle of order-keyed partials."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    cnt = s.groupBy("n_lines").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("qty").cast("long").alias("total_qty"),
+    )
+    return cnt.select(
+        "n_lines",
+        "n_orders",
+        F.expr(
+            "CAST(n_orders * 1000000 DIV sum(n_orders) OVER () AS BIGINT)"
+        ).alias("share_ppm"),
+        "total_qty",
+        F.expr(
+            "CAST(total_qty * 1000000 DIV sum(total_qty) OVER () AS BIGINT)"
+        ).alias("qty_share_ppm"),
+    ).orderBy("n_lines")

@@ -173,6 +173,8 @@ QUERIES = [
     ("q_user_type_overlap", "events"),
     ("q_interarrival_dist", "events"),
     ("q_seasonal_strength", "events"),
+    ("q_unique_shingle_share", "documents"),
+    ("q_order_size_dist", "lineitem"),
 ]
 
 
