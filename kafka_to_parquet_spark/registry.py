@@ -139,6 +139,25 @@ CERTIFIED: set[str] = {
     "q_lsh_recall", "q_outliers_mad", "q_quality_gopher",
     "q_sample_temperature", "q_select_topq", "q_skyline",
     "q_ttr_source",
+    # round 6 (CORRECTNESS_r06.json): 50 accepted rows, all hash-green —
+    # 43 first-time rows for round-6 declarations plus the 7 RECERTIFY
+    # re-verifications (already listed above; their entries below were
+    # cleared at round-7 start).
+    "q_active_users", "q_assoc_rules", "q_attribution",
+    "q_benford", "q_bfs_levels", "q_burstiness",
+    "q_churn_flags", "q_cohort_ltv", "q_corr_matrix",
+    "q_funnel3", "q_funnel_window", "q_graph_assortativity",
+    "q_graph_jaccard", "q_growth_accounting", "q_hhi_concentration",
+    "q_interarrival_dist", "q_interval_union", "q_join_asof_tolerance",
+    "q_join_interval_overlap", "q_join_null_aware", "q_kendall_tau",
+    "q_ks_test", "q_mann_whitney", "q_markov_entropy",
+    "q_mutual_information", "q_ols_trend", "q_psi_drift",
+    "q_rate_spike", "q_repurchase_gaps", "q_runs_test",
+    "q_seasonal_strength", "q_seasonality_dow", "q_spearman_corr",
+    "q_streak_longest", "q_survival_curve", "q_theil_sen",
+    "q_time_weighted_avg", "q_ts_autocorr", "q_ts_cusum",
+    "q_ts_ewma", "q_ts_rolling_median", "q_user_type_overlap",
+    "q_welch_ttest",
 }
 
 # Certified queries whose implementation (or a shared helper on their
@@ -147,27 +166,11 @@ CERTIFIED: set[str] = {
 # entry once the new round's row lands.
 # (round-5 entries all landed green rows in CORRECTNESS_r05.json and
 # were cleared at round-6 start.)
-RECERTIFY: set[str] = {
-    # q_knn_graph re-blocked on (label, ivf_cell) — the round-5 VERDICT
-    # scale-killer fix: label-only blocking was Σ block² = N²/#labels.
-    # New semantics (filtered ANN within the home cell), new oracle.
-    "q_knn_graph",
-    # Shared-helper changes on their path (ivf_home now persists the
-    # label metadata column; ivf_assign/ivf_scored/_blocked_knn gained
-    # the keep/composite-block parameters) — results identical, but the
-    # policy is that a changed path re-earns its driver row:
-    "q_knn_graph_ivf",
-    "q_knn_multiprobe",
-    "q_kmeans_step",
-    # q_semdedup's assignment stage replaced by the coarse-then-fine
-    # probe (round-5 VERDICT item 3) — new oracle, new plan:
-    "q_semdedup",
-    # q_tpch_q21 restructured (window over one orderkey exchange
-    # replaces the double-executed os_max join-back) and
-    # q_dedup_span_strip dropped a redundant distinct — plan changes:
-    "q_tpch_q21",
-    "q_dedup_span_strip",
-}
+# (round-6 entries — q_knn_graph, q_knn_graph_ivf, q_knn_multiprobe,
+# q_kmeans_step, q_semdedup, q_tpch_q21, q_dedup_span_strip — all
+# landed green rows in CORRECTNESS_r06.json and were cleared at
+# round-7 start.)
+RECERTIFY: set[str] = set()
 
 
 def _round_number() -> int:
