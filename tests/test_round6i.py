@@ -122,17 +122,17 @@ def test_streak_longest_matches_python(run, spark, sf_dir):
     assert got == dict(hist)
 
 
-def _ntile(order: list, tiles: int) -> dict:
-    """SQL-standard ntile over an already-sorted key list."""
-    n = len(order)
-    base, rem = divmod(n, tiles)
-    out, i = {}, 0
-    for t in range(1, tiles + 1):
-        size = base + (1 if t <= rem else 0)
-        for k in order[i:i + size]:
-            out[k] = t
-        i += size
-    return out
+def _disc_cuts(values: list, tiles: int = 5) -> list:
+    """SQL-standard percentile_disc cut points: for p = k/tiles the
+    smallest value whose cume_dist >= p, i.e. the ceil(p*n)-th smallest
+    (the rule q_rfm_segments shares between Spark and DuckDB)."""
+    s = sorted(values)
+    n = len(s)
+    return [s[math.ceil(k / tiles * n) - 1] for k in range(1, tiles)]
+
+
+def _quintile(x: int, cuts: list) -> int:
+    return 1 + sum(1 for c in cuts if x > c)
 
 
 def test_rfm_segments_matches_python(run, spark, sf_dir):
@@ -150,9 +150,12 @@ def test_rfm_segments_matches_python(run, spark, sf_dir):
     ref = max(last.values())
     rec = {ck: (ref - es) // 86400 for ck, es in last.items()}
     cks = list(last)
-    r_q = _ntile(sorted(cks, key=lambda c: (rec[c], c)), 5)
-    f_q = _ntile(sorted(cks, key=lambda c: (-freq[c], c)), 5)
-    m_q = _ntile(sorted(cks, key=lambda c: (-mon[c], c)), 5)
+    rc = _disc_cuts([rec[c] for c in cks])
+    fc = _disc_cuts([-freq[c] for c in cks])
+    mc = _disc_cuts([-mon[c] for c in cks])
+    r_q = {c: _quintile(rec[c], rc) for c in cks}
+    f_q = {c: _quintile(-freq[c], fc) for c in cks}
+    m_q = {c: _quintile(-mon[c], mc) for c in cks}
     want: defaultdict = defaultdict(lambda: [0, 0, None, None])
     for ck in cks:
         cell = want[(r_q[ck], f_q[ck], m_q[ck])]
