@@ -32,14 +32,18 @@ with 5 samples a spike must own 3 disjoint visits to move the median,
 which a transient episode cannot.
 
 Stdout-key encoding: the driver captures only a ~2000-char tail of
-stdout, and 96+ full ``q_``-prefixed names no longer fit one
-parseable line at any value precision (names + JSON punctuation alone
-exceed the budget). Every query name carries the same 2-char ``q_``
-prefix, so the stdout line's ``queries`` dict drops it — ``q_sort``
-prints as ``"sort"`` — and per-query values print at 1 decimal.
-BENCH_LOCAL.json (written beside this file on every run) keeps the
-FULL names and full precision; prepend ``q_`` to any stdout key to
-recover the registry name.
+stdout, so the line prints canonical full ``q_*`` names (round 6's
+prefix-stripping made cross-round key comparison need normalization —
+reverted per the round-6 verdict) with per-query values at 1 decimal.
+To fit the budget with full names, HEADLINE holds 87 entries: 8
+variant twins were retired in round 7 in favor of their
+family representative (simhash_pairs→simhash, minhash_incr→minhash,
+knn_multiprobe→knn_graph_ivf, bigram→unigram logprob,
+dedup_embedding→dedup_embedding_lsh, win_running→win_running_scalable,
+dup_cluster_stats→dedup_components, dedup_bag→dedup_substring); every
+retired query keeps its SCALING.md row and correctness gate.
+BENCH_LOCAL.json (written beside this file on every run) keeps full
+precision and the raw samples.
 """
 
 from __future__ import annotations
@@ -70,14 +74,11 @@ HEADLINE = [
     "q_join_semi_anti",    # semi/anti
     "q_join_range_binned", # big x big range join via bin-equi + residual
     "q_join_skew_salted",  # salted fact x replicated dim skew join
-    "q_win_running",       # running-sum window over full lineitem
     "q_win_running_scalable",  # two-level prefix-sum (hot-key scale path)
     "q_sort",              # global range-partitioned sort
     "q_dedup_simhash",     # simhash fingerprints
-    "q_dedup_simhash_pairs",  # simhash LSH banding → hamming pairs
     "q_dedup_ngram_jaccard",  # inverted-index similarity join
     "q_dedup_minhash_lsh", # MLlib MinHash LSH candidate pairs
-    "q_dedup_embedding",   # label-blocked cosine near-dup
     "q_dedup_embedding_lsh",  # angular-LSH near-dup (100 TB shape)
     "q_dedup_components",  # min-label-propagation dup clustering
     "q_multimodal_decode", # binary column + mapInPandas decode path
@@ -110,7 +111,6 @@ HEADLINE = [
     "q_text_unigram_logprob",  # corpus-unigram LM quality score
     "q_kmeans3",           # 3-round integer fixed-point k-means
     "q_graph_triangles",   # degree-ordered triangle count (oriented wedge join)
-    "q_text_bigram_logprob",  # bigram conditional-LM score
     "q_pipeline_yield",    # dedup+quality+decontam funnel in one plan
     "q_dedup_minhash",     # deterministic MinHash-LSH (oracle-checked twin)
     "q_semdedup",          # k-means-bucketed semantic dedup
@@ -133,15 +133,11 @@ HEADLINE = [
     "q_sample_weighted",   # weighted A-Res sample via TakeOrdered
     "q_dedup_substring",   # sliding-window fingerprint dup profile
     "q_dedup_span_strip",  # duplicated-span removal (cleaned corpus)
-    "q_dedup_bag",         # order-invariant exact dedup
-    "q_dup_cluster_stats", # component-size histogram
     "q_knn_graph",         # label-filtered k-NN graph in IVF cells
     "q_ttr_source",        # per-source type-token ratio
     "q_join_bucketed",     # zero-exchange bucketed SMJ
     "q_lsh_recall",        # banded-LSH recall audit per J-decile
     "q_knn_graph_ivf",     # IVF-cell k-NN graph (scale twin)
-    "q_dedup_minhash_incr",  # batch-vs-corpus-index near-dup probe
-    "q_knn_multiprobe",      # multi-probe IVF k-NN (nprobe=2)
     "q_quality_gopher",      # composite Gopher-rule quality filter
     "q_sample_temperature",  # sqrt-temperature source resampling
     "q_dedup_keep_best",     # keep-longest-per-component dedup
@@ -274,15 +270,16 @@ def main() -> None:
         json.dump(out, f, indent=1)
     out.pop("samples", None)
 
-    # Stdout line (see module docstring): every query present, no
-    # queries_omitted — achieved by dropping the uniform "q_" prefix
-    # from the dict keys and printing 1-dp values (integral values as
-    # ints: 3.0 -> 3). Per-query precision below 0.1 s is noise at
-    # sf0.1 anyway; BENCH_LOCAL.json keeps 3-dp and the iters count.
-    out["queries"] = {n[2:]: compact_val(t) for n, t in timings.items()}
+    # Stdout line (see module docstring): every query present under its
+    # CANONICAL q_* name (round-6 verdict item 5), no queries_omitted —
+    # 1-dp values (integral values as ints: 3.0 -> 3) and the trimmed
+    # 87-entry list keep the line inside the tail budget. Per-query
+    # precision below 0.1 s is noise at sf0.1 anyway; BENCH_LOCAL.json
+    # keeps 3-dp and the iters count.
+    out["queries"] = {n: compact_val(t) for n, t in timings.items()}
     out.pop("iters", None)
     if noisy:
-        out["resampled"] = [n[2:] for n in noisy]
+        out["resampled"] = noisy
 
     # The driver's tail capture is 2000 chars; leave headroom for the
     # trailing newline and a possible stray warning line.

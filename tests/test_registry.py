@@ -164,11 +164,12 @@ def test_perf_tool_query_lists_are_registered():
 
 def test_bench_stdout_line_fits_driver_tail():
     """The driver captures a ~2000-char stdout tail; bench.py prints
-    one JSON line with EVERY headline query (prefix-stripped keys,
-    1-dp values — see bench.py's module docstring). Simulate the
-    worst realistic line (all sub-10 s timings print 3 chars, '9.9')
-    so growing HEADLINE past the budget fails here in a second, not
-    as a silently-truncated BENCH_r{N}.json after a 10-minute run."""
+    one JSON line with EVERY headline query (canonical q_* keys since
+    round 7, 1-dp values — see bench.py's module docstring). Simulate
+    the worst realistic line (all sub-10 s timings print 3 chars,
+    '9.9') so growing HEADLINE past the budget fails here in a second,
+    not as a silently-truncated BENCH_r{N}.json after a 10-minute
+    run."""
     import json
     import sys
 
@@ -180,7 +181,7 @@ def test_bench_stdout_line_fits_driver_tail():
         "metric": "headline_queries_total",
         "value": 999.9,
         "unit": "sec",
-        "queries": {n[2:]: compact_val(9.94) for n in HEADLINE},
+        "queries": {n: compact_val(9.94) for n in HEADLINE},
         "sf": 0.1,
     }
     line = json.dumps(out, separators=(",", ":"))
