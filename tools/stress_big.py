@@ -209,6 +209,24 @@ def main() -> None:
         for name, where in cells:
             samples[(name, where)].append(run_once(registry.QUERIES[name], where))
 
+    # Adaptive resample (bench.py's EXTRA_SWEEPS rule): cells whose 3
+    # base samples spread past 2x (max/min) get 2 extra interleaved
+    # sweeps — with 5 samples a co-residency episode must own 3
+    # disjoint visits to move the median. Rounds 4-6 each ended with a
+    # sweep swing (q_graph_triangles 3.5x, q_dedup_typo 3.1x,
+    # q_win_running 2.6x) contradicted by isolated re-measurement and
+    # adjudicated by hand; this makes the tool do it.
+    noisy = [c for c in cells
+             if max(samples[c]) / max(min(samples[c]), 1e-9) > 2.0]
+    for _ in range(2 if noisy else 0):
+        clear_result_caches(spark)
+        for name, where in noisy:
+            samples[(name, where)].append(run_once(registry.QUERIES[name], where))
+    if noisy:
+        resampled = sorted({n for n, _ in noisy})
+        lines[7:7] = [f"Resampled (base spread >2x, 5-sample median): "
+                      f"{', '.join(resampled)}."]
+
     for name in QUERIES:
         t_small = statistics.median(samples[(name, SRC)])
         t_big = statistics.median(samples[(name, DST)])
