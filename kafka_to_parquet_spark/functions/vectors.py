@@ -36,6 +36,20 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
 
 
+def np_seq_dot(prods):
+    """Sequential-fold dot product for numpy: ``cumsum`` over the
+    element products accumulates left-to-right in float64 — the exact
+    IEEE op sequence of :func:`dot_expr`'s ``aggregate`` fold and
+    :func:`duck_dot`'s ``list_reduce`` (asserted bit-identical in
+    tests/test_round7.py::test_np_cumsum_matches_sequential_fold), so
+    a pandas-UDF consumer stays hash-identical to the SQL twins.
+    ``prods`` is an ndarray of float64 products; the last axis is
+    reduced. (np.dot/einsum use SIMD pairwise summation — a different
+    add order that can flip a threshold comparison near the boundary,
+    which is why this helper exists.)"""
+    return prods.cumsum(axis=-1)[..., -1]
+
+
 def duck_dot(a: str, b: str) -> str:
     """DuckDB mirror of dot_expr — same fold order, same precision."""
     return (

@@ -246,21 +246,6 @@ coarse AS (
   SELECT vec_id AS ccell, embedding AS cce
   FROM embeddings WHERE vec_id % ({KM_MOD} * (SELECT s FROM prm)) = 0
 ),
-fine AS (
-  SELECT vec_id AS cent_id, embedding AS cente
-  FROM embeddings WHERE vec_id % {KM_MOD} = 0
-),
-fsc AS (
-  SELECT f.cent_id, f.cente, c.ccell,
-         round({duck_sqdist('f.cente', 'c.cce')}, 6) AS d2
-  FROM fine f CROSS JOIN coarse c
-),
-fhome AS (
-  SELECT cent_id, cente, ccell
-  FROM (SELECT *, row_number() OVER (PARTITION BY cent_id ORDER BY d2, ccell) AS rn
-        FROM fsc)
-  WHERE rn = 1
-),
 vsc AS (
   SELECT e.vec_id, e.embedding, c.ccell,
          round({duck_sqdist('e.embedding', 'c.cce')}, 6) AS d2
@@ -271,6 +256,10 @@ vcoarse AS (
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccell) AS rn
         FROM vsc)
   WHERE rn = 1
+),
+fhome AS (
+  SELECT vec_id AS cent_id, embedding AS cente, ccell
+  FROM vcoarse WHERE vec_id % {KM_MOD} = 0
 ),
 fscore AS (
   SELECT v.vec_id, v.embedding, f.cent_id,
@@ -319,50 +308,44 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine centroid is homed in a different coarse cell gets its best
     in-cell centroid instead), mirrored term-for-term by the oracle.
 
-    Plan: both argmins are map-side-combinable min(struct) aggregates
-    over broadcast centroid sets (shuffle carries N pre-reduced rows,
-    never N·√k); the fine-within-cell probe is a broadcast equi join
-    on the coarse cell (fhome is k rows); the assigned table
-    materializes ONCE (localCheckpoint) and self-joins on cent_id with
-    hoisted norms, one dot fold per pair; the prune set distincts to
-    ≤N ids and left-joins back. The coarse-grid stride s comes from
-    one count() — a driver-side scalar, the components.py discipline."""
+    Plan (restructured per round-6 verdict item 7): both argmins are
+    map-side-combinable min(struct) aggregates over broadcast sets
+    (shuffle carries N pre-reduced rows, never N·√k). The coarse
+    argmin runs ONCE over the whole corpus and is localCheckpoint-ed:
+    the fine centroids are corpus vectors scored by the identical
+    expression and tiebreak, so their coarse homing (fhome, k rows,
+    broadcast) is that table FILTERED — round 6 ran a separate k·√k
+    crossJoin + agg + broadcast for it. The fine-within-cell probe is
+    a broadcast equi join on the coarse cell, and the within-cluster
+    pairwise prune is ONE applyInPandas over cent_id (numpy Gram
+    matrix per bounded cluster, bit-parity via np_seq_dot — see the
+    inline comment), replacing round 6's self-join + interpreted
+    cosine fold + distinct + join-back, whose real pair work AQE had
+    coalesced onto a single partition. The coarse-grid stride s comes
+    from one count() — a driver-side scalar, the components.py
+    discipline."""
     import math
 
-    from kafka_to_parquet_spark.functions.vectors import dot_expr, norm_expr
+    from kafka_to_parquet_spark.functions.vectors import np_seq_dot
 
     e = load(spark, sf_dir, "embeddings")
     # No KM_K cap here, deliberately: semdedup's centroids are a
-    # blocking grid — k must grow with N so cluster size N/k stays
-    # bounded for the Σ(N/k)² within-cluster pairwise stage.
-    fine = e.filter(F.col("vec_id") % KM_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cente")
-    )
+    # blocking grid (every {KM_MOD}-th vector) — k must grow with N so
+    # cluster size N/k stays bounded for the Σ(N/k)² within-cluster
+    # pairwise stage.
     # Coarse stride: s = ⌊√k⌋ via the same IEEE double sqrt+floor the
     # oracle's SQL computes — identical value by construction.
-    k = fine.count()
+    k = e.filter(F.col("vec_id") % KM_MOD == 0).count()
     s = max(1, math.floor(math.sqrt(k)))
     coarse = e.filter(F.col("vec_id") % (KM_MOD * s) == 0).select(
         F.col("vec_id").alias("ccell"), F.col("embedding").alias("cce")
     )
-    # Fine centroids homed to their nearest coarse cell: k·√k work,
-    # broadcast coarse side, argmin as min(struct).
-    fhome = (
-        fine.crossJoin(F.broadcast(coarse))
-        .select(
-            "cent_id",
-            "cente",
-            "ccell",
-            F.round(F.expr(sqdist_expr("cente", "cce")), 6).alias("d2"),
-        )
-        .groupBy("cent_id")
-        .agg(
-            F.min(F.struct("d2", "ccell")).alias("m"),
-            F.first("cente").alias("cente"),
-        )
-        .select("cent_id", "cente", F.col("m.ccell").alias("ccell"))
-    )
-    # Every vector to its nearest coarse cell: N·√k work.
+    # Every vector to its nearest coarse cell: N·√k work, broadcast
+    # coarse side, argmin as min(struct). Materialized ONCE — the fine
+    # centroids are corpus vectors scored by the identical expression
+    # and tiebreak, so their coarse homing is this table FILTERED, not
+    # a second crossJoin (round-6 verdict item 7: the separate k·√k
+    # fhome stage and its jobs are gone).
     vcoarse = (
         e.crossJoin(F.broadcast(coarse))
         .select(
@@ -377,10 +360,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("embedding").alias("embedding"),
         )
         .select("vec_id", "embedding", F.col("m.ccell").alias("ccell"))
+        # one materialization feeding both the broadcast fhome side and
+        # the streamed probe side
+        .localCheckpoint(eager=False)
+    )
+    fhome = vcoarse.filter(F.col("vec_id") % KM_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cente"),
+        "ccell",
     )
     # Exact argmin over the ~√k fine centroids homed in the vector's
     # coarse cell: broadcast equi join (fhome is k tiny rows), then
-    # the same map-side-combinable min(struct).
+    # the same map-side-combinable min(struct). Single consumer (the
+    # per-cluster prune below), so no materialization needed.
     assign = (
         vcoarse.join(F.broadcast(fhome), "ccell")
         .select(
@@ -394,37 +386,57 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.struct("d2", "cent_id")).alias("m"),
             F.first("embedding").alias("embedding"),
         )
-        .select(
-            "vec_id",
-            F.col("m.cent_id").alias("cent_id"),
-            "embedding",
-            F.expr(norm_expr("embedding")).alias("nrm"),
+        .select("vec_id", F.col("m.cent_id").alias("cent_id"), "embedding")
+    )
+
+    # Within-cluster pairwise prune as ONE applyInPandas over the
+    # cluster key: each group is a bounded cluster (~KM_MOD vectors by
+    # the k ∝ N grid), and numpy computes its full Gram matrix in one
+    # vectorized shot. Round 6 spelled this stage as a cent_id
+    # self-join + cosine filter + distinct + join-back — the
+    # interpreted aggregate() fold then costs ~14 µs per pair and AQE
+    # coalesces the tiny join to ONE partition, so the query's real
+    # work (177k pairs at sf0.1, ~2.4 s) ran serially. Here the pair
+    # work is numpy inside whole-cluster Arrow batches, parallel by
+    # cluster, and the exchange carries the N assigned vectors, never
+    # the pair stream. Bit-parity with the SQL oracle holds because
+    # np_seq_dot's cumsum accumulates in the exact IEEE op order of
+    # the aggregate()/list_reduce folds (np.dot's pairwise summation
+    # would not — tests/test_round7.py asserts the equivalence).
+    def _prune_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        emb = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+        ).astype(np.float64)
+        nrm = np.sqrt(np_seq_dot(emb * emb))
+        pruned = np.zeros(n, dtype=bool)
+        # j-blocks bound the n×B×D product tensor to ~64 MB at any
+        # cluster size (defensive: the grid keeps n ≈ KM_MOD, but a
+        # skewed corpus could concentrate a cell).
+        blk = max(1, 131072 // max(n, 1))
+        for j0 in range(0, n, blk):
+            j1 = min(n, j0 + blk)
+            dots = np_seq_dot(emb[:, None, :] * emb[None, j0:j1, :])
+            cos = dots / (nrm[:, None] * nrm[None, j0:j1])
+            hit = cos >= SEMDEDUP_TAU
+            # prune j iff ANY i < j (vec_id order == row order) hits
+            cols = np.arange(j0, j1)
+            mask = np.arange(n)[:, None] < cols[None, :]
+            pruned[j0:j1] |= (hit & mask).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cent_id": pdf["cent_id"],
+                "status": np.where(pruned, "pruned", "kept"),
+            }
         )
-        # one materialization feeding three subtrees (both self-join
-        # sides + the final left join) — without it the two-level
-        # argmin pipeline re-runs per subtree
-        .localCheckpoint()
-    )
-    a, b = assign.alias("a"), assign.alias("b")
-    cos = F.expr(dot_expr("a.embedding", "b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    pruned = (
-        a.join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= SEMDEDUP_TAU)
-        .select(F.col("b.vec_id").alias("p_vec"))
-        .distinct()
-    )
-    return assign.join(
-        pruned, assign.vec_id == pruned.p_vec, "left"
-    ).select(
-        "vec_id",
-        "cent_id",
-        F.when(F.col("p_vec").isNotNull(), "pruned").otherwise("kept").alias("status"),
+
+    return assign.groupBy("cent_id").applyInPandas(
+        _prune_cluster, "vec_id bigint, cent_id bigint, status string"
     )
 
 

@@ -170,7 +170,13 @@ CERTIFIED: set[str] = {
 # q_kmeans_step, q_semdedup, q_tpch_q21, q_dedup_span_strip — all
 # landed green rows in CORRECTNESS_r06.json and were cleared at
 # round-7 start.)
-RECERTIFY: set[str] = set()
+RECERTIFY: set[str] = {
+    # round-7: q_semdedup's pairwise stage rewritten (shared coarse
+    # argmin + per-cluster applyInPandas numpy prune replacing the
+    # self-join + interpreted cosine fold — round-6 verdict item 7);
+    # its r06 row was earned by the old plan.
+    "q_semdedup",
+}
 
 
 def _round_number() -> int:

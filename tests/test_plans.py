@@ -259,14 +259,16 @@ def test_minhash_band_join_is_hash_not_nested_loop(run):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
-def test_semdedup_pairwise_is_equi_join_on_cluster(run):
-    """The within-cluster pairwise stage must be an equi join on
-    cent_id (the assignment itself materializes behind an eager
-    localCheckpoint, so the visible plan starts from its RDD)."""
+def test_semdedup_pairwise_is_grouped_pandas_prune(run):
+    """The within-cluster pairwise stage is ONE applyInPandas over
+    cent_id (numpy Gram matrix per bounded cluster) — never a pair-
+    stream join: round 6's cent_id self-join ran its interpreted
+    cosine fold on an AQE-coalesced single partition, serializing the
+    query's real work. No cartesian/nested-loop anywhere either."""
     plan = plan_of(run("q_semdedup"))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" in plan or "HashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_checksum_is_single_exchange(run):
