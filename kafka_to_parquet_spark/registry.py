@@ -176,6 +176,12 @@ RECERTIFY: set[str] = {
     # self-join + interpreted cosine fold — round-6 verdict item 7);
     # its r06 row was earned by the old plan.
     "q_semdedup",
+    # round-7: PPJoin positional filter added to the prefix-join
+    # candidate stage (lossless, 2.5x fewer candidates — verdict item
+    # 6); the shared _prefix_postings helper now carries the rk
+    # column, so the containment join's path changed too.
+    "q_dedup_jaccard_prefix",
+    "q_dedup_containment",
 }
 
 
