@@ -1,0 +1,581 @@
+"""Round-7 session additions, one module across domains ON PURPOSE:
+the driver's bounded correctness gate takes never-certified queries in
+REGISTRATION order, and round 7 opens with 37 round-6 declarations
+still waiting for their first driver row — these five register LAST
+(this module is the final import in ``registry.load_all``) so they
+queue BEHIND that backlog instead of displacing it.
+
+The five extend existing families with genuinely new topology:
+
+- q_graph_kcore     — iterative k-core peel (3 fixed rounds), the
+                      degree-constrained subgraph primitive pagerank/
+                      BFS/triangles don't cover.
+- q_search_phrase   — POSITIONAL inverted index: adjacency self-join
+                      on (doc, pos+1), the phrase-query topology the
+                      bag-of-words retrieval family can't express.
+- q_multimodal_hashdup — exact dedup over the opaque BINARY media
+                      column (hash-groupBy on md5 of the payload
+                      bytes), extending the multimodal family past
+                      decode plumbing to a real pipeline op.
+- q_keyness         — per-source distinctive vocabulary by smoothed
+                      log-odds ratio (corpus keyness), the
+                      source-level twin of doc-level TF-IDF.
+- q_minhash_bbit    — b-bit MinHash (b=1) estimator audit vs exact
+                      Jaccard per decile: the storage-compression leg
+                      of the sketch-audit suite (est_err grades the
+                      full minima; this grades keeping ONE bit each).
+
+The reference (a straight-line Kafka→parquet ETL, src/main.rs:59-294)
+has none of these; they are part of the mandated LLM-pipeline /
+analytics extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark.registry import query
+from kafka_to_parquet_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed peel rounds)
+# ---------------------------------------------------------------------------
+
+KCORE_Q = 0.25    # the peel threshold K = this disc-quantile of the
+#                   INITIAL degree distribution (a fixed literal K is
+#                   degenerate across SFs here: the fixture's degrees
+#                   grow with corpus size — median 10 at sf0.001, 39
+#                   at sf0.1 — so any constant either peels everything
+#                   or nothing; the quantile guarantees ~25% of nodes
+#                   start below K at every scale, and percentile_disc/
+#                   quantile_disc select the same element in both
+#                   engines — the q_rfm_segments cut-point rule)
+KCORE_ROUNDS = 3  # fixed rounds (full decomposition iterates to a
+#                   fixed point; a bounded prefix keeps the oracle a
+#                   finite CTE chain — the q_bfs_levels discipline)
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        "r0 AS (SELECT DISTINCT src AS node FROM edges)",
+        """d0 AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM edges GROUP BY src
+)""",
+        f"""kq AS (
+  SELECT CAST(quantile_disc(deg, {KCORE_Q}) AS BIGINT) AS kk FROM d0
+)""",
+    ]
+    for k in range(1, KCORE_ROUNDS + 1):
+        ctes.append(f"""d{k} AS (
+  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM edges e
+  JOIN r{k - 1} a ON e.src = a.node
+  JOIN r{k - 1} b ON e.dst = b.node
+  GROUP BY e.src
+)""")
+        ctes.append(
+            f"r{k} AS (SELECT node FROM d{k} CROSS JOIN kq WHERE deg >= kk)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node, CAST(deg AS BIGINT) AS degree
+FROM d{KCORE_ROUNDS} CROSS JOIN kq WHERE deg >= kk
+ORDER BY node
+"""
+    )
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel over the customer–supplier bipartite graph
+    (q_graph_pagerank's edge set): repeatedly drop vertices whose
+    degree in the SURVIVING subgraph is < K, here {R} fixed rounds —
+    the dense-subgraph primitive behind community seeding and
+    spam/boilerplate hub detection. K is the {Q} disc-quantile of the
+    INITIAL degree distribution (one broadcast scalar, engine-
+    identical by the q_rfm_segments percentile_disc/quantile_disc
+    rule — see KCORE_Q for why a literal K degenerates on this
+    fixture). Emits the round-{R} survivors with their
+    within-subgraph degree (measured against round-{R-1} survivors —
+    matched exactly by the oracle's CTE chain).
+
+    Determinism: exact integer degrees over a distinct edge set; K is
+    a discrete order statistic of integers; the survivor predicate is
+    an integer comparison. No floats.
+
+    Scale shape (the q_bfs_levels / pagerank loop discipline): edges
+    build once (fact-join, distinct, symmetrized) and PERSIST
+    pre-hashed on src; each round is two node-sized semi joins against
+    the (shrinking) survivor relation plus one src-keyed count, and
+    each round's survivor set is lazily localCheckpoint-ed — the next
+    round references it on BOTH join sides and the final round nests
+    three of them, so without lineage truncation the replay is
+    ~2^rounds degree aggregations (measured 52 s at sf0.1; ~2 s with
+    the checkpoints). Per-round exchanges carry nodes, never
+    re-derived edges; no driver-side rows. Full decomposition runs the
+    same loop to a fixed point with a convergence count per round
+    (llm/components.py's loud-non-convergence pattern)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    d0 = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    kq = d0.selectExpr(
+        f"CAST(percentile_disc({KCORE_Q}) WITHIN GROUP (ORDER BY deg)"
+        " AS BIGINT) AS kk"
+    )
+    deg = None
+    for rnd in range(KCORE_ROUNDS):
+        a = alive.select(F.col("node").alias("sn"))
+        b = alive.select(F.col("node").alias("dn"))
+        deg = (
+            edges.join(a, edges.src == F.col("sn"), "left_semi")
+            .join(b, edges.dst == F.col("dn"), "left_semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("degree"))
+            .select(F.col("src").alias("node"), "degree")
+            .crossJoin(F.broadcast(kq))
+        )
+        if rnd < KCORE_ROUNDS - 1:
+            alive = (
+                deg.filter(F.col("degree") >= F.col("kk"))
+                .select("node")
+                .localCheckpoint(eager=False)
+            )
+    # round-R survivors with their round-R degree — the filter IS the
+    # survivor predicate, no join-back needed.
+    return (
+        deg.filter(F.col("degree") >= F.col("kk"))
+        .select("node", F.col("degree").cast("long"))
+        .orderBy("node")
+    )
+
+
+q_graph_kcore.__doc__ = (
+    q_graph_kcore.__doc__.replace("{Q}", str(KCORE_Q))
+    .replace("{R-1}", str(KCORE_ROUNDS - 1))
+    .replace("{R}", str(KCORE_ROUNDS))
+)
+
+
+# ---------------------------------------------------------------------------
+# Phrase search over a positional inverted index
+# ---------------------------------------------------------------------------
+
+PHRASE_TOP_DOCS = 25
+
+# Positional postings: (doc_id, pos, word), 1-based positions. The
+# DuckDB unnest/generate_subscripts pair zips in parallel (the
+# q_kmeans_step oracle precedent).
+_POSTINGS_SQL = """post AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+         unnest(toks) AS word
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+)"""
+
+
+@query(
+    "q_search_phrase",
+    oracle=f"""
+WITH {_POSTINGS_SQL},
+bg AS (
+  SELECT p1.word AS w1, p2.word AS w2, p1.doc_id AS doc_id
+  FROM post p1 JOIN post p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+),
+top AS (
+  SELECT w1, w2 FROM bg GROUP BY w1, w2
+  ORDER BY count(*) DESC, w1, w2 LIMIT 1
+)
+SELECT bg.doc_id, bg.w1 AS word1, bg.w2 AS word2,
+       CAST(count(*) AS BIGINT) AS occurrences
+FROM bg JOIN top ON bg.w1 = top.w1 AND bg.w2 = top.w2
+GROUP BY bg.doc_id, bg.w1, bg.w2
+ORDER BY occurrences DESC, bg.doc_id
+LIMIT {PHRASE_TOP_DOCS}
+""",
+)
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query over a POSITIONAL inverted index: find the
+    corpus's most frequent bigram (deterministic count-then-lex
+    argmax), then rank documents by how often that exact adjacent
+    word pair occurs — the consecutive-position topology behind
+    every real phrase/proximity search, which the engine's
+    bag-of-words retrieval (q_bm25/q_search_and) cannot express.
+
+    Determinism: the phrase is an argmax with full lexicographic
+    tiebreak; occurrences are exact integers; the final top-{N} orders
+    by (occurrences DESC, doc_id).
+
+    Scale shape: positional postings explode once; phrase adjacency is
+    a self-equi-join on (doc_id, pos+1) — doc-keyed, co-partitioned
+    after one exchange, output linear in the corpus's bigram
+    instances; the 1-row phrase argmax broadcasts back (scalar, the
+    components.py discipline); the per-doc count is a map-side-
+    combinable aggregate over the already-doc-keyed instances. A
+    production index would PERSIST the postings table; here it is
+    built in-plan so the query is self-contained."""
+    docs = load(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    p1, p2 = post.alias("p1"), post.alias("p2")
+    bg = p1.join(
+        p2,
+        (F.col("p1.doc_id") == F.col("p2.doc_id"))
+        & (F.col("p2.pos") == F.col("p1.pos") + 1),
+    ).select(
+        F.col("p1.doc_id").alias("doc_id"),
+        F.col("p1.word").alias("w1"),
+        F.col("p2.word").alias("w2"),
+    )
+    # argmax as TakeOrdered (orderBy + limit 1 → per-partition top-1
+    # heaps merged at the driver), never a no-partition-key window —
+    # the bigram-type table grows with vocabulary², and a global
+    # row_number would sort it on one partition (the q_rfm_segments
+    # lesson from the round-6 verdict).
+    top = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+    )
+    return (
+        bg.join(F.broadcast(top), ["w1", "w2"])
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("occurrences"))
+        .select(
+            "doc_id",
+            F.col("w1").alias("word1"),
+            F.col("w2").alias("word2"),
+            "occurrences",
+        )
+        .orderBy(F.col("occurrences").desc(), "doc_id")
+        .limit(PHRASE_TOP_DOCS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup over the opaque binary media column
+# ---------------------------------------------------------------------------
+
+
+HASHDUP_HEADER_BYTES = 64
+
+
+@query(
+    "q_multimodal_hashdup",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(substr(text, 1, {HASHDUP_HEADER_BYTES})) AS header_md5,
+         md5(text) AS full_md5,
+         CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+  FROM documents
+)
+SELECT header_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT full_md5) AS BIGINT) AS n_distinct_payloads,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc,
+       CAST(min(nbytes) AS BIGINT) AS min_bytes,
+       CAST(max(nbytes) AS BIGINT) AS max_bytes
+FROM h
+GROUP BY header_md5
+HAVING count(*) >= 2
+ORDER BY header_md5
+""",
+)
+def q_multimodal_hashdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5e: two-level exact-duplicate detection over the OPAQUE BINARY
+    media column — the pass every multimodal pipeline runs before any
+    decoding: group by a cheap HEADER fingerprint (md5 of the first
+    {HB} payload bytes — file headers/magic prefixes collide long
+    before full payloads do), and within each header family count how
+    many distinct FULL payloads it actually holds (n_copies >
+    n_distinct_payloads ⇒ byte-identical re-crawls to drop;
+    n_distinct_payloads > 1 ⇒ shared boilerplate header, not a dup).
+    Rides q_multimodal_join's media table (documents re-shaped with
+    ``encode(text, 'utf-8')`` as the payload; the fixture's text is
+    pure ASCII so the oracle's 64-CHAR substr slices the identical 64
+    BYTES — a real corpus swaps the source table, not the plan).
+
+    Scale shape: both hashes compute in the scan task; ONE
+    hash-groupBy on the 16-byte header key with map-side partial
+    aggregation (count-distinct of a second 16-byte hash per group —
+    Catalyst plans the standard expand/two-phase); the exchange
+    carries hashes and counts, never payload bytes; output is bounded
+    by the family count. q_dedup_exact's topology where content
+    equality can only be byte equality."""
+    from kafka_to_parquet_spark.llm.multimodal import media_table
+
+    media = media_table(spark, sf_dir)
+    h = media.select(
+        "doc_id",
+        F.md5(F.expr(f"substring(media_bytes, 1, {HASHDUP_HEADER_BYTES})")).alias(
+            "header_md5"
+        ),
+        F.md5(F.col("media_bytes")).alias("full_md5"),
+        F.length(F.col("media_bytes")).cast("long").alias("nbytes"),
+    )
+    return (
+        h.groupBy("header_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("full_md5").cast("long").alias("n_distinct_payloads"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+            F.min("nbytes").alias("min_bytes"),
+            F.max("nbytes").alias("max_bytes"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("header_md5")
+    )
+
+
+q_multimodal_hashdup.__doc__ = q_multimodal_hashdup.__doc__.replace(
+    "{HB}", str(HASHDUP_HEADER_BYTES)
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-source distinctive vocabulary (smoothed log-odds keyness)
+# ---------------------------------------------------------------------------
+
+KEYNESS_TOP = 5
+
+_SRC_TOKENS_SQL = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+
+
+@query(
+    "q_keyness",
+    oracle=f"""
+WITH sw AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS a
+  FROM (SELECT source, unnest({_SRC_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY source, word
+),
+stot AS (SELECT source, CAST(sum(a) AS BIGINT) AS at FROM sw GROUP BY source),
+wtot AS (SELECT word, CAST(sum(a) AS BIGINT) AS wt FROM sw GROUP BY word),
+gtot AS (SELECT CAST(sum(a) AS BIGINT) AS nt FROM sw),
+scored AS (
+  SELECT sw.source, sw.word, sw.a,
+         CAST(floor((ln((sw.a + 1.0) / (stot.at - sw.a + 1.0))
+                     - ln((wtot.wt - sw.a + 1.0)
+                          / (gtot.nt - stot.at - (wtot.wt - sw.a) + 1.0)))
+                    * 1000000 + 0.5) AS BIGINT) AS keyness_mu
+  FROM sw JOIN stot ON sw.source = stot.source
+  JOIN wtot ON sw.word = wtot.word CROSS JOIN gtot
+)
+SELECT source, word, CAST(a AS BIGINT) AS tf, keyness_mu
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY keyness_mu DESC, word) AS rn
+      FROM scored)
+WHERE rn <= {KEYNESS_TOP}
+ORDER BY source, keyness_mu DESC, word
+""",
+)
+def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DISTINCTIVE vocabulary by add-one-smoothed log-odds
+    ratio (corpus-linguistics "keyness"): for each (source, word),
+    ln(odds of the word inside the source) − ln(odds outside), top
+    {KEYNESS_TOP} words per source — the source-level diagnostic a
+    mixing pipeline reads to see WHAT a source actually contributes
+    (doc-level TF-IDF, q_tfidf_top_term, can't see across sources).
+
+    Engine stability (the corpus_stats micro-nat discipline): both
+    log arguments are ratios of EXACT integers (+1 smoothing keeps
+    every term ≥ 1, so the logs are finite), evaluated on identical
+    doubles in both engines and immediately fenced to integer
+    micro-nats; the per-source ranking orders by the fenced integer
+    with a word tiebreak.
+
+    Scale shape: token instances collapse map-side into (source,
+    word, tf) — one narrow exchange; source totals and word totals
+    are two further aggregates of that table (source-sized and
+    vocabulary-sized); the grand total broadcasts as one scalar; the
+    top-k is a source-partitioned window over vocabulary-sized data.
+    No token-instance shuffle anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("a"))
+    )
+    stot = sw.groupBy("source").agg(F.sum("a").alias("at"))
+    wtot = sw.groupBy("word").agg(F.sum("a").alias("wt"))
+    gtot = sw.agg(F.sum("a").alias("nt"))
+    scored = (
+        sw.join(stot, "source")
+        .join(wtot, "word")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "word",
+            "a",
+            F.expr(
+                "CAST(floor((ln((a + 1.0) / (at - a + 1.0))"
+                " - ln((wt - a + 1.0) / (nt - at - (wt - a) + 1.0)))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("keyness_mu"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("keyness_mu").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KEYNESS_TOP)
+        .select("source", "word", F.col("a").cast("long").alias("tf"), "keyness_mu")
+        .orderBy("source", F.col("keyness_mu").desc(), "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b-bit MinHash estimator audit (b = 1)
+# ---------------------------------------------------------------------------
+
+
+def _bbit_oracle() -> str:
+    from kafka_to_parquet_spark.llm.minhash import (
+        MH_NUM_HASHES,
+        _minhash_cand_cte,
+    )
+
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} % 2 = sb.m{i} % 2 THEN 1 ELSE 0 END"
+        for i in range(MH_NUM_HASHES)
+    )
+    scale = 10000 // MH_NUM_HASHES  # exact: K divides 10^4 at K=16
+    return f"""
+WITH {_minhash_cand_cte()},
+pairs AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST((2 * ({agree}) - {MH_NUM_HASHES}) * {scale} AS BIGINT) AS est_bp,
+         CAST(len(list_intersect(ha.sh, hb.sh)) * 10000
+              // (len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)))
+              AS BIGINT) AS exact_bp
+  FROM cand
+  JOIN sig sa ON cand.doc_a = sa.doc_id
+  JOIN sig sb ON cand.doc_b = sb.doc_id
+  JOIN sh ha ON cand.doc_a = ha.doc_id
+  JOIN sh hb ON cand.doc_b = hb.doc_id
+)
+SELECT CAST(exact_bp // 1000 AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(est_bp - exact_bp)) // count(*) AS BIGINT) AS mean_abs_err_bp,
+       CAST(max(abs(est_bp - exact_bp)) AS BIGINT) AS max_abs_err_bp
+FROM pairs
+GROUP BY exact_bp // 1000
+ORDER BY decile
+"""
+
+
+@query("q_minhash_bbit", oracle=_bbit_oracle())
+def q_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash estimator audit (Li & König 2010, b = 1): keep
+    only the LOWEST BIT of each of the K minima — 1/32nd of the
+    signature storage — and estimate Jaccard from bit agreement via
+    Ĵ = 2·A/K − 1 (for b=1, E[agree] = (1+J)/2 up to the 2⁻³¹ parity
+    bias of the hash universe), audited against exact shingle Jaccard
+    per decile on every banded candidate pair. The fourth leg of the
+    MinHash audit set: est_err grades the full-width estimator; this
+    grades what survives the compression a 100 TB signature store
+    actually ships (σ grows ~2× at b=1 — the audit shows the decile
+    cost of the 32× storage cut, turning the trade into numbers).
+
+    Engine stability: bit agreement, the signed estimate (2A−K)·625,
+    both basis-point ratios, the decile bucket, and the mean are pure
+    BIGINT arithmetic over the shared deterministic hash family — the
+    ×625 form exists precisely to avoid dividing a NEGATIVE estimate,
+    where Spark's DIV (truncate) and DuckDB's // (floor) disagree.
+
+    Shape: reuses the persisted kept-bands index and the declared
+    candidate join READ-ONLY (no certified plan changes — the
+    q_minhash_est_err precedent); signature minima recompute in-plan
+    from the shingle cache; all joins are doc-keyed over the
+    banding-bounded candidate set."""
+    from kafka_to_parquet_spark.llm.dedup import shingled_documents
+    from kafka_to_parquet_spark.llm.minhash import (
+        MH_NUM_HASHES,
+        MH_P,
+        _SPARK_H,
+        _mh_coeffs,
+        minhash_candidates,
+    )
+
+    cand = minhash_candidates(spark, sf_dir)
+    base = shingled_documents(spark, sf_dir)
+    h = base.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.expr(_SPARK_H).alias("hm")
+    )
+    mins = [
+        F.min(F.expr(f"({a} * hm + {b}) % {MH_P}")).alias(f"m{i}")
+        for i, (a, b) in enumerate(_mh_coeffs())
+    ]
+    sig = h.groupBy("doc_id").agg(*mins)
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} % 2 = sb.m{i} % 2 THEN 1 ELSE 0 END"
+        for i in range(MH_NUM_HASHES)
+    )
+    scale = 10000 // MH_NUM_HASHES
+    sh = base.select("doc_id", "sh")
+    pairs = (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .join(sh.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(sh.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        .select(
+            F.expr(
+                f"CAST((2 * ({agree}) - {MH_NUM_HASHES}) * {scale} AS BIGINT)"
+            ).alias("est_bp"),
+            F.expr(
+                "CAST(size(array_intersect(ha.sh, hb.sh)) * 10000"
+                " DIV (size(ha.sh) + size(hb.sh)"
+                " - size(array_intersect(ha.sh, hb.sh))) AS BIGINT)"
+            ).alias("exact_bp"),
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.expr("CAST(exact_bp DIV 1000 AS BIGINT)").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(sum(abs(est_bp - exact_bp)) DIV count(*) AS BIGINT)"
+            ).alias("mean_abs_err_bp"),
+            F.max(F.abs(F.col("est_bp") - F.col("exact_bp")))
+            .cast("long")
+            .alias("max_abs_err_bp"),
+        )
+        .orderBy("decile")
+    )

@@ -266,3 +266,9 @@ def load_all() -> None:
     from kafka_to_parquet_spark.llm import multimodal  # noqa: F401
     from kafka_to_parquet_spark.llm import linalg  # noqa: F401
     from kafka_to_parquet_spark.llm import pipeline  # noqa: F401
+
+    # batch7 stays LAST: the driver's gate takes never-certified
+    # queries in registration order, and round 7 opened with 37
+    # round-6 declarations still waiting for their first row — new
+    # declarations must queue behind them (see batch7's docstring).
+    from kafka_to_parquet_spark.operators import batch7  # noqa: F401

@@ -175,6 +175,11 @@ QUERIES = [
     ("q_seasonal_strength", "events"),
     ("q_unique_shingle_share", "documents"),
     ("q_order_size_dist", "lineitem"),
+    ("q_graph_kcore", "lineitem"),
+    ("q_search_phrase", "documents"),
+    ("q_multimodal_hashdup", "documents"),
+    ("q_keyness", "documents"),
+    ("q_minhash_bbit", "documents"),
 ]
 
 

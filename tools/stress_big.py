@@ -118,7 +118,14 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # 3-step funnel and growth ledger ride the 10x event log's
            # single user exchange; the overlap pair grid is fixed.
            "q_minhash_est_err", "q_funnel3",
-           "q_growth_accounting", "q_user_type_overlap"]
+           "q_growth_accounting", "q_user_type_overlap",
+           # round-7 batch: kcore re-peels the 10x edge set with a
+           # data-derived K (quantile shifts with the denser graph -
+           # that IS the claim); phrase adjacency and the two hash/
+           # keyness passes ride the 10-way dup families; bbit's
+           # candidate set is maximally banding-dense there.
+           "q_graph_kcore", "q_search_phrase", "q_multimodal_hashdup",
+           "q_keyness", "q_minhash_bbit"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
