@@ -25,6 +25,21 @@ The five extend existing families with genuinely new topology:
                       of the sketch-audit suite (est_err grades the
                       full minima; this grades keeping ONE bit each).
 
+A second session batch appends four more, same last-in-line
+registration discipline:
+
+- q_graph_label_prop   — synchronous label-propagation communities
+                         (deterministic mode-label tiebreak), the
+                         community-detection leg components/pagerank/
+                         k-core don't cover.
+- q_ts_sax_motif       — rank-based SAX discretization + trigram
+                         motif mining over hourly event series.
+- q_token_fertility    — subword-per-word tokenizer exchange rate
+                         per (lang, source), the mixing-weight input.
+- q_decontaminate_embed — embedding-space benchmark decontamination
+                         via the angular-LSH band index (asymmetric
+                         eval×train candidate join).
+
 The reference (a straight-line Kafka→parquet ETL, src/main.rs:59-294)
 has none of these; they are part of the mandated LLM-pipeline /
 analytics extension tier.
@@ -579,3 +594,454 @@ def q_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (2 synchronous rounds)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2  # bounded prefix of the fixed-point loop — the
+#                 q_bfs_levels / q_graph_kcore discipline that keeps
+#                 the oracle a finite CTE chain; production runs the
+#                 identical round body to convergence with
+#                 llm/components.py's loud non-convergence guard.
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)",
+    ]
+    for k in range(1, LPA_ROUNDS + 1):
+        ctes.append(f"""c{k} AS (
+  SELECT e.dst AS node, l.lab AS lab, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN l{k - 1} l ON l.node = e.src
+  GROUP BY e.dst, l.lab
+)""")
+        ctes.append(f"""l{k} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM c{k})
+  WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS community
+FROM l{LPA_ROUNDS}
+"""
+    )
+
+
+@query("q_graph_label_prop", oracle=_lpa_oracle())
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) on the
+    customer↔supplier trade graph (q_graph_pagerank's edge set),
+    {R} fixed rounds: every node starts labeled with itself, then each
+    round adopts the MOST FREQUENT label among its neighbors (ties →
+    smallest label, a total order, so the sweep is deterministic —
+    classic LPA breaks ties randomly and is irreproducible by
+    construction). The community-DETECTION counterpart of
+    llm/components.py's connected components: components give the
+    reachability partition; LPA finds denser-than-neighborhood groups
+    INSIDE a component, the corpus-curation primitive behind
+    source-cluster discovery in dup graphs.
+
+    Determinism: labels are node ids (integers), frequencies exact
+    integer counts, and the per-node argmax a row_number with full
+    (count DESC, label ASC) tiebreak. No floats anywhere.
+
+    Scale shape, per round: edges ⋈ labels on src (edges persist
+    pre-hashed on src ONCE — only the node-sized label relation
+    exchanges per round, the q_graph_pagerank trick), then the
+    neighbor-label frequency collapses map-side into (node, lab, c)
+    before its exchange, and the argmax window partitions BY NODE —
+    thousands of degree-bounded partitions, never a global sort. The
+    symmetric construction guarantees indegree ≥ 1, so every node
+    re-labels every round and no left-join back is needed."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
+    for _ in range(LPA_ROUNDS):
+        freq = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.col("node2").alias("node"), "lab", "c")
+        )
+        labels = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("lab").cast("long").alias("community"),
+    )
+
+
+q_graph_label_prop.__doc__ = q_graph_label_prop.__doc__.replace("{R}", str(LPA_ROUNDS))
+
+
+# ---------------------------------------------------------------------------
+# SAX motif discovery over hourly event series
+# ---------------------------------------------------------------------------
+
+SAX_ALPHABET = 4   # quartile letters a..d
+SAX_MOTIF_LEN = 3  # trigram motifs
+SAX_TOP = 3        # top motifs reported per series
+
+
+@query(
+    "q_ts_sax_motif",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+lettered AS (
+  SELECT event_type, hr,
+         CASE ntile({SAX_ALPHABET}) OVER (PARTITION BY event_type ORDER BY cents, hr)
+           WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c' ELSE 'd' END AS letter
+  FROM hourly
+),
+motifs AS (
+  SELECT event_type,
+         letter || lead(letter, 1) OVER w || lead(letter, 2) OVER w AS motif
+  FROM lettered WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+),
+counted AS (
+  SELECT event_type, motif, CAST(count(*) AS BIGINT) AS n
+  FROM motifs WHERE motif IS NOT NULL GROUP BY event_type, motif
+)
+SELECT event_type, motif, n FROM (
+  SELECT event_type, motif, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY n DESC, motif) AS rn
+  FROM counted)
+WHERE rn <= {SAX_TOP}
+ORDER BY event_type, n DESC, motif
+""",
+)
+def q_ts_sax_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif discovery (Lin et al. 2003, rank-based variant): each
+    event type's hourly value series is discretized into {A} quartile
+    letters and scanned for the most frequent length-{L} letter
+    trigrams — the recurring-shape primitive behind time-series
+    pattern mining that the point-statistics family (q_ts_autocorr,
+    q_seasonal_strength) can't express.
+
+    Two determinism substitutions versus textbook SAX, both
+    cross-engine exact: (1) the per-hour value is an integer CENT sum
+    (doubles summed in shuffle order are engine-unreproducible;
+    fenced per-row cents are associative), and (2) the classic
+    z-normalize + gaussian-breakpoint step becomes QUARTILE letters
+    via ntile over a totally-ordered (cents, hr) ranking — rank-based
+    SAX — trading the distributional assumption for integer-exact
+    breakpoints (both engines implement SQL-standard ntile: equal
+    groups, earlier groups take the remainder).
+
+    Scale shape: the hourly rollup collapses map-side (exchange
+    carries |types|·|hours| rows, calendar-bounded — the sanctioned
+    bounded-window precondition); the ntile/lead windows partition by
+    event_type over those calendar-bounded series; motif counting is
+    a map-side-combinable aggregate; top-{T} per series is a window
+    over the |types|·{A}^{L}-bounded motif table. At 100 TB the series
+    key widens (type × region × day-grid), multiplying partitions,
+    never single-partition sorts."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias("cents")
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("cents", "hr")
+    q = F.ntile(SAX_ALPHABET).over(w_rank)
+    lettered = hourly.select(
+        "event_type",
+        "hr",
+        F.when(q == 1, "a").when(q == 2, "b").when(q == 3, "c").otherwise("d").alias("letter"),
+    )
+    w_seq = Window.partitionBy("event_type").orderBy("hr")
+    motifs = lettered.select(
+        "event_type",
+        F.concat(
+            F.col("letter"),
+            F.lead("letter", 1).over(w_seq),
+            F.lead("letter", 2).over(w_seq),
+        ).alias("motif"),
+    ).filter(F.col("motif").isNotNull())
+    counted = motifs.groupBy("event_type", "motif").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_top = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "motif")
+    return (
+        counted.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= SAX_TOP)
+        .select("event_type", "motif", "n")
+        .orderBy("event_type", F.col("n").desc(), "motif")
+    )
+
+
+q_ts_sax_motif.__doc__ = (
+    q_ts_sax_motif.__doc__.replace("{A}", str(SAX_ALPHABET))
+    .replace("{L}", str(SAX_MOTIF_LEN))
+    .replace("{T}", str(SAX_TOP))
+)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per (lang, source)
+# ---------------------------------------------------------------------------
+
+_FERT_WORDS_SQL = (
+    "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))"
+)
+_FERT_BPE_SQL = "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+
+
+@query(
+    "q_token_fertility",
+    oracle=f"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(nb) AS BIGINT) AS n_bpe,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(1000 * sum(nb) // sum(nw) AS BIGINT) AS fertility_milli,
+       CAST(1000 * sum(n_chars) // sum(nb) AS BIGINT) AS chars_per_bpe_milli
+FROM (SELECT lang, source, n_chars,
+             {_FERT_WORDS_SQL} AS nw, {_FERT_BPE_SQL} AS nb
+      FROM documents)
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (lang, source): subword tokens
+    per whitespace word (fertility) and characters per subword token,
+    in integer milli-units — THE per-language tokenizer-efficiency
+    metric a multilingual data pipeline reads before setting mixing
+    weights (a high-fertility language consumes proportionally more
+    of a fixed token budget per word of content; q_mix_token_budget
+    spends the budget, this measures the exchange rate). Uses the
+    engine's two canonical tokenizations — whitespace words
+    (q_text_tokens) and BPE-ish pre-tokens (q_text_bpe_tokens) — so
+    the ratio is consistent with every other token count the engine
+    reports.
+
+    Determinism: token counts are exact integers from identical RE2/
+    Java-compatible regexes in both engines; the ratios are integer
+    floor-divisions of positive sums (Spark DIV = DuckDB // on
+    non-negatives) fenced to milli-units — no doubles anywhere.
+
+    Scale shape: both token counts fold in the scan task (per-row
+    regex, no explode — counting needs lengths, not token rows); ONE
+    map-side-combinable groupBy on the low-cardinality (lang, source)
+    key; the exchange carries |langs|·|sources| partial rows. One
+    corpus pass, no token-instance shuffle, trivially AQE-coalesced."""
+    from kafka_to_parquet_spark.functions.text import BPE_PATTERN, tokens_col
+
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens_col(F.col("text"))).alias("nw"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)).alias("nb"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum("nb").cast("long").alias("n_bpe"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_words",
+            "n_bpe",
+            "sum_chars",
+            F.expr("CAST(1000 * n_bpe DIV n_words AS BIGINT)").alias("fertility_milli"),
+            F.expr("CAST(1000 * sum_chars DIV n_bpe AS BIGINT)").alias(
+                "chars_per_bpe_milli"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination (eval holdout vs train corpus)
+# ---------------------------------------------------------------------------
+
+DECON_EVAL_MOD = 10  # eval holdout = vec_id % 10 == 0 (the fixture's
+#                      stand-in for a benchmark set; a real pipeline
+#                      swaps in the eval table, not the plan)
+
+
+def _decon_embed_oracle() -> str:
+    from kafka_to_parquet_spark.functions.vectors import duck_dot, duck_dot_literal
+    from kafka_to_parquet_spark.llm.dedup import (
+        ANGULAR_BITS,
+        ANGULAR_BANDS,
+        EMBED_NEAR_TAU,
+        _hyperplane_signs,
+        capped_band_cte,
+    )
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN {duck_dot_literal('embedding', _hyperplane_signs(k))} > 0"
+        f" THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for k in range(ANGULAR_BITS)
+    )
+    cos = f"({duck_dot('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm))"
+    return f"""
+WITH fp AS MATERIALIZED (
+  SELECT vec_id, {bit_terms} AS sig FROM embeddings
+),
+{capped_band_cte("vec_id", band_bits=ANGULAR_BITS // ANGULAR_BANDS, n_bands=ANGULAR_BANDS)},
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.vec_id AS eval_id, y.vec_id AS train_id
+  FROM kept x JOIN kept y ON x.b = y.b AND x.k = y.k
+  WHERE x.vec_id % {DECON_EVAL_MOD} = 0 AND y.vec_id % {DECON_EVAL_MOD} <> 0
+),
+nv AS MATERIALIZED (
+  SELECT vec_id, embedding, sqrt({duck_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+hits AS (
+  SELECT c.eval_id, CAST(count(*) AS BIGINT) AS n_hits,
+         round(max({cos}), 6) AS max_cos
+  FROM cand c
+  JOIN nv ea ON ea.vec_id = c.eval_id
+  JOIN nv eb ON eb.vec_id = c.train_id
+  WHERE {cos} >= {EMBED_NEAR_TAU}
+  GROUP BY c.eval_id
+)
+SELECT e.vec_id AS eval_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       h.max_cos,
+       CASE WHEN h.eval_id IS NOT NULL THEN 'contaminated' ELSE 'clean' END AS status
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} = 0) e
+LEFT JOIN hits h ON h.eval_id = e.vec_id
+ORDER BY eval_id
+"""
+
+
+@query("q_decontaminate_embed", oracle=_decon_embed_oracle())
+def q_decontaminate_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: flag every EVAL document whose
+    embedding lies within cosine τ of any TRAIN document — the
+    semantic leg of benchmark decontamination (q_decontaminate
+    catches verbatim n-gram overlap; paraphrased leakage only shows
+    up in embedding space). Eval holdout = vec_id % {M} == 0; output
+    is one row PER EVAL DOC (hit count, max similarity, verdict), so
+    the report is total over the eval set — silent-empty-result
+    failure modes read as 'clean' rows, not missing rows.
+
+    Shape: the SAME angular-LSH banding as q_dedup_embedding_lsh —
+    reuses the persisted 32-bit signature table (angular_signatures)
+    and the hot-bucket-capped band index, but the candidate join is
+    ASYMMETRIC (eval side × train side on (band, value)), so the pair
+    stream is |eval|-bounded, not corpus². Exact cosine re-verifies
+    candidates (recall < 1 is the standard LSH trade; the oracle
+    implements the identical banding so correctness is exact); the
+    per-eval rollup is a map-side-combinable aggregate keyed on
+    eval_id; the final left join back onto the eval slice preserves
+    clean rows. At 100 TB the train side streams through the band
+    join once — no index rebuild per eval batch, the
+    q_dedup_incremental discipline applied to embeddings."""
+    from kafka_to_parquet_spark.functions.vectors import dot_expr, norm_expr
+    from kafka_to_parquet_spark.llm.dedup import (
+        ANGULAR_BANDS,
+        ANGULAR_BITS,
+        EMBED_NEAR_TAU,
+        angular_signatures,
+        capped_banded,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    sig = angular_signatures(spark, sf_dir)
+    band_bits = ANGULAR_BITS // ANGULAR_BANDS
+    banded = sig.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(ANGULAR_BANDS - 1))).alias("b"),
+        F.col("sig"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(sig, CAST({band_bits} * b AS INT)) & {(1 << band_bits) - 1}"),
+    )
+    kept = capped_banded(banded, band_bits=band_bits, n_bands=ANGULAR_BANDS)
+    ev = kept.filter(F.col("vec_id") % DECON_EVAL_MOD == 0).alias("x")
+    tr = kept.filter(F.col("vec_id") % DECON_EVAL_MOD != 0).alias("y")
+    cand = (
+        ev.join(tr, (F.col("x.b") == F.col("y.b")) & (F.col("x.k") == F.col("y.k")))
+        .select(
+            F.col("x.vec_id").alias("eval_id"), F.col("y.vec_id").alias("train_id")
+        )
+        .distinct()
+    )
+    en = e.select("vec_id", "embedding", F.expr(norm_expr("embedding")).alias("nrm"))
+    cos = F.expr(dot_expr("ea.embedding", "eb.embedding")) / (
+        F.col("ea.nrm") * F.col("eb.nrm")
+    )
+    hits = (
+        cand.join(en.alias("ea"), F.col("eval_id") == F.col("ea.vec_id"))
+        .join(en.alias("eb"), F.col("train_id") == F.col("eb.vec_id"))
+        .select("eval_id", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= EMBED_NEAR_TAU)
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.round(F.max("cos_raw"), 6).alias("max_cos"),
+        )
+    )
+    eval_ids = e.filter(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id")
+    )
+    return (
+        eval_ids.join(hits.alias("h"), "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            "max_cos",
+            F.when(F.col("n_hits").isNotNull(), "contaminated")
+            .otherwise("clean")
+            .alias("status"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+q_decontaminate_embed.__doc__ = q_decontaminate_embed.__doc__.replace(
+    "{M}", str(DECON_EVAL_MOD)
+)

@@ -271,3 +271,193 @@ def test_minhash_bbit_matches_python(run, spark, sf_dir):
            for r in run("q_minhash_bbit").collect()}
     assert got == {d: (len(v), sum(v) // len(v), max(v))
                    for d, v in cells.items()}
+
+
+# ---------------------------------------------------------------------------
+# Python recomputes for the second round-7 batch (sf0.001)
+# ---------------------------------------------------------------------------
+
+
+def test_graph_label_prop_matches_python(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.batch7 import LPA_ROUNDS
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").collect()
+    cust = {r.o_orderkey: r.o_custkey for r in od}
+    e0 = {(cust[r.l_orderkey] * 2, r.l_suppkey * 2 + 1) for r in li}
+    edges = e0 | {(d, s) for s, d in e0}
+    nbrs: defaultdict = defaultdict(list)
+    for s, d in edges:
+        nbrs[d].append(s)
+    lab = {n: n for n in nbrs}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for n, ins in nbrs.items():
+            cnt = Counter(lab[m] for m in ins)
+            new[n] = min(cnt, key=lambda v: (-cnt[v], v))
+        lab = new
+    got = sorted((r.node, r.community) for r in run("q_graph_label_prop").collect())
+    assert got == sorted(lab.items())
+    # non-degenerate: labels actually coalesce into communities
+    assert len(set(lab.values())) < len(lab)
+
+
+def test_ts_sax_motif_matches_python(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.batch7 import (
+        SAX_ALPHABET,
+        SAX_TOP,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    hourly: defaultdict = defaultdict(int)
+    for r in ev:
+        hr = r.ts.replace(minute=0, second=0, microsecond=0)
+        hourly[(r.event_type, hr)] += int(math.floor(r.value * 100 + 0.5))
+    by_type: defaultdict = defaultdict(list)
+    for (et, hr), cents in hourly.items():
+        by_type[et].append((hr, cents))
+    results = []
+    for et, series in by_type.items():
+        # SQL-standard ntile over (cents, hr): first (N mod g) groups
+        # take the extra row
+        order = sorted(series, key=lambda t: (t[1], t[0]))
+        n = len(order)
+        base, rem = divmod(n, SAX_ALPHABET)
+        letters = {}
+        idx = 0
+        for g in range(SAX_ALPHABET):
+            size = base + (1 if g < rem else 0)
+            for _ in range(size):
+                letters[order[idx][0]] = "abcd"[g]
+                idx += 1
+        seq = [letters[hr] for hr, _ in sorted(series)]
+        motifs = Counter(
+            "".join(seq[i : i + 3]) for i in range(len(seq) - 2)
+        )
+        top = sorted(motifs.items(), key=lambda t: (-t[1], t[0]))[:SAX_TOP]
+        results.extend((et, m, c) for m, c in top)
+    got = [(r.event_type, r.motif, r.n) for r in run("q_ts_sax_motif").collect()]
+    assert sorted(got) == sorted(results)
+
+
+def test_token_fertility_matches_python(run, spark, sf_dir):
+    import re
+
+    from kafka_to_parquet_spark.functions.text import BPE_PATTERN
+
+    docs = load(spark, sf_dir, "documents").collect()
+    agg: defaultdict = defaultdict(lambda: [0, 0, 0, 0])
+    bpe_re = re.compile(BPE_PATTERN)
+    for r in docs:
+        a = agg[(r.lang, r.source)]
+        a[0] += 1
+        a[1] += len([t for t in r.text.lower().split() if t])
+        a[2] += len(bpe_re.findall(r.text.lower()))
+        a[3] += r.n_chars
+    want = sorted(
+        (
+            lang,
+            src,
+            nd,
+            nw,
+            nb,
+            nc,
+            1000 * nb // nw,
+            1000 * nc // nb,
+        )
+        for (lang, src), (nd, nw, nb, nc) in agg.items()
+    )
+    got = [tuple(r) for r in run("q_token_fertility").collect()]
+    assert got == want
+    # sanity: BPE-ish subwords at least as numerous as whitespace words
+    for row in got:
+        assert row[4] >= row[3]
+
+
+def test_decontaminate_embed_matches_python(run, spark, sf_dir):
+    import numpy as np
+
+    from kafka_to_parquet_spark.functions.vectors import np_seq_dot
+    from kafka_to_parquet_spark.llm.dedup import (
+        ANGULAR_BANDS,
+        ANGULAR_BITS,
+        EMBED_NEAR_TAU,
+        MAX_BAND_BUCKET,
+        _hyperplane_signs,
+    )
+    from kafka_to_parquet_spark.operators.batch7 import DECON_EVAL_MOD
+
+    rows = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float32).astype(np.float64)
+        for r in rows
+    }
+    planes = [
+        np.array(_hyperplane_signs(k), dtype=np.float64)
+        for k in range(ANGULAR_BITS)
+    ]
+    sig = {
+        vid: sum(
+            (1 << k) if float(np_seq_dot(v * planes[k])) > 0 else 0
+            for k in range(ANGULAR_BITS)
+        )
+        for vid, v in vecs.items()
+    }
+    band_bits = ANGULAR_BITS // ANGULAR_BANDS
+    mask = (1 << band_bits) - 1
+    # capped_banded mirror: sub-split hot buckets by next band, drop
+    # any key still over the cap
+    rows_b = []
+    for vid, s in sig.items():
+        for b in range(ANGULAR_BANDS):
+            bv = (s >> (band_bits * b)) & mask
+            nb = (s >> (band_bits * ((b + 1) % ANGULAR_BANDS))) & mask
+            rows_b.append((vid, b, bv, nb))
+    c1 = Counter((b, bv) for _, b, bv, _ in rows_b)
+    keyed = [
+        (
+            vid,
+            b,
+            (1 << (2 * band_bits)) + bv * (1 << band_bits) + nb
+            if c1[(b, bv)] > MAX_BAND_BUCKET
+            else bv,
+        )
+        for vid, b, bv, nb in rows_b
+    ]
+    c2 = Counter((b, k) for _, b, k in keyed)
+    kept = [(vid, b, k) for vid, b, k in keyed if c2[(b, k)] <= MAX_BAND_BUCKET]
+    buckets: defaultdict = defaultdict(set)
+    for vid, b, k in kept:
+        buckets[(b, k)].add(vid)
+    cand = set()
+    for members in buckets.values():
+        ev = [v for v in members if v % DECON_EVAL_MOD == 0]
+        tr = [v for v in members if v % DECON_EVAL_MOD != 0]
+        cand.update((e, t) for e in ev for t in tr)
+    norms = {vid: math.sqrt(float(np_seq_dot(v * v))) for vid, v in vecs.items()}
+    hits: defaultdict = defaultdict(list)
+    for e, t in cand:
+        cos = float(np_seq_dot(vecs[e] * vecs[t])) / (norms[e] * norms[t])
+        if cos >= EMBED_NEAR_TAU:
+            hits[e].append(cos)
+    want = {}
+    for vid in vecs:
+        if vid % DECON_EVAL_MOD != 0:
+            continue
+        if hits[vid]:
+            want[vid] = (len(hits[vid]), round(max(hits[vid]), 6), "contaminated")
+        else:
+            want[vid] = (0, None, "clean")
+    got = {
+        r.eval_id: (r.n_hits, r.max_cos, r.status)
+        for r in run("q_decontaminate_embed").collect()
+    }
+    assert set(got) == set(want)
+    for vid in want:
+        gn, gc, gs = got[vid]
+        wn, wc, ws = want[vid]
+        assert (gn, gs) == (wn, ws), vid
+        if wc is None:
+            assert gc is None
+        else:
+            assert abs(gc - wc) < 2e-6, vid

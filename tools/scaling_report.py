@@ -180,6 +180,10 @@ QUERIES = [
     ("q_multimodal_hashdup", "documents"),
     ("q_keyness", "documents"),
     ("q_minhash_bbit", "documents"),
+    ("q_graph_label_prop", "lineitem"),
+    ("q_ts_sax_motif", "events"),
+    ("q_token_fertility", "documents"),
+    ("q_decontaminate_embed", "embeddings"),
 ]
 
 

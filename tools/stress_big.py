@@ -125,7 +125,13 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # keyness passes ride the 10-way dup families; bbit's
            # candidate set is maximally banding-dense there.
            "q_graph_kcore", "q_search_phrase", "q_multimodal_hashdup",
-           "q_keyness", "q_minhash_bbit"]
+           "q_keyness", "q_minhash_bbit",
+           # round-7 second batch: LPA re-propagates over the 10x
+           # edge set; SAX rides the 10x event log's hourly rollup;
+           # fertility is one dup-dense corpus pass; embed decon's
+           # band join sees the same signature space at 10x vectors.
+           "q_graph_label_prop", "q_ts_sax_motif",
+           "q_token_fertility", "q_decontaminate_embed"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
