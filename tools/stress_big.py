@@ -184,6 +184,27 @@ def build(spark) -> None:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of QUERIES: run just these and MERGE "
+        "their rows into the existing SCALING.md stress table (same "
+        "warm-up + interleaved-median + adaptive-resample protocol) "
+        "instead of re-sweeping all ~120 cells — the incremental path "
+        "for a session that adds a few queries.",
+    )
+    args = ap.parse_args()
+    queries = QUERIES
+    if args.only:
+        only = args.only.split(",")
+        unknown = [q for q in only if q not in QUERIES]
+        if unknown:
+            raise SystemExit(f"--only names not in stress QUERIES: {unknown}")
+        queries = only
+
     registry.load_all()
     spark = get_spark("stress_big")
     build(spark)
@@ -212,7 +233,7 @@ def main() -> None:
     # for a multi-round iterative job.
     from kafka_to_parquet_spark.cache import clear_result_caches
 
-    cells = [(name, where) for name in QUERIES for where in (SRC, DST)]
+    cells = [(name, where) for name in queries for where in (SRC, DST)]
     clear_result_caches(spark)
     for name, where in cells:  # warm-up sweep
         run_once(registry.QUERIES[name], where)
@@ -240,20 +261,46 @@ def main() -> None:
         lines[7:7] = [f"Resampled (base spread >2x, 5-sample median): "
                       f"{', '.join(resampled)}."]
 
-    for name in QUERIES:
+    for name in queries:
         t_small = statistics.median(samples[(name, SRC)])
         t_big = statistics.median(samples[(name, DST)])
         lines.append(f"| {name} | {t_small:.2f}s | {t_big:.2f}s | {t_big / t_small:.1f}× |")
         print(lines[-1])
+
+    with open("SCALING.md") as f:
+        old = f.read()
+    idx = old.find("\n## 10× stress")
+
+    if args.only and idx != -1:
+        # Incremental merge: update/append ONLY the measured rows in
+        # the existing table; the full-sweep header, note lines and
+        # all other rows stay untouched.
+        nxt = old.find("\n## ", idx + 1)
+        section = old[idx:nxt] if nxt != -1 else old[idx:]
+        new_rows = {ln.split("|")[1].strip(): ln for ln in lines if ln.startswith("| q_")}
+        sec_lines = section.split("\n")
+        for i, ln in enumerate(sec_lines):
+            if ln.startswith("| q_"):
+                qn = ln.split("|")[1].strip()
+                if qn in new_rows:
+                    sec_lines[i] = new_rows.pop(qn)
+        # queries not yet in the table append after the last row
+        last_row = max(i for i, ln in enumerate(sec_lines) if ln.startswith("|"))
+        for qn in [q for q in queries if q in new_rows]:
+            last_row += 1
+            sec_lines.insert(last_row, new_rows[qn])
+        merged = "\n".join(sec_lines)
+        out = old[:idx] + merged + (old[nxt:] if nxt != -1 else "")
+        with open("SCALING.md", "w") as f:
+            f.write(out)
+        print(f"merged {len(queries)} stress rows into SCALING.md")
+        return
 
     # Replace any previous stress section rather than appending a
     # duplicate — scaling_report.py preserves every "## " section as
     # its footer, so a stale copy would otherwise accumulate per run.
     # Only the stress section itself is machine-owned: hand-written
     # sections BEFORE and AFTER it survive the rewrite.
-    with open("SCALING.md") as f:
-        old = f.read()
-    idx = old.find("\n## 10× stress")
     if idx == -1:
         base, tail = old, ""
     else:
