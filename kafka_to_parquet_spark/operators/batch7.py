@@ -39,6 +39,10 @@ registration discipline:
 - q_decontaminate_embed — embedding-space benchmark decontamination
                          via the angular-LSH band index (asymmetric
                          eval×train candidate join).
+- q_stream_topk        — windowed trending top-k per tumbling window
+                         (batch-equivalent form, streaming/windows.py
+                         discipline), the streaming heavy-hitters
+                         report.
 
 The reference (a straight-line Kafka→parquet ETL, src/main.rs:59-294)
 has none of these; they are part of the mandated LLM-pipeline /
@@ -1044,4 +1048,79 @@ def q_decontaminate_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_decontaminate_embed.__doc__ = q_decontaminate_embed.__doc__.replace(
     "{M}", str(DECON_EVAL_MOD)
+)
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed top-k (trending keys per tumbling window)
+# ---------------------------------------------------------------------------
+
+STREAM_TOPK_WIN_S = 600
+STREAM_TOPK_K = 2
+
+
+@query(
+    "q_stream_topk",
+    oracle=f"""
+WITH wc AS (
+  SELECT CAST(floor(epoch(ts) / {STREAM_TOPK_WIN_S}) * {STREAM_TOPK_WIN_S} AS BIGINT)
+           AS win_start_s,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT win_start_s, event_type, n, CAST(rn AS INTEGER) AS rnk
+FROM (SELECT win_start_s, event_type, n,
+             row_number() OVER (PARTITION BY win_start_s
+                                ORDER BY n DESC, event_type) AS rn
+      FROM wc)
+WHERE rn <= {STREAM_TOPK_K}
+ORDER BY win_start_s, rnk
+""",
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3c: windowed top-k — the top {K} event types per tumbling
+    {W}-second window ("trending keys"), the standard streaming
+    heavy-hitters report. Written in the batch-equivalent form of
+    q_stream_tumbling (streaming/windows.py discipline: the same
+    ``window()`` expression drops into a readStream plan unchanged);
+    in deployment the watermarked windowed count is the stateful
+    stage — state bounded by (open windows × key cardinality), closed
+    by the watermark — and the per-window rank runs downstream on
+    each CLOSED window (foreachBatch over the append-mode sink),
+    where it touches only that window's ≤ |key| rows.
+
+    Determinism: exact integer counts; the rank orders by (n DESC,
+    event_type) — a total order; epoch-aligned window starts emitted
+    as BIGINT seconds (the streaming/windows.py precision rule).
+
+    Scale shape: ONE map-side-combinable aggregate whose exchange
+    carries (window, key) partials; the rank window partitions BY
+    WINDOW START — parallelism grows with the calendar, partition
+    size is bounded by key cardinality, and no global sort exists
+    (the q_rfm_segments lesson applied to the streaming family).
+    Output is calendar-bounded: windows × {K} rows at any corpus
+    size."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", f"{STREAM_TOPK_WIN_S} seconds")
+    wc = (
+        ev.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("window.start").cast("long").alias("win_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+    w = Window.partitionBy("win_start_s").orderBy(F.col("n").desc(), "event_type")
+    return (
+        wc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STREAM_TOPK_K)
+        .select("win_start_s", "event_type", "n", F.col("rn").cast("int").alias("rnk"))
+        .orderBy("win_start_s", "rnk")
+    )
+
+
+q_stream_topk.__doc__ = (
+    q_stream_topk.__doc__.replace("{K}", str(STREAM_TOPK_K))
+    .replace("{W}", str(STREAM_TOPK_WIN_S))
 )

@@ -461,3 +461,38 @@ def test_decontaminate_embed_matches_python(run, spark, sf_dir):
             assert gc is None
         else:
             assert abs(gc - wc) < 2e-6, vid
+
+
+def test_stream_topk_matches_python(run, spark, sf_dir):
+    from kafka_to_parquet_spark.operators.batch7 import (
+        STREAM_TOPK_K,
+        STREAM_TOPK_WIN_S,
+    )
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type").collect()
+    import calendar
+
+    wc: defaultdict = defaultdict(int)
+    for r in ev:
+        epoch = calendar.timegm(r.ts.timetuple())
+        ws = epoch // STREAM_TOPK_WIN_S * STREAM_TOPK_WIN_S
+        wc[(ws, r.event_type)] += 1
+    by_win: defaultdict = defaultdict(list)
+    for (ws, et), n in wc.items():
+        by_win[ws].append((et, n))
+    want = []
+    for ws, pairs in by_win.items():
+        top = sorted(pairs, key=lambda t: (-t[1], t[0]))[:STREAM_TOPK_K]
+        want.extend((ws, et, n, i + 1) for i, (et, n) in enumerate(top))
+    got = [
+        (r.win_start_s, r.event_type, r.n, r.rnk)
+        for r in run("q_stream_topk").collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # every represented window emits at most K rows, rank-dense from 1
+    per_win: defaultdict = defaultdict(list)
+    for ws, _, _, rnk in got:
+        per_win[ws].append(rnk)
+    for ws, rnks in per_win.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= STREAM_TOPK_K

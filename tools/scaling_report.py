@@ -184,6 +184,7 @@ QUERIES = [
     ("q_ts_sax_motif", "events"),
     ("q_token_fertility", "documents"),
     ("q_decontaminate_embed", "embeddings"),
+    ("q_stream_topk", "events"),
 ]
 
 

@@ -131,7 +131,10 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # fertility is one dup-dense corpus pass; embed decon's
            # band join sees the same signature space at 10x vectors.
            "q_graph_label_prop", "q_ts_sax_motif",
-           "q_token_fertility", "q_decontaminate_embed"]
+           "q_token_fertility", "q_decontaminate_embed",
+           # windowed top-k rides the 10x event log; its rank stage
+           # is bounded by windows x types regardless of row count.
+           "q_stream_topk"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
