@@ -570,6 +570,42 @@ def _angular_sig_terms() -> list[str]:
     return out
 
 
+def angular_fp_bits_sql() -> str:
+    """The ``fp`` CTE's signature expression — the shared single source
+    for every angular-LSH oracle (q_dedup_embedding_lsh's inline twin
+    below is certified-frozen this round; tests/test_round7.py pins the
+    two byte-identical so they cannot drift apart silently)."""
+    from kafka_to_parquet_spark.functions.vectors import duck_dot_literal
+
+    return " + ".join(
+        f"(CASE WHEN {duck_dot_literal('embedding', _hyperplane_signs(k))} > 0"
+        f" THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for k in range(ANGULAR_BITS)
+    )
+
+
+def angular_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped banded signature index (vec_id, b, k, sig):
+    the Spark twin of ``capped_band_cte`` over ``angular_signatures``.
+    New consumers (q_decontaminate_embed) build on this helper;
+    q_dedup_embedding_lsh keeps its byte-identical inline block until
+    the certification window allows consolidating it here
+    (tests/test_round7.py asserts the outputs match)."""
+    sig = angular_signatures(spark, sf_dir)
+    band_bits = ANGULAR_BITS // ANGULAR_BANDS
+    banded = sig.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(ANGULAR_BANDS - 1))).alias("b"),
+        F.col("sig"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(sig, CAST({band_bits} * b AS INT)) & {(1 << band_bits) - 1}"
+        ),
+    )
+    return capped_banded(banded, band_bits=band_bits, n_bands=ANGULAR_BANDS)
+
+
 def _angular_oracle() -> str:
     from kafka_to_parquet_spark.functions.vectors import duck_dot, duck_dot_literal
 

@@ -714,8 +714,15 @@ q_graph_label_prop.__doc__ = q_graph_label_prop.__doc__.replace("{R}", str(LPA_R
 # ---------------------------------------------------------------------------
 
 SAX_ALPHABET = 4   # quartile letters a..d
-SAX_MOTIF_LEN = 3  # trigram motifs
+SAX_MOTIF_LEN = 3  # motif length; lead chain + oracle derive from it
 SAX_TOP = 3        # top motifs reported per series
+
+# The oracle's motif concat, derived from SAX_MOTIF_LEN so the knob
+# actually turns (the Spark lead chain and the test recompute use the
+# same constant).
+_SAX_MOTIF_SQL = " || ".join(
+    ["letter"] + [f"lead(letter, {i}) OVER w" for i in range(1, SAX_MOTIF_LEN)]
+)
 
 
 @query(
@@ -734,7 +741,7 @@ lettered AS (
 ),
 motifs AS (
   SELECT event_type,
-         letter || lead(letter, 1) OVER w || lead(letter, 2) OVER w AS motif
+         {_SAX_MOTIF_SQL} AS motif
   FROM lettered WINDOW w AS (PARTITION BY event_type ORDER BY hr)
 ),
 counted AS (
@@ -796,8 +803,7 @@ def q_ts_sax_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.concat(
             F.col("letter"),
-            F.lead("letter", 1).over(w_seq),
-            F.lead("letter", 2).over(w_seq),
+            *[F.lead("letter", i).over(w_seq) for i in range(1, SAX_MOTIF_LEN)],
         ).alias("motif"),
     ).filter(F.col("motif").isNotNull())
     counted = motifs.groupBy("event_type", "motif").agg(
@@ -823,10 +829,17 @@ q_ts_sax_motif.__doc__ = (
 # Tokenizer fertility per (lang, source)
 # ---------------------------------------------------------------------------
 
-_FERT_WORDS_SQL = (
-    "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))"
+# Both counts derive from functions/text.py's canonical tokenizers —
+# interpolated, never re-typed, so the oracle can't drift from the
+# Spark plan's imported BPE_PATTERN / tokens_col (the q_text_bpe_tokens
+# discipline).
+from kafka_to_parquet_spark.functions.text import (  # noqa: E402
+    _TOKENS_SQL as _FERT_TOK_SQL,
 )
-_FERT_BPE_SQL = "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+from kafka_to_parquet_spark.functions.text import BPE_PATTERN as _FERT_BPE_PAT  # noqa: E402
+
+_FERT_WORDS_SQL = f"len({_FERT_TOK_SQL})"
+_FERT_BPE_SQL = f"len(regexp_extract_all(lower(text), '{_FERT_BPE_PAT}'))"
 
 
 @query(
@@ -913,20 +926,16 @@ DECON_EVAL_MOD = 10  # eval holdout = vec_id % 10 == 0 (the fixture's
 
 
 def _decon_embed_oracle() -> str:
-    from kafka_to_parquet_spark.functions.vectors import duck_dot, duck_dot_literal
+    from kafka_to_parquet_spark.functions.vectors import duck_dot
     from kafka_to_parquet_spark.llm.dedup import (
         ANGULAR_BITS,
         ANGULAR_BANDS,
         EMBED_NEAR_TAU,
-        _hyperplane_signs,
+        angular_fp_bits_sql,
         capped_band_cte,
     )
 
-    bit_terms = " + ".join(
-        f"(CASE WHEN {duck_dot_literal('embedding', _hyperplane_signs(k))} > 0"
-        f" THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for k in range(ANGULAR_BITS)
-    )
+    bit_terms = angular_fp_bits_sql()
     cos = f"({duck_dot('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm))"
     return f"""
 WITH fp AS MATERIALIZED (
@@ -986,25 +995,12 @@ def q_decontaminate_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_incremental discipline applied to embeddings."""
     from kafka_to_parquet_spark.functions.vectors import dot_expr, norm_expr
     from kafka_to_parquet_spark.llm.dedup import (
-        ANGULAR_BANDS,
-        ANGULAR_BITS,
         EMBED_NEAR_TAU,
-        angular_signatures,
-        capped_banded,
+        angular_banded,
     )
 
     e = load(spark, sf_dir, "embeddings")
-    sig = angular_signatures(spark, sf_dir)
-    band_bits = ANGULAR_BITS // ANGULAR_BANDS
-    banded = sig.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(ANGULAR_BANDS - 1))).alias("b"),
-        F.col("sig"),
-    ).withColumn(
-        "band_val",
-        F.expr(f"shiftright(sig, CAST({band_bits} * b AS INT)) & {(1 << band_bits) - 1}"),
-    )
-    kept = capped_banded(banded, band_bits=band_bits, n_bands=ANGULAR_BANDS)
+    kept = angular_banded(spark, sf_dir)
     ev = kept.filter(F.col("vec_id") % DECON_EVAL_MOD == 0).alias("x")
     tr = kept.filter(F.col("vec_id") % DECON_EVAL_MOD != 0).alias("y")
     cand = (

@@ -305,13 +305,17 @@ def test_graph_label_prop_matches_python(run, spark, sf_dir):
 def test_ts_sax_motif_matches_python(run, spark, sf_dir):
     from kafka_to_parquet_spark.operators.batch7 import (
         SAX_ALPHABET,
+        SAX_MOTIF_LEN,
         SAX_TOP,
     )
 
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
     hourly: defaultdict = defaultdict(int)
     for r in ev:
-        hr = r.ts.replace(minute=0, second=0, microsecond=0)
+        # r.ts.timestamp() inverts collect()'s local-naive conversion on
+        # any host TZ (the test_round6* convention); truncating the local
+        # naive datetime would shift buckets on non-UTC hosts.
+        hr = int(r.ts.timestamp()) // 3600
         hourly[(r.event_type, hr)] += int(math.floor(r.value * 100 + 0.5))
     by_type: defaultdict = defaultdict(list)
     for (et, hr), cents in hourly.items():
@@ -332,7 +336,8 @@ def test_ts_sax_motif_matches_python(run, spark, sf_dir):
                 idx += 1
         seq = [letters[hr] for hr, _ in sorted(series)]
         motifs = Counter(
-            "".join(seq[i : i + 3]) for i in range(len(seq) - 2)
+            "".join(seq[i : i + SAX_MOTIF_LEN])
+            for i in range(len(seq) - SAX_MOTIF_LEN + 1)
         )
         top = sorted(motifs.items(), key=lambda t: (-t[1], t[0]))[:SAX_TOP]
         results.extend((et, m, c) for m, c in top)
@@ -470,11 +475,12 @@ def test_stream_topk_matches_python(run, spark, sf_dir):
     )
 
     ev = load(spark, sf_dir, "events").select("ts", "event_type").collect()
-    import calendar
-
     wc: defaultdict = defaultdict(int)
     for r in ev:
-        epoch = calendar.timegm(r.ts.timetuple())
+        # .timestamp() (not calendar.timegm) — collect() yields
+        # LOCAL-naive datetimes; timegm would shift every window start
+        # by the host's UTC offset (the test_round6* convention).
+        epoch = int(r.ts.timestamp())
         ws = epoch // STREAM_TOPK_WIN_S * STREAM_TOPK_WIN_S
         wc[(ws, r.event_type)] += 1
     by_win: defaultdict = defaultdict(list)
@@ -496,3 +502,56 @@ def test_stream_topk_matches_python(run, spark, sf_dir):
     for ws, rnks in per_win.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
         assert len(rnks) <= STREAM_TOPK_K
+
+
+def test_angular_oracle_fragments_pinned_identical():
+    """q_dedup_embedding_lsh's inline fp expression is certified-frozen
+    this round; q_decontaminate_embed builds its oracle from the shared
+    angular_fp_bits_sql(). This pin makes silent drift impossible: the
+    shared fragment must appear VERBATIM inside both oracles."""
+    from kafka_to_parquet_spark import registry
+    from kafka_to_parquet_spark.llm.dedup import angular_fp_bits_sql
+
+    registry.load_all()
+    frag = angular_fp_bits_sql()
+    assert frag in registry.ORACLE_SQL["q_dedup_embedding_lsh"]
+    assert frag in registry.ORACLE_SQL["q_decontaminate_embed"]
+
+
+def test_angular_banded_matches_inline_block(spark, sf_dir):
+    """angular_banded (the shared Spark helper q_decontaminate_embed
+    uses) must produce exactly the banded index q_dedup_embedding_lsh
+    builds inline — same (vec_id, b, k) rows."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_parquet_spark.llm.dedup import (
+        ANGULAR_BANDS,
+        ANGULAR_BITS,
+        angular_banded,
+        angular_signatures,
+        capped_banded,
+    )
+
+    helper = {
+        (r.vec_id, r.b, r.k)
+        for r in angular_banded(spark, sf_dir).select("vec_id", "b", "k").collect()
+    }
+    sig = angular_signatures(spark, sf_dir)
+    band_bits = ANGULAR_BITS // ANGULAR_BANDS
+    banded = sig.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(ANGULAR_BANDS - 1))).alias("b"),
+        F.col("sig"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(sig, CAST({band_bits} * b AS INT)) & {(1 << band_bits) - 1}"
+        ),
+    )
+    inline = {
+        (r.vec_id, r.b, r.k)
+        for r in capped_banded(banded, band_bits=band_bits, n_bands=ANGULAR_BANDS)
+        .select("vec_id", "b", "k")
+        .collect()
+    }
+    assert helper == inline and helper

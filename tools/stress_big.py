@@ -128,8 +128,10 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            "q_keyness", "q_minhash_bbit",
            # round-7 second batch: LPA re-propagates over the 10x
            # edge set; SAX rides the 10x event log's hourly rollup;
-           # fertility is one dup-dense corpus pass; embed decon's
-           # band join sees the same signature space at 10x vectors.
+           # fertility is one dup-dense corpus pass; embed decon runs
+           # on the UNREPLICATED embeddings symlink (the round-5
+           # bucket-granularity argument above), so its ratio is a
+           # stability check, not a 10x-scaling measurement.
            "q_graph_label_prop", "q_ts_sax_motif",
            "q_token_fertility", "q_decontaminate_embed",
            # windowed top-k rides the 10x event log; its rank stage
@@ -287,11 +289,23 @@ def main() -> None:
                 qn = ln.split("|")[1].strip()
                 if qn in new_rows:
                     sec_lines[i] = new_rows.pop(qn)
-        # queries not yet in the table append after the last row
-        last_row = max(i for i, ln in enumerate(sec_lines) if ln.startswith("|"))
+        # queries not yet in the table append after the last pipe line;
+        # if the section has no table yet (hand-edited SCALING.md),
+        # append at the section end rather than crashing.
+        pipe_idx = [i for i, ln in enumerate(sec_lines) if ln.startswith("|")]
+        last_row = pipe_idx[-1] if pipe_idx else len(sec_lines) - 1
         for qn in [q for q in queries if q in new_rows]:
             last_row += 1
             sec_lines.insert(last_row, new_rows[qn])
+        # carry the adaptive-resample provenance for the merged rows —
+        # without this the full-sweep note would silently misattribute
+        # which rows hold 5-sample medians.
+        if noisy:
+            resampled = sorted({n for n, _ in noisy})
+            note = (f"Resampled in --only merge (base spread >2x, "
+                    f"5-sample median): {', '.join(resampled)}.")
+            first_pipe = pipe_idx[0] if pipe_idx else len(sec_lines)
+            sec_lines.insert(max(first_pipe - 1, 0), note)
         merged = "\n".join(sec_lines)
         out = old[:idx] + merged + (old[nxt:] if nxt != -1 else "")
         with open("SCALING.md", "w") as f:
