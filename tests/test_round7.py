@@ -555,3 +555,46 @@ def test_angular_banded_matches_inline_block(spark, sf_dir):
         .collect()
     }
     assert helper == inline and helper
+
+
+def test_ntile_semantics_match_duckdb_and_python():
+    """q_ts_sax_motif's letters (and the test recompute) assume all
+    three implementations agree on SQL-standard ntile: n rows into g
+    groups, the first (n mod g) groups take the extra row. Property
+    check of the python mirror against DuckDB over random sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(min_value=1, max_value=120), st.integers(min_value=2, max_value=8))
+    def check(n, g):
+        duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT ntile({g}) OVER (ORDER BY i) FROM range({n}) t(i) ORDER BY i"
+            ).fetchall()
+        ]
+        base, rem = divmod(n, g)
+        mine = []
+        for grp in range(g):
+            mine.extend([grp + 1] * (base + (1 if grp < rem else 0)))
+        assert duck == mine
+
+    check()
+
+
+def test_ntile_semantics_match_spark(spark):
+    """One Spark leg pinning the same ntile definition (n=10, g=4 →
+    sizes 3,3,2,2) so all three engines of the SAX recompute agree."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "i int")
+    got = [
+        r.q
+        for r in df.select(
+            "i", F.ntile(4).over(Window.orderBy("i")).alias("q")
+        ).orderBy("i").collect()
+    ]
+    assert got == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
