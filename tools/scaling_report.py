@@ -52,6 +52,7 @@ QUERIES = [
     ("q_text_unigram_logprob", "documents"),
     ("q_kmeans3", "embeddings"),
     ("q_graph_triangles", "lineitem"),
+    ("q_graph_pagerank", "lineitem"),
     ("q_text_bigram_logprob", "documents"),
     ("q_pipeline_yield", "documents"),
     ("q_dedup_minhash", "documents"),
