@@ -1,13 +1,19 @@
 """Multimodal columns (X5 + north-star): media as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched Pandas code.
 
-The container has no image/audio libraries, so the *decode* step is a
-deterministic fake (documented stub, ``decode_image_stub`` raises for
-real formats) — but every Spark-side piece is real and tested: the
+The container has no image/audio libraries, so decoding splits by
+format: UNCOMPRESSED images (binary PPM/PGM, 24-bit BI_RGB BMP)
+decode for REAL via :func:`decode_image` (numpy + struct, no
+dependencies — pixel-exact round-trip tests in tests/test_round7.py,
+driven through the same mapInPandas plumbing); compressed formats
+(JPEG/PNG/WebP) remain explicitly stubbed (``decode_image_stub``
+raises). The declared fixture queries use the deterministic fake
+(the fixture's media bytes are text, not images), which is what makes
+them oracle-checkable; every Spark-side piece is real and tested: the
 binary column, the metadata struct, the ``mapInPandas`` batch
 iterator, the explicit output schema, and the partition-parallel
-execution. Swapping the fake for PIL/ffmpeg changes only the inner
-function body.
+execution. Swapping in PIL/ffmpeg for compressed formats changes only
+the inner function body.
 
 Scale notes: media bytes ride along as column values (parquet binary),
 so partition sizing is governed by ``spark.sql.files.maxPartitionBytes``;
@@ -30,14 +36,74 @@ from kafka_to_parquet_spark.tables import load
 
 
 def decode_image_stub(data: bytes) -> dict:
-    """Placeholder for a real image decoder (PIL/libvips). The test
-    container ships no imaging libraries, so real decoding is
-    explicitly unimplemented; the deterministic fake below stands in
-    for pipeline plumbing tests."""
+    """Placeholder for a COMPRESSED-format image decoder (JPEG/PNG/
+    WebP need PIL/libvips, which the test container doesn't ship).
+    Uncompressed formats decode for real — see :func:`decode_image`;
+    the deterministic fake below stands in for plumbing tests over the
+    text-byte fixture."""
     raise NotImplementedError(
-        "real image decoding requires an imaging library not present in this "
-        "environment; use fake_decode_features (deterministic) for plumbing tests"
+        "compressed image decoding requires an imaging library not present in "
+        "this environment; decode_image handles PPM/PGM/BMP for real, and "
+        "fake_decode_features (deterministic) backs plumbing tests"
     )
+
+
+def decode_image(data: bytes):
+    """REAL image decode for the formats a no-dependency container can
+    honestly parse — binary PPM (``P6``), binary PGM (``P5``), and
+    uncompressed 24-bit BMP (``BM`` + BI_RGB) — returning
+    ``(ndarray[h, w, c] uint8, width, height, channels)``. numpy +
+    struct only; anything compressed falls through to
+    :func:`decode_image_stub` (the documented environment limit).
+    This is the inner function a real corpus swaps into the
+    q_multimodal_decode mapInPandas batch loop; tests drive it through
+    that exact plumbing (tests/test_round7.py)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] in (b"P6", b"P5"):
+        # netpbm binary: ASCII header tokens (magic, w, h, maxval),
+        # '#' comments allowed, one whitespace byte, then the raster.
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(data[start:pos]))
+        pos += 1  # the single whitespace byte after maxval
+        w, h, maxval = tokens
+        if maxval > 255:
+            raise ValueError("16-bit netpbm not supported")
+        c = 3 if data[:2] == b"P6" else 1
+        raster = np.frombuffer(data, dtype=np.uint8, count=w * h * c, offset=pos)
+        return raster.reshape(h, w, c), w, h, c
+    if data[:2] == b"BM":
+        # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: require
+        # bpp=24, compression=BI_RGB(0); rows bottom-up, 4-byte padded,
+        # pixels stored BGR.
+        off = struct.unpack_from("<I", data, 10)[0]
+        w, h = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        comp = struct.unpack_from("<I", data, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+        flipped = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if flipped:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy(), w, h, 3  # BGR -> RGB
+    return decode_image_stub(data)
 
 
 def fake_decode_features(data: bytes) -> tuple[int, int, float]:

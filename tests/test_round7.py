@@ -598,3 +598,104 @@ def test_ntile_semantics_match_spark(spark):
         ).orderBy("i").collect()
     ]
     assert got == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+# ---------------------------------------------------------------------------
+# Real image decode (PPM/PGM/BMP — no imaging libs needed)
+# ---------------------------------------------------------------------------
+
+
+def _mk_ppm(w, h):
+    px = np.arange(w * h * 3, dtype=np.uint16) % 256
+    raster = px.astype(np.uint8).tobytes()
+    return (
+        f"P6\n# synthetic\n{w} {h}\n255\n".encode() + raster,
+        px.astype(np.uint8).reshape(h, w, 3),
+    )
+
+
+def _mk_pgm(w, h):
+    px = (np.arange(w * h, dtype=np.uint16) * 7) % 256
+    return (
+        f"P5\n{w} {h}\n255\n".encode() + px.astype(np.uint8).tobytes(),
+        px.astype(np.uint8).reshape(h, w, 1),
+    )
+
+
+def _mk_bmp(w, h):
+    import struct
+
+    px = (np.arange(w * h * 3, dtype=np.uint32) * 11 % 256).astype(np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + info + rows, px
+
+
+def test_decode_image_real_formats_roundtrip():
+    from kafka_to_parquet_spark.llm.multimodal import decode_image
+
+    for mk, (w, h) in ((_mk_ppm, (13, 7)), (_mk_pgm, (16, 5)), (_mk_bmp, (10, 6))):
+        data, want = mk(w, h)
+        arr, gw, gh, gc = decode_image(data)
+        assert (gw, gh) == (w, h)
+        assert arr.shape == want.shape
+        assert (arr == want).all(), mk.__name__
+
+
+def test_decode_image_rejects_compressed_and_unknown():
+    import pytest
+
+    from kafka_to_parquet_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        # 8-bit palette BMP: bpp=8 must be rejected, not mis-parsed
+        import struct
+
+        bad = struct.pack("<2sIHHI", b"BM", 100, 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, 16, 0, 0, 0, 0
+        )
+        decode_image(bad)
+
+
+def test_real_decode_through_mapinpandas(spark):
+    """The q_multimodal_decode plumbing with the REAL decoder as the
+    inner function: binary media column in, typed feature rows out,
+    Arrow-batched — proving the swap the module docstring promises is
+    one function body, not a redesign."""
+    from kafka_to_parquet_spark.llm.multimodal import decode_image
+
+    imgs = [_mk_ppm(13, 7), _mk_pgm(16, 5), _mk_bmp(10, 6)]
+    rows = [(i, data) for i, (data, _) in enumerate(imgs)]
+    media = spark.createDataFrame(rows, "img_id int, media_bytes binary")
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for img_id, data in zip(pdf["img_id"], pdf["media_bytes"]):
+                arr, w, h, c = decode_image(bytes(data))
+                out.append((int(img_id), w, h, c, float(arr.mean())))
+            yield pd.DataFrame(
+                out, columns=["img_id", "width", "height", "channels", "mean_px"]
+            )
+
+    got = {
+        r.img_id: (r.width, r.height, r.channels, r.mean_px)
+        for r in media.mapInPandas(
+            extract,
+            schema="img_id int, width int, height int, channels int, mean_px double",
+        ).collect()
+    }
+    for i, (data, want) in enumerate(imgs):
+        w, h = want.shape[1], want.shape[0]
+        assert got[i][:3] == (w, h, want.shape[2])
+        assert abs(got[i][3] - float(want.mean())) < 1e-9
