@@ -106,6 +106,47 @@ def decode_image(data: bytes):
     return decode_image_stub(data)
 
 
+def decode_audio(data: bytes):
+    """REAL audio decode for canonical RIFF/WAVE PCM (the WAV files a
+    data pipeline actually meets are overwhelmingly 16-bit PCM):
+    returns ``(ndarray[n_frames, channels] int16, sample_rate)``.
+    numpy + struct only; compressed codecs (MP3/AAC/OGG) raise
+    NotImplementedError like the compressed-image path — the same
+    documented environment limit, the same one-function swap point."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio decoding requires a codec library not present "
+            "in this environment; decode_audio handles RIFF/WAVE PCM for real"
+        )
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", data, body)
+            bits = struct.unpack_from("<H", data, body + 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only 16-bit PCM WAV supported (fmt={audio_fmt}, bits={bits})"
+                )
+            fmt = (n_ch, rate)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            n_ch, rate = fmt
+            frames = np.frombuffer(
+                data, dtype="<i2", count=size // 2, offset=body
+            ).reshape(-1, n_ch)
+            return frames, rate
+        pos = body + size + (size & 1)  # chunks are 2-byte aligned
+    raise ValueError("WAV stream has no data chunk")
+
+
 def fake_decode_features(data: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for decode + feature-extract: "decode"
     the payload (UTF-8) and pretend the character count encodes image

@@ -699,3 +699,82 @@ def test_real_decode_through_mapinpandas(spark):
         w, h = want.shape[1], want.shape[0]
         assert got[i][:3] == (w, h, want.shape[2])
         assert abs(got[i][3] - float(want.mean())) < 1e-9
+
+
+def _mk_wav(n_frames, n_ch, rate):
+    import struct
+
+    samples = ((np.arange(n_frames * n_ch, dtype=np.int64) * 777) % 65536 - 32768).astype(
+        "<i2"
+    )
+    raw = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body, samples.reshape(-1, n_ch)
+
+
+def test_decode_audio_pcm_wav_roundtrip():
+    from kafka_to_parquet_spark.llm.multimodal import decode_audio
+
+    for n_frames, n_ch, rate in ((480, 1, 16000), (256, 2, 44100)):
+        data, want = _mk_wav(n_frames, n_ch, rate)
+        frames, got_rate = decode_audio(data)
+        assert got_rate == rate
+        assert frames.shape == (n_frames, n_ch)
+        assert (frames == want).all()
+
+
+def test_decode_audio_rejects_non_pcm():
+    import struct
+
+    import pytest
+
+    from kafka_to_parquet_spark.llm.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04\x00...mp3 bytes...")
+    # IEEE-float WAV (fmt=3) must be rejected loudly, not mis-read
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        decode_audio(wav)
+
+
+def test_real_audio_features_through_mapinpandas(spark):
+    """Windowed RMS energy over real PCM frames through the multimodal
+    mapInPandas plumbing — the audio twin of the image-decode test."""
+    from kafka_to_parquet_spark.llm.multimodal import decode_audio
+
+    clips = [_mk_wav(480, 1, 16000), _mk_wav(256, 2, 44100)]
+    media = spark.createDataFrame(
+        [(i, data) for i, (data, _) in enumerate(clips)],
+        "clip_id int, media_bytes binary",
+    )
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for cid, data in zip(pdf["clip_id"], pdf["media_bytes"]):
+                frames, rate = decode_audio(bytes(data))
+                mono = frames.astype(np.float64).mean(axis=1)
+                rms = float(np.sqrt((mono**2).mean()))
+                out.append((int(cid), rate, frames.shape[0], rms))
+            yield pd.DataFrame(
+                out, columns=["clip_id", "rate", "n_frames", "rms"]
+            )
+
+    got = {
+        r.clip_id: (r.rate, r.n_frames, r.rms)
+        for r in media.mapInPandas(
+            extract, schema="clip_id int, rate int, n_frames int, rms double"
+        ).collect()
+    }
+    for i, (data, want) in enumerate(clips):
+        mono = want.astype(np.float64).mean(axis=1)
+        assert got[i][0] in (16000, 44100)
+        assert got[i][1] == want.shape[0]
+        assert abs(got[i][2] - float(np.sqrt((mono**2).mean()))) < 1e-9
