@@ -147,6 +147,59 @@ def decode_audio(data: bytes):
     raise ValueError("WAV stream has no data chunk")
 
 
+def decode_video(data: bytes):
+    """REAL video decode for YUV4MPEG2 (``.y4m``) — the canonical
+    UNCOMPRESSED video container every codec toolchain reads/writes —
+    returning ``(y_frames ndarray[n, h, w] uint8, w, h, fps_num,
+    fps_den)``. The Y (luma) plane is returned per frame — the input
+    every frame-level pipeline feature (sampling, scene-cut deltas,
+    perceptual hashes) consumes; chroma planes are parsed/skipped by
+    subsampling mode (C420*/C422/C444). numpy-only; compressed
+    containers (MP4/WebM) raise NotImplementedError — same environment
+    limit, same swap point as the image/audio paths."""
+    import numpy as np
+
+    if not data.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "compressed video decoding requires a codec library not present "
+            "in this environment; decode_video handles YUV4MPEG2 for real"
+        )
+    hdr_end = data.index(b"\n")
+    w = h = None
+    fps_num, fps_den = 0, 1
+    chroma = "420"
+    for tok in data[9:hdr_end].split():
+        t = tok.decode()
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            fps_num, fps_den = (int(x) for x in t[1:].split(":"))
+        elif t[0] == "C":
+            chroma = t[1:]
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if chroma.startswith("420"):
+        chroma_bytes = (w // 2) * (h // 2) * 2
+    elif chroma.startswith("422"):
+        chroma_bytes = (w // 2) * h * 2
+    elif chroma.startswith("444"):
+        chroma_bytes = w * h * 2
+    else:
+        raise ValueError(f"unsupported Y4M chroma mode C{chroma}")
+    frames = []
+    pos = hdr_end + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = data.index(b"\n", pos) + 1  # frame params (if any) end at \n
+        y = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=pos)
+        frames.append(y.reshape(h, w))
+        pos += w * h + chroma_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), w, h, fps_num, fps_den
+
+
 def fake_decode_features(data: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for decode + feature-extract: "decode"
     the payload (UTF-8) and pretend the character count encodes image
