@@ -123,3 +123,33 @@ def test_stream_source_dir_memoized(spark, sf_dir):
     assert _stream_source_dir(spark, sf_dir) == d1
     after = set(glob.glob(tempfile.gettempdir() + "/ktps_stream_*"))
     assert after == before
+
+
+def test_stream_topk_rank_over_real_streamed_counts(spark, sf_dir, run):
+    """q_stream_topk's contract: the windowed count is the stateful
+    streaming stage and the per-window rank runs downstream on closed
+    windows. Prove it end-to-end — take the REAL readStream windowed
+    counts (q_stream_watermark, availableNow; last update per window
+    wins), apply the identical rank downstream, and the result must
+    equal the declared batch-equivalent query exactly."""
+    from pyspark.sql import Window
+
+    from kafka_to_parquet_spark.operators.batch7 import STREAM_TOPK_K
+
+    streamed = run("q_stream_watermark")
+    final = streamed.groupBy("win_start_s", "event_type").agg(
+        F.max("n").alias("n")
+    )
+    w = Window.partitionBy("win_start_s").orderBy(F.col("n").desc(), "event_type")
+    ranked = (
+        final.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= STREAM_TOPK_K)
+    )
+    got = {
+        (r.win_start_s, r.event_type, r.n, r.rnk) for r in ranked.collect()
+    }
+    want = {
+        (r.win_start_s, r.event_type, r.n, r.rnk)
+        for r in run("q_stream_topk").collect()
+    }
+    assert got == want and want
