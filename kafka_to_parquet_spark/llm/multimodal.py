@@ -200,6 +200,28 @@ def decode_video(data: bytes):
     return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), w, h, fps_num, fps_den
 
 
+def frame_ahash(frames):
+    """Perceptual average-hash per frame: downsample each Y plane to
+    8×8 by block means, threshold at the frame's 64-cell mean, pack to
+    one uint64 — the classic aHash. Near-duplicate CLIPS then reduce
+    to Hamming distance over small integer sets, which plugs straight
+    into the SimHash banded-LSH machinery (q_dedup_simhash_pairs'
+    (band, value) join) — the perceptual complement of
+    q_multimodal_hashdup's exact byte-level families. numpy-only;
+    input is decode_video's ``[n, h, w] uint8`` stack, h and w must be
+    multiples of 8 (crop upstream otherwise — real pipelines center-
+    crop before hashing anyway)."""
+    import numpy as np
+
+    n, h, w = frames.shape
+    if h % 8 or w % 8:
+        raise ValueError(f"frame_ahash needs 8-divisible dims, got {h}x{w}")
+    blocks = frames.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4))  # [n, 8, 8]
+    bits = (blocks > blocks.mean(axis=(1, 2), keepdims=True)).reshape(n, 64)
+    weights = (1 << np.arange(64, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(axis=1)
+
+
 def fake_decode_features(data: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for decode + feature-extract: "decode"
     the payload (UTF-8) and pretend the character count encodes image

@@ -857,3 +857,49 @@ def test_real_video_framesample_through_mapinpandas(spark):
         assert got[i][0] == want.shape[0]
         assert got[i][1] == len(want[::K])
         assert abs(got[i][2] - float(want[::K].astype(np.float64).mean())) < 1e-9
+
+
+def test_frame_ahash_properties():
+    """aHash invariances that make it a perceptual (not byte) hash:
+    identical frames hash equal; global brightness shifts preserve the
+    hash (threshold is the frame mean); a half-inverted frame differs
+    in many bits; byte-level noise below block granularity flips few."""
+    from kafka_to_parquet_spark.llm.multimodal import frame_ahash
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, size=(16, 16), dtype=np.uint8)
+    brighter = np.clip(base.astype(np.int16) + 40, 0, 255).astype(np.uint8)
+    half = base.copy()
+    half[:8] = 255 - half[:8]
+    noisy = base.copy()
+    noisy[0, 0] ^= 3  # one pixel, sub-block
+    hashes = frame_ahash(np.stack([base, base, brighter, half, noisy]))
+    assert hashes[0] == hashes[1]
+    assert hashes[0] == hashes[2], "brightness shift must not change aHash"
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(hashes[0], hashes[3]) > 16
+    assert ham(hashes[0], hashes[4]) <= 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        frame_ahash(np.zeros((1, 10, 10), dtype=np.uint8))
+
+
+def test_frame_ahash_over_decoded_y4m():
+    """End-to-end: decode a Y4M clip, aHash its frames — shifted-copy
+    frames (same content, +constant luma) collapse to one hash while
+    distinct frames stay distinct."""
+    from kafka_to_parquet_spark.llm.multimodal import decode_video, frame_ahash
+
+    rng = np.random.default_rng(11)
+    f0 = rng.integers(0, 180, size=(16, 16), dtype=np.uint8)
+    f1 = np.clip(f0.astype(np.int16) + 30, 0, 255).astype(np.uint8)  # near-dup
+    f2 = rng.integers(0, 255, size=(16, 16), dtype=np.uint8)         # distinct
+    cb = 8 * 8 * 2
+    data = b"YUV4MPEG2 W16 H16 F25:1 C420\n"
+    for f in (f0, f1, f2):
+        data += b"FRAME\n" + f.tobytes() + bytes(cb)
+    frames, w, h, _, _ = decode_video(data)
+    hashes = frame_ahash(frames)
+    assert hashes[0] == hashes[1]
+    assert hashes[0] != hashes[2]
