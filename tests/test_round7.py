@@ -903,3 +903,42 @@ def test_frame_ahash_over_decoded_y4m():
     hashes = frame_ahash(frames)
     assert hashes[0] == hashes[1]
     assert hashes[0] != hashes[2]
+
+
+def test_capped_banded_invariants(spark):
+    """The hot-bucket control's two safety properties, on a synthetic
+    signature table built to trip both paths: (a) every surviving
+    (b, k) bucket holds <= cap rows — the bound that keeps LSH
+    candidate generation signature-governed at any corpus size; (b)
+    sub-split keys live in a disjoint range from unsplit band values,
+    so a split bucket can never alias an unsplit one."""
+    from kafka_to_parquet_spark.llm.dedup import capped_banded
+
+    CAP, BITS, BANDS = 4, 8, 4
+    rows = []
+    # 40 vectors share one band-0 value (hot bucket, must sub-split or
+    # drop); 10 others spread thin (kept as-is).
+    for vid in range(40):
+        rows.append((vid, (0xAB | (vid << 8)) & 0x7FFFFFFF))
+    for vid in range(40, 50):
+        rows.append((vid, (vid * 2654435761) & 0x7FFFFFFF))
+    sig = spark.createDataFrame(rows, "vec_id long, sig long")
+    banded = sig.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("b"),
+        "sig",
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(sig, CAST({BITS} * b AS INT)) & {(1 << BITS) - 1}"),
+    )
+    kept = capped_banded(banded, cap=CAP, band_bits=BITS, n_bands=BANDS).cache()
+    sizes = kept.groupBy("b", "k").count().collect()
+    assert sizes, "some buckets must survive"
+    assert all(r["count"] <= CAP for r in sizes)
+    split_threshold = 1 << (2 * BITS)
+    ks = [r.k for r in kept.select("k").distinct().collect()]
+    unsplit = [k for k in ks if k < split_threshold]
+    split = [k for k in ks if k >= split_threshold]
+    assert all(k <= (1 << BITS) - 1 for k in unsplit)
+    if split:
+        assert min(split) >= split_threshold
