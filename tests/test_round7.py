@@ -942,3 +942,41 @@ def test_capped_banded_invariants(spark):
     assert all(k <= (1 << BITS) - 1 for k in unsplit)
     if split:
         assert min(split) >= split_threshold
+
+
+def test_media_decoders_roundtrip_fuzz():
+    """Hypothesis fuzz over random small dims/channels: every decoder
+    must round-trip sample-exact for arbitrary sizes, including odd
+    widths (BMP row padding) and multi-channel audio."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_to_parquet_spark.llm.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=23),
+        st.integers(min_value=1, max_value=17),
+        st.integers(min_value=1, max_value=2),
+        st.integers(min_value=1, max_value=3),
+    )
+    def check(w, h, n_ch, n_frames):
+        data, want = _mk_ppm(w, h)
+        arr, gw, gh, _ = decode_image(data)
+        assert (gw, gh) == (w, h) and (arr == want).all()
+        data, want = _mk_bmp(w, h)
+        arr, gw, gh, _ = decode_image(data)
+        assert (gw, gh) == (w, h) and (arr == want).all()
+        data, want = _mk_wav(w * h, n_ch, 8000)
+        frames, rate = decode_audio(data)
+        assert rate == 8000 and (frames == want).all()
+        # Y4M needs even dims for 420 chroma geometry
+        data, want = _mk_y4m(n_frames, w * 2, h * 2)
+        frames, gw, gh, _, _ = decode_video(data)
+        assert (gw, gh) == (w * 2, h * 2) and (frames == want).all()
+
+    check()
