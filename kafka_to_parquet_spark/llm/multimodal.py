@@ -2,11 +2,11 @@
 columns with typed metadata, processed by Arrow-batched Pandas code.
 
 The container has no image/audio libraries, so decoding splits by
-format: UNCOMPRESSED images (binary PPM/PGM, 24-bit BI_RGB BMP)
-decode for REAL via :func:`decode_image` (numpy + struct, no
+format: PNG and uncompressed images (binary PPM/PGM, 24-bit BI_RGB BMP)
+decode for REAL via :func:`decode_image` (numpy + stdlib zlib, no
 dependencies — pixel-exact round-trip tests in tests/test_round7.py,
-driven through the same mapInPandas plumbing); compressed formats
-(JPEG/PNG/WebP) remain explicitly stubbed (``decode_image_stub``
+driven through the same mapInPandas plumbing); codec-bound formats
+(JPEG/WebP) remain explicitly stubbed (``decode_image_stub``
 raises). The declared fixture queries use the deterministic fake
 (the fixture's media bytes are text, not images), which is what makes
 them oracle-checkable; every Spark-side piece is real and tested: the
@@ -36,24 +36,25 @@ from kafka_to_parquet_spark.tables import load
 
 
 def decode_image_stub(data: bytes) -> dict:
-    """Placeholder for a COMPRESSED-format image decoder (JPEG/PNG/
-    WebP need PIL/libvips, which the test container doesn't ship).
-    Uncompressed formats decode for real — see :func:`decode_image`;
+    """Placeholder for a CODEC-bound image decoder (JPEG/WebP need
+    PIL/libvips, which the test container doesn't ship). PNG and the
+    uncompressed formats decode for real — see :func:`decode_image`;
     the deterministic fake below stands in for plumbing tests over the
     text-byte fixture."""
     raise NotImplementedError(
-        "compressed image decoding requires an imaging library not present in "
-        "this environment; decode_image handles PPM/PGM/BMP for real, and "
+        "JPEG/WebP decoding requires an imaging library not present in this "
+        "environment; decode_image handles PNG/PPM/PGM/BMP for real, and "
         "fake_decode_features (deterministic) backs plumbing tests"
     )
 
 
 def decode_image(data: bytes):
     """REAL image decode for the formats a no-dependency container can
-    honestly parse — binary PPM (``P6``), binary PGM (``P5``), and
-    uncompressed 24-bit BMP (``BM`` + BI_RGB) — returning
+    honestly parse — PNG (stdlib zlib inflate + full scanline-filter
+    reconstruction, 8-bit gray/GA/RGB/RGBA), binary PPM (``P6``), binary
+    PGM (``P5``), and uncompressed 24-bit BMP (``BM`` + BI_RGB) — returning
     ``(ndarray[h, w, c] uint8, width, height, channels)``. numpy +
-    struct only; anything compressed falls through to
+    stdlib only; JPEG/WebP fall through to
     :func:`decode_image_stub` (the documented environment limit).
     This is the inner function a real corpus swaps into the
     q_multimodal_decode mapInPandas batch loop; tests drive it through
@@ -84,6 +85,8 @@ def decode_image(data: bytes):
         c = 3 if data[:2] == b"P6" else 1
         raster = np.frombuffer(data, dtype=np.uint8, count=w * h * c, offset=pos)
         return raster.reshape(h, w, c), w, h, c
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
     if data[:2] == b"BM":
         # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: require
         # bpp=24, compression=BI_RGB(0); rows bottom-up, 4-byte padded,
@@ -104,6 +107,79 @@ def decode_image(data: bytes):
             rows = rows[::-1]
         return rows[:, :, ::-1].copy(), w, h, 3  # BGR -> RGB
     return decode_image_stub(data)
+
+
+def _decode_png(data: bytes):
+    """PNG decode with stdlib zlib + numpy: 8-bit depth, color types
+    gray(0)/RGB(2)/gray+alpha(4)/RGBA(6), no interlace. All five scanline
+    filters (None/Sub/Up/Average/Paeth) are reconstructed per spec —
+    verified in tests against an independent per-pixel reference
+    implementation. Palette/16-bit/interlaced variants are rejected
+    loudly rather than mis-decoded."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    w = h = None
+    channels = None
+    idat = b""
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+                raise ValueError(
+                    f"only 8-bit non-interlaced gray/RGB/GA/RGBA PNG supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if w is None or channels is None:
+        raise ValueError("PNG stream missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has unexpected length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    val = line[x] + a
+                elif ftype == 3:
+                    val = line[x] + (a + b) // 2
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    val = line[x] + pred
+                cur[x] = val & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, channels), w, h, channels
 
 
 def decode_audio(data: bytes):

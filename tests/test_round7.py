@@ -654,7 +654,9 @@ def test_decode_image_rejects_compressed_and_unknown():
     from kafka_to_parquet_spark.llm.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF....")  # JPEG stays stubbed
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")  # malformed PNG: loud, not stub
     with pytest.raises(ValueError):
         # 8-bit palette BMP: bpp=8 must be rejected, not mis-parsed
         import struct
@@ -978,5 +980,118 @@ def test_media_decoders_roundtrip_fuzz():
         data, want = _mk_y4m(n_frames, w * 2, h * 2)
         frames, gw, gh, _, _ = decode_video(data)
         assert (gw, gh) == (w * 2, h * 2) and (frames == want).all()
+
+    check()
+
+
+def _png_paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _mk_png(w, h, channels, filters=None):
+    """Independent PNG encoder (pure-python per-pixel filtering from
+    the spec, a deliberately different implementation from the
+    decoder's vectorized/row-loop reconstruction)."""
+    import struct
+    import zlib
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    px = ((np.arange(h * w * channels, dtype=np.uint32) * 31 + 7) % 256).astype(
+        np.uint8
+    ).reshape(h, w * channels)
+    raw = b""
+    prev = [0] * (w * channels)
+    for y in range(h):
+        ftype = (filters or [0, 1, 2, 3, 4])[y % len(filters or [0, 1, 2, 3, 4])]
+        row = [int(v) for v in px[y]]
+        filt = []
+        for x in range(len(row)):
+            a = row[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if ftype == 0:
+                f = row[x]
+            elif ftype == 1:
+                f = (row[x] - a) % 256
+            elif ftype == 2:
+                f = (row[x] - b) % 256
+            elif ftype == 3:
+                f = (row[x] - (a + b) // 2) % 256
+            else:
+                f = (row[x] - _png_paeth(a, b, c)) % 256
+            filt.append(f)
+        raw += bytes([ftype]) + bytes(filt)
+        prev = row
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    return data, px.reshape(h, w, channels)
+
+
+def test_decode_png_all_filters_and_colortypes():
+    from kafka_to_parquet_spark.llm.multimodal import decode_image
+
+    for channels in (1, 2, 3, 4):
+        for filters in ([0], [1], [2], [3], [4], None):  # None = cycle all 5
+            data, want = _mk_png(9, 7, channels, filters)
+            arr, w, h, c = decode_image(data)
+            assert (w, h, c) == (9, 7, channels)
+            assert (arr == want).all(), (channels, filters)
+
+
+def test_decode_png_rejects_unsupported():
+    import struct
+    import zlib as _z
+
+    import pytest
+
+    from kafka_to_parquet_spark.llm.multimodal import decode_image
+
+    def chunk(ctype, body):
+        crc = _z.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    # 16-bit depth must be rejected
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError):
+        decode_image(bad)
+    # palette (color type 3) must be rejected
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError):
+        decode_image(bad)
+
+
+def test_decode_png_fuzz_dims():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_to_parquet_spark.llm.multimodal import decode_image
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=19),
+        st.integers(min_value=1, max_value=13),
+        st.sampled_from([1, 2, 3, 4]),
+    )
+    def check(w, h, channels):
+        data, want = _mk_png(w, h, channels)
+        arr, gw, gh, gc = decode_image(data)
+        assert (gw, gh, gc) == (w, h, channels)
+        assert (arr == want).all()
 
     check()
