@@ -109,6 +109,64 @@ def decode_image(data: bytes):
     return decode_image_stub(data)
 
 
+def probe_image(data: bytes):
+    """Header-only format/dimension sniff — the ``identify`` primitive
+    a pipeline runs BEFORE any decode (dimension/aspect filters drop
+    most junk without touching pixel data). Returns
+    ``(format, width, height)``. Works for JPEG too (SOF-marker walk —
+    dimensions live in the frame header, no entropy decode needed),
+    plus PNG/GIF/BMP/PPM/PGM. Unknown magic raises ValueError: a probe
+    must never guess."""
+    import struct
+
+    if data[:3] == b"\xff\xd8\xff":
+        # JPEG: walk markers; SOFn (C0-CF except C4/C8/CC) carries
+        # [precision u8][height u16][width u16].
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack_from(">HH", data, pos + 5)
+                return "jpeg", w, h
+            pos += 2 + seg_len
+        raise ValueError("JPEG stream has no SOF frame header")
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack_from(">II", data, 16)  # IHDR is always first
+        return "png", w, h
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", data, 6)
+        return "gif", w, h
+    if data[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", data, 18)
+        return "bmp", w, abs(h)
+    if data[:2] in (b"P6", b"P5"):
+        # header-only token walk (same grammar as decode_image, but
+        # stops after w/h — never touches the raster)
+        pos, tokens = 2, []
+        while len(tokens) < 2 and pos < len(data):
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(data[start:pos]))
+        if len(tokens) < 2:
+            raise ValueError("truncated netpbm header")
+        return ("ppm" if data[:2] == b"P6" else "pgm"), tokens[0], tokens[1]
+    raise ValueError(f"unknown image magic {data[:8]!r}")
+
+
 def _decode_png(data: bytes):
     """PNG decode with stdlib zlib + numpy: 8-bit depth, color types
     gray(0)/RGB(2)/gray+alpha(4)/RGBA(6), no interlace. All five scanline

@@ -1095,3 +1095,38 @@ def test_decode_png_fuzz_dims():
         assert (arr == want).all()
 
     check()
+
+
+def test_probe_image_all_formats():
+    """Header-only probe: correct (format, w, h) for every supported
+    magic — including JPEG, whose dimensions come from the SOF marker
+    walk with no entropy decode (a minimal-but-valid marker stream
+    with APP0 + DQT noise before SOF0)."""
+    import struct
+
+    import pytest
+
+    from kafka_to_parquet_spark.llm.multimodal import probe_image
+
+    ppm, _ = _mk_ppm(13, 7)
+    pgm, _ = _mk_pgm(16, 5)
+    bmp, _ = _mk_bmp(10, 6)
+    png, _ = _mk_png(9, 7, 3)
+    gif = b"GIF89a" + struct.pack("<HH", 21, 12) + b"\x00" * 10
+    jpeg = (
+        b"\xff\xd8"                                       # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"                  # DQT stub
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 33, 44)
+        + b"\x03\x00\x00\x00"                              # SOF0: h=33 w=44
+    )
+    assert probe_image(ppm) == ("ppm", 13, 7)
+    assert probe_image(pgm) == ("pgm", 16, 5)
+    assert probe_image(bmp) == ("bmp", 10, 6)
+    assert probe_image(png) == ("png", 9, 7)
+    assert probe_image(gif) == ("gif", 21, 12)
+    assert probe_image(jpeg) == ("jpeg", 44, 33)
+    with pytest.raises(ValueError):
+        probe_image(b"RIFFxxxxWEBP")  # WebP: probe must not guess
+    with pytest.raises(ValueError):
+        probe_image(b"\xff\xd8\xff\xe0\x00\x02")  # JPEG with no SOF
