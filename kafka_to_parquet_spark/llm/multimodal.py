@@ -2,9 +2,9 @@
 columns with typed metadata, processed by Arrow-batched Pandas code.
 
 The container has no image/audio libraries, so decoding splits by
-format: PNG and uncompressed images (binary PPM/PGM, 24-bit BI_RGB BMP)
-decode for REAL via :func:`decode_image` (numpy + stdlib zlib, no
-dependencies — pixel-exact round-trip tests in tests/test_round7.py,
+format: PNG, GIF (hand-rolled LZW, :func:`decode_gif`) and
+uncompressed images (binary PPM/PGM, 24-bit BI_RGB BMP) decode for
+REAL via :func:`decode_image` (numpy + stdlib zlib, no dependencies — pixel-exact round-trip tests in tests/test_round7.py,
 driven through the same mapInPandas plumbing); codec-bound formats
 (JPEG/WebP) remain explicitly stubbed (``decode_image_stub``
 raises). The declared fixture queries use the deterministic fake
@@ -107,6 +107,121 @@ def decode_image(data: bytes):
             rows = rows[::-1]
         return rows[:, :, ::-1].copy(), w, h, 3  # BGR -> RGB
     return decode_image_stub(data)
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> list[int]:
+    """GIF-variant LZW: variable code width starting at
+    min_code_size+1, Clear resets the table, widths grow at table size
+    2^width (capped at 12 bits), including the KwKwK case (a code one
+    past the table end decodes as prev + prev[0])."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width
+        table = [[i] for i in range(1 << min_code_size)] + [[], []]
+        width = min_code_size + 1
+
+    width = 0
+    reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + [prev[0]]  # KwKwK
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+            if len(out) >= n_expected:
+                return out
+    return out
+
+
+def decode_gif(data: bytes):
+    """REAL GIF decode (GIF87a/89a): global/local color tables and a
+    hand-rolled GIF-LZW inflater (variable code width, Clear/EOI,
+    KwKwK) — no codec libraries. Returns ``(frames ndarray[n, h, w, 3]
+    uint8, w, h)`` with every image block decoded through its own
+    palette; frames are returned RAW (no disposal compositing — a
+    feature-extraction pipeline hashes/samples frames, it doesn't
+    re-render the animation). Interlaced images are rejected loudly."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF stream")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    frames = []
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x} at {pos}")
+        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = b""
+        while data[pos]:
+            lzw += data[pos + 1 : pos + 1 + data[pos]]
+            pos += 1 + data[pos]
+        pos += 1
+        idx = _gif_lzw_decode(min_code, lzw, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF frame pixel data truncated")
+        frame = pal[np.array(idx[: iw * ih], np.int32)].reshape(ih, iw, 3)
+        frames.append((ix, iy, frame))
+    if not frames:
+        raise ValueError("GIF stream has no image blocks")
+    # Return full-canvas frames for uniform shape; sub-rect frames are
+    # placed on a zero canvas at their offsets (raw, no disposal).
+    out = np.zeros((len(frames), h, w, 3), np.uint8)
+    for i, (ix, iy, fr) in enumerate(frames):
+        out[i, iy : iy + fr.shape[0], ix : ix + fr.shape[1]] = fr
+    return out, w, h
 
 
 def probe_image(data: bytes):

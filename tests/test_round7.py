@@ -1130,3 +1130,134 @@ def test_probe_image_all_formats():
         probe_image(b"RIFFxxxxWEBP")  # WebP: probe must not guess
     with pytest.raises(ValueError):
         probe_image(b"\xff\xd8\xff\xe0\x00\x02")  # JPEG with no SOF
+
+
+# ---------------------------------------------------------------------------
+# GIF decode (hand-rolled LZW)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(mcs, indices):
+    """Standard GIF-LZW compressor (independent of the decoder's
+    reconstruction): dictionary of tuples, Clear first, EOI last,
+    width grows after assigning code 2^width."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    codes = []
+    width = mcs + 1
+    codes.append((clear, width))
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    buf = ()
+    for sym in indices:
+        nxt = buf + (int(sym),)
+        if nxt in table:
+            buf = nxt
+            continue
+        codes.append((table[buf], width))
+        table[nxt] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            codes.append((clear, width))
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        buf = (int(sym),)
+    if buf:
+        codes.append((table[buf], width))
+    codes.append((eoi, width))
+    # LSB-first bit packing
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _mk_gif(frames_idx, palette, w, h, mcs):
+    """Minimal GIF89a writer: global palette, one image block per
+    index frame, LZW via _gif_lzw_encode, 255-byte sub-blocks."""
+    import struct
+
+    pal_bits = max(1, (len(palette) - 1).bit_length())
+    pal_n = 1 << pal_bits
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    pal = bytes(v for rgb in palette for v in rgb) + bytes(3 * (pal_n - len(palette)))
+    out += pal
+    for idx in frames_idx:
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([mcs])
+        lzw = _gif_lzw_encode(mcs, idx)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return out + b"\x3b"
+
+
+def test_gif_lzw_kwkwk_and_width_growth():
+    """The two classic LZW pitfalls, round-tripped: an ababab stream
+    (triggers the KwKwK code-one-past-table case) and a long
+    high-entropy stream (drives repeated width growth past 9 bits)."""
+    from kafka_to_parquet_spark.llm.multimodal import _gif_lzw_decode
+
+    kwkwk = [0, 1, 0, 1, 0, 1, 0, 1, 0, 1]
+    data = _gif_lzw_encode(2, kwkwk)
+    assert _gif_lzw_decode(2, data, len(kwkwk)) == kwkwk
+
+    rng = np.random.default_rng(3)
+    long = [int(v) for v in rng.integers(0, 4, size=3000)]
+    data = _gif_lzw_encode(2, long)
+    assert _gif_lzw_decode(2, data, len(long)) == long
+
+
+def test_decode_gif_frames_roundtrip():
+    from kafka_to_parquet_spark.llm.multimodal import decode_gif
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    rng = np.random.default_rng(5)
+    w, h = 11, 6
+    idx_frames = [
+        [int(v) for v in rng.integers(0, 4, size=w * h)] for _ in range(3)
+    ]
+    gif = _mk_gif(idx_frames, palette, w, h, mcs=2)
+    frames, gw, gh = decode_gif(gif)
+    assert (gw, gh) == (w, h) and frames.shape == (3, h, w, 3)
+    pal = np.array(palette, np.uint8)
+    for f, idx in zip(frames, idx_frames):
+        want = pal[np.array(idx).reshape(h, w)]
+        assert (f == want).all()
+
+
+def test_decode_gif_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_to_parquet_spark.llm.multimodal import decode_gif
+
+    palette = [(i * 37 % 256, i * 11 % 256, i * 5 % 256) for i in range(8)]
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=17),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=0, max_value=10_000),
+    )
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        idx = [int(v) for v in rng.integers(0, 8, size=w * h)]
+        gif = _mk_gif([idx], palette, w, h, mcs=3)
+        frames, gw, gh = decode_gif(gif)
+        pal = np.array(palette, np.uint8)
+        assert (gw, gh) == (w, h)
+        assert (frames[0] == pal[np.array(idx).reshape(h, w)]).all()
+
+    check()
