@@ -282,6 +282,43 @@ def probe_image(data: bytes):
     raise ValueError(f"unknown image magic {data[:8]!r}")
 
 
+def probe_media(data: bytes):
+    """Kind-routing probe for mixed-media corpora: classify a payload
+    by magic and return ``(kind, format, meta)`` where meta is a small
+    dict — images get width/height (header-only, incl. JPEG), WAV gets
+    channels/rate, Y4M gets width/height/fps. The dispatch step a
+    multimodal pipeline runs on an untyped binary column before
+    routing batches to the per-kind decoders. Unknown magic raises —
+    a router that guesses poisons every downstream partition."""
+    import struct
+
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pos = 12
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            if cid == b"fmt ":
+                _fmt, n_ch, rate = struct.unpack_from("<HHI", data, pos + 8)
+                return "audio", "wav", {"channels": n_ch, "rate": rate}
+            pos += 8 + size + (size & 1)
+        raise ValueError("WAV stream has no fmt chunk")
+    if data.startswith(b"YUV4MPEG2"):
+        hdr = data[9 : data.index(b"\n")]
+        meta = {}
+        for tok in hdr.split():
+            t = tok.decode()
+            if t[0] == "W":
+                meta["width"] = int(t[1:])
+            elif t[0] == "H":
+                meta["height"] = int(t[1:])
+            elif t[0] == "F":
+                num, den = t[1:].split(":")
+                meta["fps_num"], meta["fps_den"] = int(num), int(den)
+        return "video", "y4m", meta
+    fmt, w, h = probe_image(data)  # raises ValueError on unknown magic
+    return "image", fmt, {"width": w, "height": h}
+
+
 def _decode_png(data: bytes):
     """PNG decode with stdlib zlib + numpy: 8-bit depth, color types
     gray(0)/RGB(2)/gray+alpha(4)/RGBA(6), no interlace. All five scanline

@@ -1261,3 +1261,45 @@ def test_decode_gif_fuzz():
         assert (frames[0] == pal[np.array(idx).reshape(h, w)]).all()
 
     check()
+
+
+def test_probe_media_routes_all_kinds(spark):
+    """probe_media classifies a mixed binary column by magic and
+    extracts header meta — driven through mapInPandas like the rest of
+    the multimodal plumbing."""
+    import pytest
+
+    from kafka_to_parquet_spark.llm.multimodal import probe_media
+
+    png, _ = _mk_png(9, 7, 3)
+    wav, _ = _mk_wav(100, 2, 22050)
+    y4m, _ = _mk_y4m(2, 16, 8)
+    assert probe_media(png) == ("image", "png", {"width": 9, "height": 7})
+    assert probe_media(wav) == ("audio", "wav", {"channels": 2, "rate": 22050})
+    kind, fmt, meta = probe_media(y4m)
+    assert (kind, fmt) == ("video", "y4m")
+    assert meta == {"width": 16, "height": 8, "fps_num": 30000, "fps_den": 1001}
+    with pytest.raises(ValueError):
+        probe_media(b"OggS....vorbis")
+
+    media = spark.createDataFrame(
+        [(0, png), (1, wav), (2, y4m)], "media_id int, media_bytes binary"
+    )
+
+    def route(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["media_bytes"]):
+                kind, fmt, _ = probe_media(bytes(data))
+                out.append((int(mid), kind, fmt))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "fmt"])
+
+    got = {
+        r.media_id: (r.kind, r.fmt)
+        for r in media.mapInPandas(
+            route, schema="media_id int, kind string, fmt string"
+        ).collect()
+    }
+    assert got == {0: ("image", "png"), 1: ("audio", "wav"), 2: ("video", "y4m")}
