@@ -494,15 +494,30 @@ def frame_ahash(frames):
     into the SimHash banded-LSH machinery (q_dedup_simhash_pairs'
     (band, value) join) — the perceptual complement of
     q_multimodal_hashdup's exact byte-level families. numpy-only;
-    input is decode_video's ``[n, h, w] uint8`` stack, h and w must be
-    multiples of 8 (crop upstream otherwise — real pipelines center-
-    crop before hashing anyway)."""
+    input is decode_video's ``[n, h, w] uint8`` stack; arbitrary dims
+    >= 8x8 are area-mean resampled to the 8x8 grid (divisible dims take
+    the exact reshape fast path)."""
     import numpy as np
 
     n, h, w = frames.shape
-    if h % 8 or w % 8:
-        raise ValueError(f"frame_ahash needs 8-divisible dims, got {h}x{w}")
-    blocks = frames.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4))  # [n, 8, 8]
+    if h < 8 or w < 8:
+        raise ValueError(f"frame_ahash needs frames >= 8x8, got {h}x{w}")
+    if h % 8 == 0 and w % 8 == 0:
+        blocks = frames.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+    else:
+        # area-mean resample to 8x8 for arbitrary dims: partition rows/
+        # cols into 8 near-equal bins (reduceat prefix sums), divide by
+        # each cell's true pixel count — the float boundaries differ
+        # from the divisible fast path by < one source pixel, so hashes
+        # stay stable across the two paths for divisible inputs too.
+        rb = (np.arange(8) * h) // 8
+        cb = (np.arange(8) * w) // 8
+        rc = np.diff(np.append(rb, h)).astype(np.float64)
+        cc = np.diff(np.append(cb, w)).astype(np.float64)
+        f = frames.astype(np.float64)
+        rowsum = np.add.reduceat(f, rb, axis=1)          # [n, 8, w]
+        blocks = np.add.reduceat(rowsum, cb, axis=2)     # [n, 8, 8]
+        blocks /= rc[None, :, None] * cc[None, None, :]
     bits = (blocks > blocks.mean(axis=(1, 2), keepdims=True)).reshape(n, 64)
     weights = (1 << np.arange(64, dtype=np.uint64))
     return (bits.astype(np.uint64) * weights).sum(axis=1)

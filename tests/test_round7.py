@@ -884,7 +884,15 @@ def test_frame_ahash_properties():
     import pytest
 
     with pytest.raises(ValueError):
-        frame_ahash(np.zeros((1, 10, 10), dtype=np.uint8))
+        frame_ahash(np.zeros((1, 6, 6), dtype=np.uint8))  # below the 8x8 grid
+    # non-8-divisible dims take the area-mean resample path: same
+    # invariances hold (self-equality, brightness shift)
+    odd = np.random.default_rng(13).integers(0, 200, size=(10, 13), dtype=np.uint8)
+    odd_b = np.clip(odd.astype(np.int16) + 25, 0, 255).astype(np.uint8)
+    oh = frame_ahash(np.stack([odd, odd, odd_b]))
+    assert oh[0] == oh[1] == oh[2]
+    # and on divisible input the resample path would agree with the
+    # fast path (boundaries coincide exactly when 8 | dims)
 
 
 def test_frame_ahash_over_decoded_y4m():
