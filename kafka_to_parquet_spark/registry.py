@@ -158,6 +158,28 @@ CERTIFIED: set[str] = {
     "q_time_weighted_avg", "q_ts_autocorr", "q_ts_cusum",
     "q_ts_ewma", "q_ts_rolling_median", "q_user_type_overlap",
     "q_welch_ttest",
+    # round 7 (CORRECTNESS_r07.json): 50 accepted rows, all hash-green
+    # except the declared rows-only sketch/streaming ops — the 47
+    # first-time rows below plus the 3 RECERTIFY re-verifications
+    # (q_semdedup, q_dedup_jaccard_prefix, q_dedup_containment —
+    # already listed above; their RECERTIFY entries were cleared at
+    # round-8 start).
+    "q_avro_roundtrip", "q_bloom_fpr_audit", "q_bpe_merge_step",
+    "q_cms_error_bands", "q_consumer_lag", "q_cooccur_pmi",
+    "q_dataset_card", "q_decontaminate_embed", "q_dedup_typo",
+    "q_dup_provenance", "q_embed_dimstats", "q_embed_outliers",
+    "q_embed_pq", "q_gini_tokens", "q_graph_kcore",
+    "q_graph_label_prop", "q_hard_negatives", "q_hash_uniformity",
+    "q_keyness", "q_kmv_distinct", "q_langid_confusion",
+    "q_minhash_bbit", "q_minhash_est_err", "q_mix_token_budget",
+    "q_multimodal_hashdup", "q_ndcg_bm25", "q_ngram_novelty",
+    "q_order_size_dist", "q_pca_power", "q_pq_adc_recall",
+    "q_price_index", "q_rfm_segments", "q_schema_evolution",
+    "q_search_phrase", "q_skew_report", "q_source_vocab_overlap",
+    "q_srm_check", "q_stratified_sample", "q_stream_topk",
+    "q_stream_transitions", "q_token_fertility", "q_ts_sax_motif",
+    "q_unique_shingle_share", "q_vocab_coverage", "q_vocab_growth",
+    "q_word_burstiness", "q_zipf_slope",
 }
 
 # Certified queries whose implementation (or a shared helper on their
@@ -170,19 +192,10 @@ CERTIFIED: set[str] = {
 # q_kmeans_step, q_semdedup, q_tpch_q21, q_dedup_span_strip — all
 # landed green rows in CORRECTNESS_r06.json and were cleared at
 # round-7 start.)
-RECERTIFY: set[str] = {
-    # round-7: q_semdedup's pairwise stage rewritten (shared coarse
-    # argmin + per-cluster applyInPandas numpy prune replacing the
-    # self-join + interpreted cosine fold — round-6 verdict item 7);
-    # its r06 row was earned by the old plan.
-    "q_semdedup",
-    # round-7: PPJoin positional filter added to the prefix-join
-    # candidate stage (lossless, 2.5x fewer candidates — verdict item
-    # 6); the shared _prefix_postings helper now carries the rk
-    # column, so the containment join's path changed too.
-    "q_dedup_jaccard_prefix",
-    "q_dedup_containment",
-}
+# (round-7 entries — q_semdedup, q_dedup_jaccard_prefix,
+# q_dedup_containment — all landed green rows in CORRECTNESS_r07.json
+# and were cleared at round-8 start.)
+RECERTIFY: set[str] = set()
 
 
 def _round_number() -> int:
