@@ -149,7 +149,10 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> list[in
             out.extend(entry)
             if prev is not None and len(table) < 4096:
                 table.append(prev + [entry[0]])
-            if len(table) == (1 << width) and width < 12:
+            # >= (not ==): for nonconforming min_code_size=1 streams
+            # the table already equals 2^width at reset, so the append
+            # above lands past the boundary and equality never fires.
+            while len(table) >= (1 << width) and width < 12:
                 width += 1
             prev = entry
             if len(out) >= n_expected:
@@ -246,6 +249,11 @@ def probe_image(data: bytes):
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
+            if marker in (0xDA, 0xD9):
+                # SOS/EOI before any SOF: stop the walk — past SOS lies
+                # entropy-coded data where stuffed 0xFF bytes would be
+                # misread as markers and yield garbage dimensions.
+                break
             seg_len = struct.unpack_from(">H", data, pos + 2)[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack_from(">HH", data, pos + 5)
@@ -466,9 +474,18 @@ def decode_video(data: bytes):
             chroma = t[1:]
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
+    # Validate dimension parity per chroma mode BEFORE iterating: w//2
+    # on an odd dimension would silently floor, drifting the frame
+    # cursor into a misleading "expected FRAME marker" error downstream.
     if chroma.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError(
+                f"Y4M C420 requires even dimensions, got {w}x{h}"
+            )
         chroma_bytes = (w // 2) * (h // 2) * 2
     elif chroma.startswith("422"):
+        if w % 2:
+            raise ValueError(f"Y4M C422 requires even width, got {w}")
         chroma_bytes = (w // 2) * h * 2
     elif chroma.startswith("444"):
         chroma_bytes = w * h * 2

@@ -850,8 +850,8 @@ SELECT lang, source,
        CAST(sum(nw) AS BIGINT) AS n_words,
        CAST(sum(nb) AS BIGINT) AS n_bpe,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-       CAST(1000 * sum(nb) // sum(nw) AS BIGINT) AS fertility_milli,
-       CAST(1000 * sum(n_chars) // sum(nb) AS BIGINT) AS chars_per_bpe_milli
+       CAST(1000 * sum(nb) // NULLIF(sum(nw), 0) AS BIGINT) AS fertility_milli,
+       CAST(1000 * sum(n_chars) // NULLIF(sum(nb), 0) AS BIGINT) AS chars_per_bpe_milli
 FROM (SELECT lang, source, n_chars,
              {_FERT_WORDS_SQL} AS nw, {_FERT_BPE_SQL} AS nb
       FROM documents)
@@ -907,10 +907,15 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words",
             "n_bpe",
             "sum_chars",
-            F.expr("CAST(1000 * n_bpe DIV n_words AS BIGINT)").alias("fertility_milli"),
-            F.expr("CAST(1000 * sum_chars DIV n_bpe AS BIGINT)").alias(
-                "chars_per_bpe_milli"
-            ),
+            # NULLIF fences the zero-divisor case (a group with zero
+            # words / zero BPE tokens): Spark DIV would yield NULL but
+            # DuckDB // raises, so both sides NULLIF to stay comparable.
+            F.expr(
+                "CAST(1000 * n_bpe DIV NULLIF(n_words, 0) AS BIGINT)"
+            ).alias("fertility_milli"),
+            F.expr(
+                "CAST(1000 * sum_chars DIV NULLIF(n_bpe, 0) AS BIGINT)"
+            ).alias("chars_per_bpe_milli"),
         )
         .orderBy("lang", "source")
     )

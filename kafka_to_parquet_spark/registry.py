@@ -195,7 +195,12 @@ CERTIFIED: set[str] = {
 # (round-7 entries — q_semdedup, q_dedup_jaccard_prefix,
 # q_dedup_containment — all landed green rows in CORRECTNESS_r07.json
 # and were cleared at round-8 start.)
-RECERTIFY: set[str] = set()
+RECERTIFY: set[str] = {
+    # round-8: zero-divisor NULLIF guards added to both the Spark
+    # expressions and the oracle (ADVICE r07) — the ratio columns'
+    # SQL changed, so the r07 row was earned by the old text.
+    "q_token_fertility",
+}
 
 
 def _round_number() -> int:
