@@ -720,3 +720,189 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.expr(norm_expr("embedding")), 6).alias("vec_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic media encoders (the encode side of the real
+# decoders above). A corpus whose media column really contains
+# PNG/GIF/WAV/Y4M bytes does not exist in the fixture (documents.text
+# is prose), so q_multimodal_probe CONSTRUCTS one in-plan from doc_id
+# — the q_synth_generator discipline (sources/generator.py:46) — and
+# then runs the REAL decode path under the driver's oracle gate: every
+# pixel/sample below is a closed-form function of doc_id that the
+# DuckDB oracle recomputes without ever touching a codec.
+# ---------------------------------------------------------------------------
+
+SYNTH_KINDS = ("png", "ppm", "bmp", "gif", "wav", "y4m")
+SYNTH_GIF_PAL_N = 8  # 8-entry grayscale palette, min_code_size = 3
+
+
+def synth_dims(doc_id: int) -> tuple[int, int]:
+    """Image dims for a doc id — mirrored by the oracle SQL."""
+    return 4 + doc_id % 9, 3 + doc_id % 7
+
+
+def _synth_vals(n: int, seed: int):
+    """The shared value stream v_i = (31·i + 7 + seed) mod 256."""
+    import numpy as np
+
+    return ((np.arange(n, dtype=np.int64) * 31 + 7 + seed) % 256).astype(np.uint8)
+
+
+def encode_ppm(arr) -> bytes:
+    """Binary P6 from an (h, w, 3) uint8 array."""
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def encode_bmp(arr) -> bytes:
+    """24-bit BI_RGB bottom-up BMP (rows padded to 4 bytes) from an
+    (h, w, 3) RGB uint8 array."""
+    import struct
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = b"".join(
+        arr[y][:, ::-1].tobytes().ljust(stride, b"\x00")
+        for y in range(h - 1, -1, -1)
+    )
+    off = 14 + 40
+    return (
+        struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+        + rows
+    )
+
+
+def encode_png(arr) -> bytes:
+    """8-bit truecolor PNG, filter type 0 rows, one zlib IDAT — valid
+    per spec; decode_image reconstructs through the full filter path."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif_lzw_encode(mcs: int, indices) -> bytes:
+    """Standard dictionary GIF-LZW compressor (Clear first, EOI last,
+    width grows after assigning code 2^width, LSB-first packing) —
+    the inverse of :func:`_gif_lzw_decode`."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    codes = [(clear, width)]
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    buf: tuple[int, ...] = ()
+    for sym in indices:
+        nxt = buf + (int(sym),)
+        if nxt in table:
+            buf = nxt
+            continue
+        codes.append((table[buf], width))
+        table[nxt] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            codes.append((clear, width))
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        buf = (int(sym),)
+    if buf:
+        codes.append((table[buf], width))
+    codes.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(indices, palette, w: int, h: int, mcs: int) -> bytes:
+    """Single-frame GIF89a with a global color table: `indices` is an
+    (h·w,) palette-index array, `palette` a list of (r, g, b)."""
+    import struct
+
+    pal_bits = max(1, (len(palette) - 1).bit_length())
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    for j in range(1 << pal_bits):
+        r, g, b = palette[j] if j < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    out += b"," + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _gif_lzw_encode(mcs, indices)
+    out += bytes((mcs,))
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        out += bytes((len(blk),)) + blk
+    return out + b"\x00;"
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE from an int16 sample array."""
+    import struct
+
+    raw = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_y4m(frames, w: int, h: int) -> bytes:
+    """C420 Y4M from an (n, h, w) luma array; chroma planes neutral
+    0x80 (decode_video parses geometry and returns luma only)."""
+    cb = (w // 2) * (h // 2) * 2
+    out = f"YUV4MPEG2 W{w} H{h} F30000:1001 Ip A1:1 C420jpeg\n".encode()
+    for f in range(frames.shape[0]):
+        out += b"FRAME\n" + frames[f].tobytes() + b"\x80" * cb
+    return out
+
+
+def synth_media(doc_id: int) -> bytes:
+    """Deterministic payload for a doc id: kind = doc_id mod 6 over
+    {SYNTH_KINDS}, content from the shared value stream — every
+    decoded scalar is (31·i + 7 + doc_id) mod 256 (images/video),
+    palette-gray((7·i + doc_id) mod 8) (GIF), or
+    (777·i + 11·doc_id) mod 65536 − 32768 (WAV int16)."""
+    import numpy as np
+
+    kind = SYNTH_KINDS[doc_id % 6]
+    w, h = synth_dims(doc_id)
+    if kind in ("png", "ppm", "bmp"):
+        arr = _synth_vals(w * h * 3, doc_id).reshape(h, w, 3)
+        return {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp}[kind](arr)
+    if kind == "gif":
+        idx = ((np.arange(w * h, dtype=np.int64) * 7 + doc_id) % SYNTH_GIF_PAL_N)
+        pal = [((j * 40 + 5) % 256,) * 3 for j in range(SYNTH_GIF_PAL_N)]
+        return encode_gif(idx, pal, w, h, 3)
+    if kind == "wav":
+        n = 16 + doc_id % 33
+        s = ((np.arange(n, dtype=np.int64) * 777 + doc_id * 11) % 65536 - 32768)
+        return encode_wav(s.astype(np.int16), 8000)
+    wv, hv = 2 * (2 + doc_id % 8), 2 * (2 + doc_id % 6)
+    nf = 1 + doc_id % 3
+    luma = _synth_vals(nf * wv * hv, doc_id).reshape(nf, hv, wv)
+    return encode_y4m(luma, wv, hv)

@@ -290,3 +290,6 @@ def load_all() -> None:
     # round-6 declarations still waiting for their first row — new
     # declarations must queue behind them (see batch7's docstring).
     from kafka_to_parquet_spark.operators import batch7  # noqa: F401
+    # batch8 stays after batch7 for the same reason: round-8
+    # declarations queue behind any earlier never-certified names.
+    from kafka_to_parquet_spark.operators import batch8  # noqa: F401
