@@ -394,3 +394,316 @@ def q_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_collocation_llr.__doc__ = q_collocation_llr.__doc__.replace(
     "{M}", str(LLR_MIN_COUNT)
 ).replace("{N}", str(LLR_TOP))
+
+
+# ---------------------------------------------------------------------------
+# MOSS winnowing fingerprints + cross-document overlap
+# ---------------------------------------------------------------------------
+
+WIN_K = 3   # k-gram length (tokens per shingle)
+WIN_W = 4   # winnow window (positions per window)
+WIN_TOP = 20
+
+# Rolling k-gram hash at token position p: h31 of the joined k tokens.
+# Window MIN over positions p..p+W-1 selects the fingerprint VALUE —
+# selecting values (not positions) makes the fingerprint set identical
+# under any tiebreak, so no rightmost-min bookkeeping is needed for
+# determinism (Schleimer et al. 2003 §5 select positions only to
+# bound density; the distinct VALUE set is what overlap compares).
+
+
+@query(
+    "q_winnowing_fingerprint",
+    oracle=f"""
+WITH {_PROX_POSTINGS},
+kg AS (
+  SELECT p1.doc_id, p1.pos,
+         {duck_h31("p1.word || ' ' || p2.word || ' ' || p3.word")} AS kh
+  FROM post p1
+  JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+  JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+),
+wm AS (
+  SELECT doc_id,
+         min(kh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS wn
+  FROM kg
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE wn = {WIN_W}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id)
+SELECT doc_a, doc_b, shared,
+       sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+       CAST(shared * 10000 // (sa.n_fp + sb.n_fp - shared) AS BIGINT) AS sim_bp
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY sim_bp DESC, doc_a, doc_b
+LIMIT {WIN_TOP}
+""",
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS plagiarism detector): hash every {K}-token k-gram,
+    slide a {W}-position window, keep each window's MIN hash; the
+    distinct mins are the document's fingerprint set, guaranteed to
+    catch any shared run of ≥ {K}+{W}−1 tokens — a POSITION-STRUCTURED
+    near-dup signal (contiguous overlap) that the MinHash family
+    (bag-of-shingles, order-blind) cannot express. Pairs are ranked by
+    fingerprint Jaccard in basis points.
+
+    Determinism: hashes are the package-standard h31 (md5-derived,
+    mirrored in DuckDB); window min selects VALUES, so no tiebreak
+    ambiguity exists; similarity is integer basis points.
+
+    Scale shape: k-gram hashing is the positional-postings adjacency
+    join (doc-keyed, co-partitioned after one exchange); the winnow is
+    a doc-partitioned bounded-frame window — thousands of small
+    partitions, never global; fingerprints DISTINCT to ≈ n_tokens/{W}
+    per doc (the winnow's density guarantee — a 4× reduction before
+    any cross-doc work); the pair join is fingerprint-bucketed
+    (candidates only where a fingerprint collides — the LSH-band
+    shape), never all-pairs. Sizes join is doc-keyed over the reduced
+    fingerprint relation."""
+    docs = load(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    p1, p2, p3 = post.alias("p1"), post.alias("p2"), post.alias("p3")
+    kg = (
+        p1.join(
+            p2,
+            (F.col("p2.doc_id") == F.col("p1.doc_id"))
+            & (F.col("p2.pos") == F.col("p1.pos") + 1),
+        )
+        .join(
+            p3,
+            (F.col("p3.doc_id") == F.col("p1.doc_id"))
+            & (F.col("p3.pos") == F.col("p1.pos") + 2),
+        )
+        .select(
+            F.col("p1.doc_id").alias("doc_id"),
+            F.col("p1.pos").alias("pos"),
+            F.expr(
+                spark_h31(
+                    "concat(p1.word, ' ', p2.word, ' ', p3.word)"
+                )
+            ).alias("kh"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WIN_W - 1)
+    )
+    fps = (
+        kg.select(
+            "doc_id",
+            F.min("kh").over(w).alias("fp"),
+            F.count("*").over(w).alias("wn"),
+        )
+        .filter(F.col("wn") == WIN_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared", "n_fp_a", "n_fp_b",
+            F.expr(
+                "CAST(shared * 10000 DIV (n_fp_a + n_fp_b - shared) AS BIGINT)"
+            ).alias("sim_bp"),
+        )
+        .orderBy(F.desc("sim_bp"), "doc_a", "doc_b")
+        .limit(WIN_TOP)
+    )
+
+
+q_winnowing_fingerprint.__doc__ = (
+    q_winnowing_fingerprint.__doc__
+    .replace("{K}", str(WIN_K))
+    .replace("{W}", str(WIN_W))
+)
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+
+ROCCHIO_REL_K = 10   # pseudo-relevant set: top-k BM25 docs
+ROCCHIO_TOP = 15     # expansion terms reported
+ROCCHIO_MIN_LEN = 3  # candidate terms must be ≥ this many chars
+
+# Candidate term weight inside the relevant set: tf·idf with
+# idf = ln(N/df), per (doc, term), micro-rounded (the q_bm25 fencing),
+# then exact-integer summed over the relevant docs. The Rocchio β/|R|
+# factor scales every candidate equally and is dropped (rank-invariant).
+_ROCCHIO_U = (
+    "CAST(floor(CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DOUBLE)"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def _rocchio_oracle() -> str:
+    from kafka_to_parquet_spark.llm.search import (
+        _AVGDL_FRAG, _BM25_FRAG, _sql_list, BM25_TERMS,
+    )
+    from kafka_to_parquet_spark.functions.rounding import int_units
+
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents),
+dl AS (SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS dl FROM documents),
+par AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl),
+par2 AS (SELECT n_docs, {_AVGDL_FRAG} AS avgdl FROM par),
+qtf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE word IN ({_sql_list(BM25_TERMS)}) GROUP BY doc_id, word),
+qdf AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY word),
+scored AS (
+  SELECT qtf.doc_id, {int_units(_BM25_FRAG, 6)} AS u
+  FROM qtf JOIN qdf ON qtf.word = qdf.word
+  JOIN dl ON qtf.doc_id = dl.doc_id
+  CROSS JOIN par2
+),
+rel AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, sum(u) AS s FROM scored GROUP BY doc_id
+    ORDER BY s DESC, doc_id LIMIT {ROCCHIO_REL_K})
+),
+cand AS (
+  SELECT t.doc_id, t.word, CAST(count(*) AS BIGINT) AS tf
+  FROM toks t JOIN rel ON t.doc_id = rel.doc_id
+  WHERE t.word NOT IN ({_sql_list(BM25_TERMS)})
+    AND len(t.word) >= {ROCCHIO_MIN_LEN}
+  GROUP BY t.doc_id, t.word
+),
+dfall AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM toks
+        WHERE word IN (SELECT DISTINCT word FROM cand))
+  GROUP BY word
+)
+SELECT cand.word AS term,
+       CAST(count(*) AS BIGINT) AS n_rel_docs,
+       CAST(max(df) AS BIGINT) AS df,
+       CAST(sum({_ROCCHIO_U}) AS BIGINT) AS weight_micro
+FROM cand JOIN dfall ON cand.word = dfall.word CROSS JOIN par
+GROUP BY cand.word
+ORDER BY weight_micro DESC, term
+LIMIT {ROCCHIO_TOP}
+"""
+
+
+@query("q_rocchio_expand", oracle=_rocchio_oracle())
+def q_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance-feedback query expansion (Rocchio
+    1971, the classic PRF loop): run the fixed BM25 query, take the
+    top-{R} documents as pseudo-relevant, and score every non-query
+    term in them by its summed tf·idf weight — the terms a search
+    system would ADD to the query on the next pass. Composes q_bm25's
+    retrieval stage (identical scoring fragment, so the relevant set
+    matches q_bm25's ranking exactly) with a second corpus-vocabulary
+    statistics pass.
+
+    Determinism: the relevant set is a (score_units DESC, doc_id)
+    TakeOrdered over q_bm25's integer-fenced scores; candidate
+    weights are per-(doc, term) micro-rounded doubles (shared mirrored
+    fragment) summed as exact integers; final ranking carries the
+    (weight DESC, term) tiebreak.
+
+    Scale shape: the relevant set is {R} rows — it BROADCASTS into the
+    token stream, so the candidate tf aggregation runs over {R}
+    documents' tokens only; document frequencies are computed for
+    candidate terms only via a broadcast semi-join on the distinct
+    (doc, word) relation (one corpus pass, map-side combinable). No
+    stage is corpus-quadratic; the only corpus-sized work is the two
+    token scans q_bm25 already pays."""
+    from kafka_to_parquet_spark.functions.rounding import int_units
+    from kafka_to_parquet_spark.llm.search import _AVGDL_FRAG, _BM25_FRAG, BM25_TERMS
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+    dl = docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("dl")
+    )
+    par = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    par2 = par.select("n_docs", F.expr(_AVGDL_FRAG).alias("avgdl"))
+    qtf = (
+        toks.filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    qdf = qtf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(qdf), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(par2))
+        .select("doc_id", F.expr(int_units(_BM25_FRAG, 6)).alias("u"))
+    )
+    rel = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("u").alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(ROCCHIO_REL_K)
+        .select("doc_id")
+    )
+    cand = (
+        toks.join(F.broadcast(rel), "doc_id")
+        .filter(
+            (~F.col("word").isin(*BM25_TERMS))
+            & (F.length("word") >= ROCCHIO_MIN_LEN)
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cand_words = cand.select("word").distinct()
+    dfall = (
+        toks.select("doc_id", "word")
+        .join(F.broadcast(cand_words), "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    return (
+        cand.join(dfall, "word")
+        .crossJoin(F.broadcast(par.select("n_docs")))
+        .groupBy(F.col("word").alias("term"))
+        .agg(
+            F.count("*").cast("long").alias("n_rel_docs"),
+            F.max("df").cast("long").alias("df"),
+            F.sum(F.expr(_ROCCHIO_U)).cast("long").alias("weight_micro"),
+        )
+        .orderBy(F.desc("weight_micro"), "term")
+        .limit(ROCCHIO_TOP)
+    )
+
+
+q_rocchio_expand.__doc__ = q_rocchio_expand.__doc__.replace("{R}", str(ROCCHIO_REL_K))
