@@ -707,3 +707,307 @@ def q_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_rocchio_expand.__doc__ = q_rocchio_expand.__doc__.replace("{R}", str(ROCCHIO_REL_K))
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths (fixed-round Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+SSSP_ROUNDS = 4  # bounded Bellman-Ford prefix — the q_bfs_levels
+#                  discipline (each round relaxes one more hop; the
+#                  oracle stays a finite CTE chain; production iterates
+#                  the identical round body to fixed point).
+
+# Synthetic integer edge cost from the pair's trade volume: heavier
+# relationships are CHEAPER to traverse (w = 1 + 9 // n_txn ∈ [1, 10]),
+# the inverse-affinity weighting routing/influence analyses use.
+_SSSP_W = "1 + 9 // n_txn"
+_SSSP_W_SPARK = "1 + 9 DIV n_txn"
+
+
+def _sssp_oracle() -> str:
+    ctes = [
+        """e0 AS (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         CAST(count(*) AS BIGINT) AS n_txn
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)""",
+        f"""edges AS (
+  SELECT src, dst, CAST({_SSSP_W} AS BIGINT) AS w FROM e0
+  UNION ALL
+  SELECT dst, src, CAST({_SSSP_W} AS BIGINT) AS w FROM e0
+)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "r0 AS (SELECT min(node) AS node, CAST(0 AS BIGINT) AS dist FROM nodes)",
+    ]
+    for k in range(1, SSSP_ROUNDS + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM r{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.dist + e.w AS dist
+    FROM edges e JOIN r{k - 1} r ON e.src = r.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM r{SSSP_ROUNDS} GROUP BY dist
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT node FROM nodes EXCEPT SELECT node FROM r{SSSP_ROUNDS})
+ORDER BY dist
+"""
+    )
+
+
+@query("q_sssp_weighted", oracle=_sssp_oracle())
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths over WEIGHTED trade edges —
+    {R} rounds of Bellman-Ford relaxation from the minimum node id,
+    reported as a distance histogram (dist −1 = not reachable within
+    {R} relaxations). The weighted twin of q_bfs_levels: BFS counts
+    hops; this accumulates integer edge costs (inverse trade volume:
+    frequent partners are cheap to traverse), the actual
+    routing/influence-cost primitive.
+
+    Fixed-round and fully declarative: each round unions the carried
+    (node, min-dist) relation with the one-hop relaxation edges⋈dists
+    and re-minimizes. min-dist is monotone, so re-relaxing settled
+    nodes is idempotent — no visited-set to diverge on, exactly the
+    Bellman-Ford invariant. Unlike BFS, a node's distance can IMPROVE
+    in a later round (a longer-hop cheaper path), which the min over
+    the union handles for free.
+
+    Determinism: weights are integer (1 + 9 // n_txn from exact
+    counts); distances are exact integer sums; histograms are counts.
+
+    Scale shape per round: one edges⋈dists hash join (edge relation
+    persisted pre-hashed+pre-sorted on src, the q_graph_pagerank
+    trick) + a map-side-combinable min — only the NODE-sized distance
+    relation exchanges per round; weighted edges stream through. At
+    100 TB this is textbook distributed Bellman-Ford (the Pregel SSSP
+    kernel); Dijkstra's priority queue does not distribute."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("n_txn"))
+    )
+    with_w = e0.select("src", "dst", F.expr(f"CAST({_SSSP_W_SPARK} AS BIGINT)").alias("w"))
+    edges = (
+        with_w.unionByName(
+            with_w.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    r = nodes.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = edges.join(r, edges.src == r.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        r = (
+            r.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    reached = r.groupBy("dist").agg(F.count("*").cast("long").alias("n_nodes"))
+    unreached = (
+        nodes.join(r, "node", "left_anti")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .select(F.lit(-1).cast("long").alias("dist"), "n_nodes")
+    )
+    return reached.unionByName(unreached).orderBy("dist")
+
+
+q_sssp_weighted.__doc__ = q_sssp_weighted.__doc__.replace("{R}", str(SSSP_ROUNDS))
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of label-propagation communities (co-purchase graph)
+# ---------------------------------------------------------------------------
+
+MOD_TOP = 10        # communities reported (by size DESC, community id)
+MOD_LPA_ROUNDS = 2  # synchronous LPA rounds (q_graph_label_prop's knob)
+
+# The community graph is the PART CO-PURCHASE projection (operators/
+# graph.py's support-filtered pair relation), NOT q_graph_pagerank's
+# customer-supplier bipartite graph: LPA on a bipartite graph yields
+# single-side communities at every round (labels hop sides each
+# sweep), so EVERY community has zero internal edges and modularity is
+# identically degenerate. The projection is unipartite with genuine
+# dense neighborhoods — the structure modularity exists to measure.
+
+# Per-community modularity term over DIRECTED-symmetric counts
+# (M = 2m): contrib_c = e_c/M − (d_c/M)². Evaluated as ONE mirrored
+# double expression from exact BIGINTs, floor(+0.5)-rounded to micro
+# units — numerators can be negative, so the rounding happens on the
+# double (identical in both engines), never via integer division
+# (Spark DIV truncates toward zero, DuckDB // floors: they disagree
+# exactly on negatives).
+_MOD_MICRO = (
+    "CAST(floor(1000000.0 * (CAST(e_c AS DOUBLE) * m_dir - CAST(d_c AS DOUBLE) * d_c)"
+    " / (CAST(m_dir AS DOUBLE) * m_dir) + 0.5) AS BIGINT)"
+)
+
+
+def _modularity_oracle() -> str:
+    from kafka_to_parquet_spark.operators.graph import MIN_SUP, _PAIRS_CTE
+
+    ctes = [
+        _PAIRS_CTE,
+        f"""ce AS (SELECT pa, pb FROM pairs WHERE support >= {MIN_SUP})""",
+        "edges AS (SELECT pa AS src, pb AS dst FROM ce"
+        " UNION ALL SELECT pb AS src, pa AS dst FROM ce)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)",
+    ]
+    for k in range(1, MOD_LPA_ROUNDS + 1):
+        ctes.append(f"""c{k} AS (
+  SELECT e.dst AS node, l.lab AS lab, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN l{k - 1} l ON l.node = e.src
+  GROUP BY e.dst, l.lab
+)""")
+        ctes.append(f"""l{k} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM c{k})
+  WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+lab AS (SELECT node, lab FROM l{MOD_LPA_ROUNDS}),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m_dir FROM edges),
+within AS (
+  SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS e_c
+  FROM edges e
+  JOIN lab la ON e.src = la.node
+  JOIN lab lb ON e.dst = lb.node AND la.lab = lb.lab
+  GROUP BY la.lab
+),
+degsum AS (
+  SELECT la.lab AS community,
+         CAST(count(*) AS BIGINT) AS d_c,
+         CAST(count(DISTINCT e.src) AS BIGINT) AS n_nodes
+  FROM edges e JOIN lab la ON e.src = la.node
+  GROUP BY la.lab
+)
+SELECT d.community, d.n_nodes, d.d_c,
+       CAST(coalesce(w.e_c, 0) AS BIGINT) AS e_c,
+       {_MOD_MICRO.replace("e_c", "coalesce(w.e_c, 0)").replace("d_c", "d.d_c")}
+         AS contrib_micro
+FROM degsum d LEFT JOIN within w ON d.community = w.community
+CROSS JOIN m
+ORDER BY d.n_nodes DESC, d.community
+LIMIT {MOD_TOP}
+"""
+    )
+
+
+@query("q_graph_modularity", oracle=_modularity_oracle())
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity audit of label-propagation communities on the
+    part co-purchase projection — the standard "are these communities
+    denser than chance" score (Newman & Girvan 2004): per community c,
+    contrib = e_c/M − (d_c/M)² over the directed-symmetric edge count
+    M, internal edge count e_c, and degree mass d_c. Reports the
+    top-{N} communities by size with their exact integer ingredients
+    and micro-rounded contribution — the quality gate a pipeline runs
+    before TRUSTING a community structure (LPA can collapse to one
+    giant label; a near-zero contribution exposes it).
+
+    Runs q_graph_label_prop's exact LPA round body (same tiebreak,
+    same fixed-round discipline) on q_copurchase_pairs' support-
+    filtered projection — see the module-level comment for why the
+    bipartite trade graph is the WRONG substrate for this audit — and
+    then measures the result with a second exact computation (the
+    q_lsh_recall audit discipline).
+
+    Determinism: e_c, d_c, M, sizes are exact BIGINTs; the only double
+    is the ONE mirrored contribution expression per community (floor
+    +0.5 on the double — integer division is avoided because the
+    numerator can be negative, where Spark DIV truncates but DuckDB //
+    floors).
+
+    Scale shape: the projection is order-keyed with bounded per-order
+    fan-out (operators/graph.py:_part_pairs); edges persist pre-hashed
+    on src ONCE and every LPA round exchanges only the node-sized
+    label relation; the within-community count is two hash joins of
+    edges against node-sized labels; degree mass is map-side
+    combinable. Nothing is community-quadratic."""
+    from kafka_to_parquet_spark.operators.graph import MIN_SUP, _part_pairs
+
+    ce = _part_pairs(spark, sf_dir).filter(F.col("support") >= MIN_SUP).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    )
+    edges = (
+        ce.unionByName(ce.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
+    for _ in range(MOD_LPA_ROUNDS):
+        freq = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.col("node2").alias("node"), "lab", "c")
+        )
+        labels = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    m = edges.agg(F.count("*").cast("long").alias("m_dir"))
+    la = labels.select(F.col("node").alias("src"), F.col("lab").alias("community"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("lab").alias("lab_b"))
+    within = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("community") == F.col("lab_b"))
+        .groupBy("community")
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    degsum = (
+        edges.join(la, "src")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("long").alias("d_c"),
+            F.countDistinct("src").cast("long").alias("n_nodes"),
+        )
+    )
+    return (
+        degsum.join(within, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .withColumn("e_c", F.coalesce(F.col("e_c"), F.lit(0)).cast("long"))
+        .select(
+            "community",
+            "n_nodes",
+            "d_c",
+            "e_c",
+            F.expr(_MOD_MICRO).alias("contrib_micro"),
+        )
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(MOD_TOP)
+    )
+
+
+q_graph_modularity.__doc__ = q_graph_modularity.__doc__.replace("{N}", str(MOD_TOP))
