@@ -855,10 +855,10 @@ MOD_LPA_ROUNDS = 2  # synchronous LPA rounds (q_graph_label_prop's knob)
 # Per-community modularity term over DIRECTED-symmetric counts
 # (M = 2m): contrib_c = e_c/M − (d_c/M)². Evaluated as ONE mirrored
 # double expression from exact BIGINTs, floor(+0.5)-rounded to micro
-# units — numerators can be negative, so the rounding happens on the
-# double (identical in both engines), never via integer division
-# (Spark DIV truncates toward zero, DuckDB // floors: they disagree
-# exactly on negatives).
+# units — numerators can be negative, so the rounding happens on one
+# mirrored floor(+0.5) over the double (bit-identical in both
+# engines for this expression) rather than relying on each engine's
+# integer-division convention for signed operands.
 _MOD_MICRO = (
     "CAST(floor(1000000.0 * (CAST(e_c AS DOUBLE) * m_dir - CAST(d_c AS DOUBLE) * d_c)"
     " / (CAST(m_dir AS DOUBLE) * m_dir) + 0.5) AS BIGINT)"
@@ -939,9 +939,8 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: e_c, d_c, M, sizes are exact BIGINTs; the only double
     is the ONE mirrored contribution expression per community (floor
-    +0.5 on the double — integer division is avoided because the
-    numerator can be negative, where Spark DIV truncates but DuckDB //
-    floors).
+    +0.5 on the double — one mirrored expression, so signed values
+    round identically).
 
     Scale shape: the projection is order-keyed with bounded per-order
     fan-out (operators/graph.py:_part_pairs); edges persist pre-hashed
@@ -1011,3 +1010,130 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_graph_modularity.__doc__ = q_graph_modularity.__doc__.replace("{N}", str(MOD_TOP))
+
+
+# ---------------------------------------------------------------------------
+# STL-style additive decomposition of the daily revenue series
+# ---------------------------------------------------------------------------
+
+STL_TREND_HALF = 3  # centered rolling-trend half-width: window = 7 days
+
+# Shared CTE: per-(event_type, day) revenue in exact integer cents —
+# operators/timeseries.py's _DUCK_DAILY_CENTS shape (value is 2dp, so
+# round(·100) is exact; sums of BIGINTs are exact in both engines).
+_STL_DAILY = """daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)"""
+
+
+@query(
+    "q_stl_decompose",
+    oracle=f"""
+WITH {_STL_DAILY},
+tr AS (
+  SELECT event_type, d, yc,
+         CAST(sum(yc) OVER w AS BIGINT) AS s7,
+         CAST(count(*) OVER w AS BIGINT) AS n7,
+         CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) % 7 AS dow
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN {STL_TREND_HALF} PRECEDING AND {STL_TREND_HALF} FOLLOWING)
+),
+dt AS (
+  SELECT event_type, d, dow, yc,
+         CAST(1000 * s7 // 7 AS BIGINT) AS trend_milli,
+         CAST(1000 * yc - 1000 * s7 // 7 AS BIGINT) AS detr_milli
+  FROM tr WHERE n7 = {2 * STL_TREND_HALF + 1}
+),
+seas AS (
+  SELECT event_type, dow,
+         CAST(sum(detr_milli) // count(*) AS BIGINT) AS seas_milli
+  FROM dt GROUP BY event_type, dow
+)
+SELECT dt.event_type, dt.d AS day, dt.yc AS y_cents,
+       dt.trend_milli, seas.seas_milli,
+       CAST(dt.detr_milli - seas.seas_milli AS BIGINT) AS resid_milli
+FROM dt JOIN seas ON dt.event_type = seas.event_type AND dt.dow = seas.dow
+ORDER BY dt.event_type, dt.d
+""",
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of each event type's daily
+    revenue series: trend = centered {W}-day rolling mean, seasonal =
+    per-weekday mean of the detrended series, remainder = series −
+    trend − seasonal — the decomposition behind anomaly detection and
+    forecasting baselines ("is Monday's dip seasonality or a real
+    drop?"). Classic STL iterates loess passes; this is the one-pass
+    moving-average variant (the `decompose()` of R), whose algebra is
+    exactly expressible in windows + groupBy and therefore
+    oracle-checkable — per-series loess belongs to an applyInPandas
+    twin if ever needed.
+
+    All-integer: day revenue is exact cents; trend in milli-cents is
+    1000·Σ₇/7 by integer floor-division of non-negative sums; the
+    weekday seasonal is an integer floor-mean of detrended milli
+    values (Spark DIV and DuckDB // both truncate toward zero, so
+    the quotient matches even when a detrended sum is negative);
+    remainder is a difference of integers. Edge days without a full {W}-day window are excluded
+    (n7 = {W} — the standard moving-average NA edge). Weekday is epoch
+    day mod 7 (q_seasonality_dow's locale-immune convention).
+
+    Scale shape: the fact collapses map-side to |types|·|days| cells;
+    the trend is a bounded-frame window over per-type partitions
+    (thousands of small partitions, never global); the seasonal is a
+    ≤|types|·7-cell aggregate joined back BROADCAST. Nothing after the
+    first aggregate is data-sized. 100 TB honesty: rows-between frames
+    assume gapless days per type — a sparse series composes
+    q_ts_gapfill first (documented, same assumption as
+    q_ts_rolling_median)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("yc")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-STL_TREND_HALF, STL_TREND_HALF)
+    )
+    tr = daily.select(
+        "event_type",
+        "d",
+        "yc",
+        F.sum("yc").over(w).cast("long").alias("s7"),
+        F.count("*").over(w).cast("long").alias("n7"),
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long") % 7
+        ).alias("dow"),
+    )
+    dt = tr.filter(F.col("n7") == 2 * STL_TREND_HALF + 1).select(
+        "event_type",
+        "d",
+        "dow",
+        "yc",
+        F.expr("CAST(1000 * s7 DIV 7 AS BIGINT)").alias("trend_milli"),
+        F.expr("CAST(1000 * yc - 1000 * s7 DIV 7 AS BIGINT)").alias("detr_milli"),
+    )
+    seas = dt.groupBy("event_type", "dow").agg(
+        F.expr("CAST(sum(detr_milli) DIV count(*) AS BIGINT)").alias("seas_milli")
+    )
+    return (
+        dt.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.col("yc").alias("y_cents"),
+            "trend_milli",
+            "seas_milli",
+            (F.col("detr_milli") - F.col("seas_milli")).cast("long").alias("resid_milli"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+q_stl_decompose.__doc__ = q_stl_decompose.__doc__.replace(
+    "{W}", str(2 * STL_TREND_HALF + 1)
+)
