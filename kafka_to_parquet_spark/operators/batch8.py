@@ -1137,3 +1137,293 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_stl_decompose.__doc__ = q_stl_decompose.__doc__.replace(
     "{W}", str(2 * STL_TREND_HALF + 1)
 )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+# Deterministic experiment scaffold on the events fixture: the
+# pre/post boundary is the MIDPOINT DAY of the observed time range
+# (integer day arithmetic, engine-identical), the variant is
+# h31(user_id) % 2 (the q_split_assign hash-assignment discipline),
+# x = a user's pre-period revenue cents, y = post-period cents.
+# θ = cov(x, y)/var(x) is pooled over both variants (standard CUPED:
+# the covariate is pre-experiment, so pooling cannot leak treatment).
+_CUPED_THETA = (
+    "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+)
+# Per-variant adjusted mean:  ȳ_v − θ·(x̄_v − x̄)   (all cents doubles
+# from exact BIGINT sums; ONE mirrored expression per variant row).
+_CUPED_ADJ = (
+    f"(CAST(sy_v AS DOUBLE) / n_v - {_CUPED_THETA}"
+    " * (CAST(sx_v AS DOUBLE) / n_v - CAST(sx AS DOUBLE) / n))"
+)
+_CUPED_MICRO = "CAST(floor(CAST(({x}) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+@query(
+    "q_abtest_cuped",
+    oracle=f"""
+WITH cents AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+split AS (
+  SELECT min(d) + CAST(datediff('day', min(d), max(d)) // 2 AS INTEGER) AS sd
+  FROM cents
+),
+pu AS (
+  SELECT user_id,
+         CAST({duck_h31("CAST(user_id AS VARCHAR)")} % 2 AS BIGINT) AS variant,
+         CAST(sum(CASE WHEN d < sd THEN c ELSE 0 END) AS BIGINT) AS ux,
+         CAST(sum(CASE WHEN d >= sd THEN c ELSE 0 END) AS BIGINT) AS uy
+  FROM cents CROSS JOIN split
+  GROUP BY user_id, sd
+),
+pool AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ux) AS BIGINT) AS sx, CAST(sum(uy) AS BIGINT) AS sy,
+         CAST(sum(ux * uy) AS BIGINT) AS sxy,
+         CAST(sum(ux * ux) AS BIGINT) AS sxx
+  FROM pu
+),
+byv AS (
+  SELECT variant,
+         CAST(count(*) AS BIGINT) AS n_v,
+         CAST(sum(ux) AS BIGINT) AS sx_v,
+         CAST(sum(uy) AS BIGINT) AS sy_v
+  FROM pu GROUP BY variant
+)
+SELECT variant, n_v, sx_v, sy_v,
+       {_CUPED_MICRO.format(x=_CUPED_THETA)} AS theta_micro,
+       {_CUPED_MICRO.format(x="CAST(sy_v AS DOUBLE) / n_v")} AS mean_y_micro,
+       {_CUPED_MICRO.format(x=_CUPED_ADJ)} AS cuped_mean_micro
+FROM byv CROSS JOIN pool
+ORDER BY variant
+""",
+)
+def q_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi, Walker
+    2013 — the industry-standard experiment shrinkage): per user the
+    PRE-period revenue x (covariate) and POST-period revenue y
+    (metric), pooled θ = cov(x,y)/var(x), and per variant the adjusted
+    mean ȳ_v − θ·(x̄_v − x̄) — the estimator that removes the
+    between-user variance x explains, typically halving experiment
+    runtimes. Completes the experimentation suite: q_srm_check gates
+    the assignment, q_welch_ttest tests raw means, this is the
+    production readout those feed.
+
+    Deterministic scaffold (fixture has no real experiment): midpoint-
+    day split, h31(user_id) % 2 variants — every piece mirrored
+    integer arithmetic. Sums n, Σx, Σy, Σxy, Σx² are exact BIGINTs
+    (cents); θ and the adjusted means are ONE mirrored double
+    expression per output row, micro-rounded (the q_cooccur_pmi
+    fencing — no cross-row float aggregation).
+
+    Scale shape: one fact pass collapses map-side to per-user (x, y)
+    rows keyed by user (the only data-sized exchange); the pooled
+    moments are a 1-row aggregate and the per-variant sums a 2-row
+    aggregate over the user relation; the final join is a broadcast
+    cross of two tiny relations. At 100 TB: identical — moments
+    compose, nothing is user-quadratic. Σx² with cents at 1e9 users
+    needs decimal widening (documented; the constants rescale)."""
+    ev = load(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    split = cents.agg(
+        F.expr(
+            "CAST(date_add(min(d), CAST(datediff(max(d), min(d)) DIV 2 AS INT))"
+            " AS DATE) AS sd"
+        )
+    )
+    pu = (
+        cents.crossJoin(F.broadcast(split))
+        .groupBy("user_id", "sd")
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("sd"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("ux"),
+            F.sum(F.when(F.col("d") >= F.col("sd"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("uy"),
+        )
+        .select(
+            F.expr(
+                f"CAST({spark_h31('CAST(user_id AS STRING)')} % 2 AS BIGINT)"
+            ).alias("variant"),
+            "ux",
+            "uy",
+        )
+    )
+    pool = pu.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ux").cast("long").alias("sx"),
+        F.sum("uy").cast("long").alias("sy"),
+        F.sum(F.col("ux") * F.col("uy")).cast("long").alias("sxy"),
+        F.sum(F.col("ux") * F.col("ux")).cast("long").alias("sxx"),
+    )
+    byv = pu.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_v"),
+        F.sum("ux").cast("long").alias("sx_v"),
+        F.sum("uy").cast("long").alias("sy_v"),
+    )
+    return (
+        byv.crossJoin(F.broadcast(pool))
+        .select(
+            "variant",
+            "n_v",
+            "sx_v",
+            "sy_v",
+            F.expr(_CUPED_MICRO.format(x=_CUPED_THETA)).alias("theta_micro"),
+            F.expr(
+                _CUPED_MICRO.format(x="CAST(sy_v AS DOUBLE) / n_v")
+            ).alias("mean_y_micro"),
+            F.expr(_CUPED_MICRO.format(x=_CUPED_ADJ)).alias("cuped_mean_micro"),
+        )
+        .orderBy("variant")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval for the mean order value
+# ---------------------------------------------------------------------------
+
+BOOT_B = 40  # resamples: enough for 2.5/97.5 disc quantiles to be
+#              interior order statistics, small enough that the
+#              B-fold fact expansion stays cheap at bench scale
+
+# Poisson(1) inverse CDF on a 1/10000 uniform grid: cumulative pmf
+# ×10000, floored — a hash-uniform u ∈ [0, 10000) maps to the weight
+# w = #resample copies of the row. Thresholds are exact integers, so
+# both engines branch identically (no float CDF at query time).
+_POIS_CUM = (3679, 7358, 9197, 9810, 9963, 9994, 9999)
+_POIS_W = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t} THEN {i}" for i, t in enumerate(_POIS_CUM)
+    )
+    + " ELSE 7 END"
+)
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+WITH oc AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+expanded AS (
+  SELECT b, c,
+         CAST({duck_h31("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+              % 10000 AS BIGINT) AS u
+  FROM oc CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b)
+),
+stats AS (
+  SELECT b,
+         CAST(sum(({_POIS_W}) * c) // sum({_POIS_W}) AS BIGINT) AS mean_c,
+         CAST(sum({_POIS_W}) AS BIGINT) AS n_eff
+  FROM (SELECT b, c, u FROM expanded)
+  GROUP BY b
+),
+point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(c) // count(*) AS BIGINT) AS point_mean_c
+  FROM oc
+)
+SELECT CAST({BOOT_B} AS BIGINT) AS b_resamples,
+       n_orders, point_mean_c,
+       CAST(quantile_disc(mean_c, 0.025) AS BIGINT) AS ci_lo_cents,
+       CAST(quantile_disc(mean_c, 0.975) AS BIGINT) AS ci_hi_cents,
+       CAST(min(mean_c) AS BIGINT) AS boot_min_cents,
+       CAST(max(mean_c) AS BIGINT) AS boot_max_cents
+FROM stats CROSS JOIN point
+GROUP BY n_orders, point_mean_c
+""",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean order
+    value — the SINGLE-PASS distributed bootstrap (Chamandy et al.
+    2012, "Estimating Uncertainty for Massive Data Streams", the
+    Google recipe): instead of resampling n rows B times (impossible
+    at scale — that is B full shuffles of the fact), each row draws an
+    independent Poisson(1) replication weight per resample, which at
+    large n is indistinguishable from multinomial resampling. One scan
+    computes all B resample means; order statistics over the B-row
+    stats relation give the CI.
+
+    Deterministic by construction: the Poisson draw is the inverse CDF
+    on a hash-uniform integer grid (h31(orderkey:b) % 10000 against
+    exact threshold integers — the q_stratified_sample discipline), so
+    both engines replicate identically. Resample means are floor
+    divisions of exact non-negative cent sums; CI bounds are disc
+    quantiles (order statistics — the q_rfm_segments
+    percentile_disc/quantile_disc rule).
+
+    Scale shape: the B-fold expansion happens INSIDE the scan task
+    (explode over a {B}-element literal sequence — no join, no
+    shuffle) and collapses map-side to ≤{B} partial rows per task; the
+    only exchange carries |tasks|·{B} partials. The stats relation is
+    {B} rows; quantiles over it are trivial. At 100 TB this is one
+    fact pass — the entire point of the Poisson form."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    expanded = o.select(
+        "o_orderkey",
+        "c",
+        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+    ).select(
+        "b",
+        "c",
+        F.expr(
+            "CAST("
+            + spark_h31("concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING))")
+            + " % 10000 AS BIGINT)"
+        ).alias("u"),
+    )
+    stats = expanded.groupBy("b").agg(
+        F.expr(
+            f"CAST(sum(({_POIS_W}) * c) DIV sum({_POIS_W}) AS BIGINT)"
+        ).alias("mean_c"),
+        F.expr(f"CAST(sum({_POIS_W}) AS BIGINT)").alias("n_eff"),
+    )
+    point = o.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr("CAST(sum(c) DIV count(*) AS BIGINT)").alias("point_mean_c"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(point))
+        .groupBy("n_orders", "point_mean_c")
+        .agg(
+            F.expr(
+                "CAST(percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_c)"
+                " AS BIGINT)"
+            ).alias("ci_lo_cents"),
+            F.expr(
+                "CAST(percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_c)"
+                " AS BIGINT)"
+            ).alias("ci_hi_cents"),
+            F.min("mean_c").cast("long").alias("boot_min_cents"),
+            F.max("mean_c").cast("long").alias("boot_max_cents"),
+        )
+        .select(
+            F.lit(BOOT_B).cast("long").alias("b_resamples"),
+            "n_orders",
+            F.col("point_mean_c"),
+            "ci_lo_cents",
+            "ci_hi_cents",
+            "boot_min_cents",
+            "boot_max_cents",
+        )
+    )
+
+
+q_bootstrap_ci.__doc__ = q_bootstrap_ci.__doc__.replace("{B}", str(BOOT_B))
