@@ -1427,3 +1427,148 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_bootstrap_ci.__doc__ = q_bootstrap_ci.__doc__.replace("{B}", str(BOOT_B))
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction: k chained merge steps
+# ---------------------------------------------------------------------------
+
+BPE_LEARN_K = 5  # chained merges — the q_kmeans3 bounded-iteration
+#                  discipline (q_bpe_merge_step is ONE statistics pass;
+#                  this carries the learned merge forward k times, the
+#                  actual Sennrich training loop).
+
+# Symbol sequences ride as SENTINEL-FRAMED STRINGS: every symbol is
+# wrapped chr(31)·sym·chr(31), so "ab" segmented [a, b] is ␟a␟␟b␟.
+# Merging pair (a, b) is then ONE string replace of ␟a␟␟b␟ with
+# ␟ab␟ — and because each match consumes its own frame bytes (nothing
+# shared with an adjacent match), left-to-right non-overlapping
+# replace() — identical semantics in Spark and DuckDB — implements
+# EXACTLY BPE's greedy leftmost merge scan: [a,a,a,a] → [aa,aa], and
+# [a,a,a] → [aa,a], never [a,aa]. chr(31) (ASCII unit separator)
+# cannot appear in tokens (verified: 0 documents contain it; tokens
+# are whitespace-split so no whitespace either).
+
+
+def _bpe_ctes() -> list[str]:
+    us = "chr(31)"
+    ctes = [
+        f"""btf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wf
+  FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY word
+)""",
+        f"""v0 AS (
+  SELECT regexp_replace(word, '(.)', {us} || '\\1' || {us}, 'g') AS s, wf
+  FROM btf
+)""",
+    ]
+    for r in range(1, BPE_LEARN_K + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(wf) AS BIGINT) AS cnt
+  FROM (
+    SELECT syms, wf, unnest(range(1, len(syms))) AS i
+    FROM (SELECT string_split(trim(s, {us}), {us} || {us}) AS syms, wf
+          FROM v{r - 1})
+    WHERE len(syms) >= 2
+  )
+  GROUP BY 1, 2
+)""")
+        ctes.append(
+            f"m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(f"""v{r} AS (
+  SELECT replace(s, {us} || a || {us} || {us} || b || {us},
+                 {us} || a || b || {us}) AS s, wf
+  FROM v{r - 1} CROSS JOIN m{r}
+)""")
+    return ctes
+
+
+def _bpe_oracle() -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, a, b, cnt FROM m{r}"
+        for r in range(1, BPE_LEARN_K + 1)
+    )
+    return "WITH " + ",\n".join(_bpe_ctes()) + f"\n{union}\nORDER BY step\n"
+
+
+@query("q_bpe_learn_k", oracle=_bpe_oracle())
+def q_bpe_learn_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE vocabulary induction, {K} chained merge steps
+    (Sennrich et al. 2016 — the training loop behind GPT/Llama
+    tokenizers): each round counts adjacent symbol pairs weighted by
+    word frequency, merges the (count DESC, pair-lexicographic) argmax
+    EVERYWHERE via greedy leftmost re-segmentation, and repeats on the
+    merged vocabulary. Emits the learned merge table (step, a, b,
+    count) — q_bpe_merge_step is round 1 of this by construction.
+
+    The re-segmentation trick that keeps every round declarative:
+    symbol sequences travel as sentinel-framed strings (see module
+    comment above _bpe_ctes) so applying a merge is ONE broadcast
+    scalar join + ONE replace() — no UDF, no driver-side tokenizer
+    state; replace's left-to-right non-overlap scan IS BPE's greedy
+    merge order, bit-identically in both engines.
+
+    Determinism: pair counts are exact BIGINT sums; each round's merge
+    is a total-order argmax; strings never meet a float.
+
+    Scale shape: the corpus collapses ONCE to its word-frequency table
+    (pair statistics are per word TYPE weighted by wf — the
+    q_bpe_merge_step observation), so all {K} rounds iterate over the
+    VOCABULARY, orders of magnitude smaller than the corpus. Per
+    round: split+explode over vocab rows (map-side, ≈ Σ|word| pair
+    rows), one map-side-combinable (a, b) aggregate, a 1-row
+    TakeOrdered argmax broadcast back into a vocab-sized map. Rounds
+    persist their vocab (each is referenced by BOTH the next round's
+    statistics and its re-segmentation — without the cache the lineage
+    re-derives the corpus collapse 2^{K} times)."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wf"))
+    )
+    v = tf.select(
+        F.regexp_replace("word", "(.)", "\x1f$1\x1f").alias("s"), "wf"
+    ).persist()
+    pair_expr = (
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"
+    )
+    merges = []
+    for _ in range(BPE_LEARN_K):
+        syms = v.select(
+            F.split(F.expr("trim(BOTH '\x1f' FROM s)"), "\x1f\x1f").alias("syms"),
+            "wf",
+        ).filter(F.size("syms") >= 2)
+        pairs = syms.select("wf", F.explode(F.expr(pair_expr)).alias("p")).select(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b"), "wf"
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wf").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .persist()
+        )
+        merges.append(best)
+        v = (
+            v.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "replace(s, concat('\x1f', a, '\x1f\x1f', b, '\x1f'),"
+                    " concat('\x1f', a, b, '\x1f'))"
+                ).alias("s"),
+                "wf",
+            )
+            .persist()
+        )
+    out = None
+    for r, m in enumerate(merges, start=1):
+        step = m.select(F.lit(r).cast("long").alias("step"), "a", "b", "cnt")
+        out = step if out is None else out.unionByName(step)
+    return out.orderBy("step")
+
+
+q_bpe_learn_k.__doc__ = q_bpe_learn_k.__doc__.replace("{K}", str(BPE_LEARN_K))

@@ -1,0 +1,576 @@
+"""Round-8 session tests: independent pure-Python recomputations of
+every batch8 query at sf0.001 (the tests/test_round7.py model — a
+THIRD implementation besides the Spark plan and the DuckDB oracle),
+plus encoder/decoder round-trip fuzz for the synthetic media path."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections import Counter, defaultdict
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+H31_P = 2_147_483_647
+
+
+def _h31(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % H31_P
+
+
+def _table(name: str):
+    return duckdb.connect().execute(
+        f"SELECT * FROM read_parquet('{SF}/{name}.parquet')"
+    ).df()
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+# ---------------------------------------------------------------------------
+# Synthetic media: encode → real decode == closed form
+# ---------------------------------------------------------------------------
+
+
+def test_synth_media_roundtrip_closed_form():
+    from kafka_to_parquet_spark.llm.multimodal import (
+        SYNTH_KINDS,
+        decode_audio,
+        decode_gif,
+        decode_image,
+        decode_video,
+        probe_media,
+        synth_dims,
+        synth_media,
+    )
+
+    for d in range(72):
+        kind = SYNTH_KINDS[d % 6]
+        payload = synth_media(d)
+        assert probe_media(payload)[1] == kind
+        w, h = synth_dims(d)
+        if kind in ("png", "ppm", "bmp"):
+            arr, gw, gh, _ = decode_image(payload)
+            n = w * h * 3
+            want = sum((i * 31 + 7 + d) % 256 for i in range(n))
+            assert (gw, gh, arr.size) == (w, h, n)
+        elif kind == "gif":
+            fr, gw, gh = decode_gif(payload)
+            n = w * h
+            want = 3 * sum((((i * 7 + d) % 8) * 40 + 5) % 256 for i in range(n))
+            assert (gw, gh, fr.size) == (w, h, n * 3)
+            arr = fr
+        elif kind == "wav":
+            arr, rate = decode_audio(payload)
+            n = 16 + d % 33
+            want = sum((i * 777 + d * 11) % 65536 - 32768 for i in range(n))
+            assert rate == 8000 and arr.size == n
+        else:
+            arr, gw, gh, _fn, _fd = decode_video(payload)
+            wv, hv, nf = 2 * (2 + d % 8), 2 * (2 + d % 6), 1 + d % 3
+            n = nf * wv * hv
+            want = sum((i * 31 + 7 + d) % 256 for i in range(n))
+            assert (gw, gh, arr.size) == (wv, hv, n)
+        assert int(arr.astype(np.int64).sum()) == want, (d, kind)
+
+
+def test_gif_lzw_encode_decode_fuzz():
+    """Product LZW encoder → product LZW decoder over random index
+    streams at every legal min_code_size, including streams long
+    enough to force width growth and a 4096-entry table reset."""
+    from kafka_to_parquet_spark.llm.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(8)
+    for mcs in (2, 3, 5, 8):
+        for n in (1, 7, 300, 6000):
+            idx = [rng.randrange(1 << mcs) for _ in range(n)]
+            enc = _gif_lzw_encode(mcs, idx)
+            assert _gif_lzw_decode(mcs, enc, n) == idx, (mcs, n)
+
+
+# ---------------------------------------------------------------------------
+# BPE induction
+# ---------------------------------------------------------------------------
+
+
+def _merge_greedy(seq: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def test_bpe_learn_k_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import BPE_LEARN_K
+
+    docs = _table("documents")
+    tf = Counter(w for t in docs["text"] for w in _tokens(t))
+    vocab = {w: [list(w), f] for w, f in tf.items()}
+    want = []
+    for step in range(1, BPE_LEARN_K + 1):
+        pc = Counter()
+        for seq, f in vocab.values():
+            for i in range(len(seq) - 1):
+                pc[(seq[i], seq[i + 1])] += f
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, a, b, cnt))
+        for v in vocab.values():
+            v[0] = _merge_greedy(v[0], a, b)
+    got = [
+        (r["step"], r["a"], r["b"], r["cnt"])
+        for r in run("q_bpe_learn_k").collect()
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# G² collocations
+# ---------------------------------------------------------------------------
+
+
+def test_collocation_llr_matches_python(run):
+    import math
+
+    from kafka_to_parquet_spark.operators.batch8 import LLR_MIN_COUNT, LLR_TOP
+
+    docs = _table("documents")
+    bg = Counter()
+    for t in docs["text"]:
+        toks = _tokens(t)
+        for i in range(len(toks) - 1):
+            bg[(toks[i], toks[i + 1])] += 1
+    ra, cb = Counter(), Counter()
+    for (a, b), c in bg.items():
+        ra[a] += c
+        cb[b] += c
+    nn = sum(bg.values())
+
+    def cell(o, r, c):
+        return o * math.log(o * nn / (r * c)) if o > 0 else 0.0
+
+    rows = []
+    for (a, b), n11 in bg.items():
+        if n11 < LLR_MIN_COUNT:
+            continue
+        g2 = 2.0 * (
+            cell(n11, ra[a], cb[b])
+            + cell(ra[a] - n11, ra[a], nn - cb[b])
+            + cell(cb[b] - n11, nn - ra[a], cb[b])
+            + cell(nn - ra[a] - cb[b] + n11, nn - ra[a], nn - cb[b])
+        )
+        rows.append((a, b, n11, ra[a], cb[b], nn, round(g2 * 1_000_000)))
+    rows.sort(key=lambda r: (-r[6], r[0], r[1]))
+    got = [tuple(r) for r in run("q_collocation_llr").collect()]
+    # float-vs-float recompute: allow ±1 micro-unit on the score while
+    # requiring the selected set and ordering to match
+    assert [g[:6] for g in got] == [w[:6] for w in rows[:LLR_TOP]]
+    for g, w in zip(got, rows):
+        assert abs(g[6] - w[6]) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import WIN_K, WIN_TOP, WIN_W
+
+    docs = _table("documents")
+    fps: dict[int, set[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = _tokens(text)
+        khs = [
+            _h31(" ".join(toks[i : i + WIN_K]))
+            for i in range(len(toks) - WIN_K + 1)
+        ]
+        s = {
+            min(khs[i : i + WIN_W])
+            for i in range(len(khs) - WIN_W + 1)
+        }
+        if s:
+            fps[int(doc_id)] = s
+    pairs = []
+    ids = sorted(fps)
+    buckets = defaultdict(list)
+    for d in ids:
+        for f in fps[d]:
+            buckets[f].append(d)
+    shared = Counter()
+    for f, ds in buckets.items():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                shared[(ds[i], ds[j])] += 1
+    for (da, db), sh in shared.items():
+        sim = sh * 10000 // (len(fps[da]) + len(fps[db]) - sh)
+        pairs.append((da, db, sh, len(fps[da]), len(fps[db]), sim))
+    pairs.sort(key=lambda r: (-r[5], r[0], r[1]))
+    got = [tuple(r) for r in run("q_winnowing_fingerprint").collect()]
+    assert got == pairs[:WIN_TOP]
+
+
+def test_winnowing_guarantee_shared_run():
+    """The winnow guarantee: two token streams sharing a contiguous
+    run of ≥ K+W−1 tokens share at least one fingerprint VALUE."""
+    from kafka_to_parquet_spark.operators.batch8 import WIN_K, WIN_W
+
+    rng = random.Random(88)
+
+    def fset(toks):
+        khs = [
+            _h31(" ".join(toks[i : i + WIN_K]))
+            for i in range(len(toks) - WIN_K + 1)
+        ]
+        return {min(khs[i : i + WIN_W]) for i in range(len(khs) - WIN_W + 1)}
+
+    vocab = [f"w{i}" for i in range(50)]
+    for _ in range(25):
+        shared_run = [rng.choice(vocab) for _ in range(WIN_K + WIN_W - 1)]
+        a = [rng.choice(vocab) for _ in range(rng.randint(0, 20))] + shared_run
+        b = shared_run + [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        assert fset(a) & fset(b), "winnow guarantee violated"
+
+
+# ---------------------------------------------------------------------------
+# Proximity search
+# ---------------------------------------------------------------------------
+
+
+def test_search_proximity_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import (
+        PROX_K,
+        PROX_TERMS,
+        PROX_TOP,
+    )
+
+    docs = _table("documents")
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = _tokens(text)
+        pa = [i + 1 for i, t in enumerate(toks) if t == PROX_TERMS[0]]
+        pb = [i + 1 for i, t in enumerate(toks) if t == PROX_TERMS[1]]
+        dists = [abs(x - y) for x in pa for y in pb if abs(x - y) <= PROX_K]
+        if dists:
+            rows.append((int(doc_id), min(dists), len(dists)))
+    rows.sort(key=lambda r: (r[1], -r[2], r[0]))
+    got = [tuple(r) for r in run("q_search_proximity").collect()]
+    assert got == rows[:PROX_TOP]
+
+
+# ---------------------------------------------------------------------------
+# Rocchio expansion
+# ---------------------------------------------------------------------------
+
+
+def test_rocchio_expand_matches_python(run):
+    import math
+
+    from kafka_to_parquet_spark.llm.search import BM25_TERMS
+    from kafka_to_parquet_spark.operators.batch8 import (
+        ROCCHIO_MIN_LEN,
+        ROCCHIO_REL_K,
+        ROCCHIO_TOP,
+    )
+
+    docs = _table("documents")
+    toks = {int(d): _tokens(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    qdf = Counter()
+    qtf = defaultdict(Counter)
+    for d, ts in toks.items():
+        for w in ts:
+            if w in BM25_TERMS:
+                qtf[d][w] += 1
+        for w in set(ts) & set(BM25_TERMS):
+            qdf[w] += 1
+
+    def bm25_u(tf, df, dl):
+        v = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / (
+            tf + 1.2 * (0.25 + 0.75 * dl / avgdl)
+        )
+        return int(math.floor(v * 1e6 + 0.5))
+
+    scores = {
+        d: sum(bm25_u(c, qdf[w], len(toks[d])) for w, c in tfs.items())
+        for d, tfs in qtf.items()
+    }
+    rel = [d for d, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))][
+        :ROCCHIO_REL_K
+    ]
+    cand = defaultdict(Counter)
+    for d in rel:
+        for w in toks[d]:
+            if w not in BM25_TERMS and len(w) >= ROCCHIO_MIN_LEN:
+                cand[w][d] += 1
+    dfall = Counter()
+    cand_words = set(cand)
+    for d, ts in toks.items():
+        for w in set(ts) & cand_words:
+            dfall[w] += 1
+    rows = []
+    for w, per_doc in cand.items():
+        weight = sum(
+            int(math.floor(tf * math.log(n_docs / dfall[w]) * 1e6 + 0.5))
+            for tf in per_doc.values()
+        )
+        rows.append((w, len(per_doc), dfall[w], weight))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    got = [tuple(r) for r in run("q_rocchio_expand").collect()]
+    assert [g[:3] for g in got] == [w[:3] for w in rows[:ROCCHIO_TOP]]
+    for g, w in zip(got, rows):
+        assert abs(g[3] - w[3]) <= len(rel)  # ±1 micro-unit per summand
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP
+# ---------------------------------------------------------------------------
+
+
+def test_sssp_weighted_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import SSSP_ROUNDS
+
+    orders = _table("orders")[["o_orderkey", "o_custkey"]]
+    li = _table("lineitem")[["l_orderkey", "l_suppkey"]]
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    cnt = Counter(
+        (int(c) * 2, int(s) * 2 + 1)
+        for c, s in zip(j["o_custkey"], j["l_suppkey"])
+    )
+    adj = defaultdict(list)
+    for (u, v), n in cnt.items():
+        w = 1 + 9 // n
+        adj[u].append((v, w))
+        adj[v].append((u, w))
+    seed = min(adj)
+    dist = {seed: 0}
+    for _ in range(SSSP_ROUNDS):
+        nd = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj[u]:
+                if v not in nd or d + w < nd[v]:
+                    nd[v] = d + w
+        dist = nd
+    hist = Counter(dist.values())
+    want = sorted((d, n) for d, n in hist.items())
+    unreached = len(adj) - len(dist)
+    want = [(-1, unreached)] + want
+    got = sorted((r["dist"], r["n_nodes"]) for r in run("q_sssp_weighted").collect())
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Modularity of co-purchase LPA communities
+# ---------------------------------------------------------------------------
+
+
+def test_graph_modularity_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import MOD_LPA_ROUNDS, MOD_TOP
+    from kafka_to_parquet_spark.operators.graph import MIN_SUP
+
+    li = _table("lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    per_order = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        per_order[int(o)].add(int(p))
+    support = Counter()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    edges = [
+        (a, b) for (a, b), s in support.items() if s >= MIN_SUP
+    ]
+    sym = edges + [(b, a) for a, b in edges]
+    adj = defaultdict(list)
+    for u, v in sym:
+        adj[u].append(v)
+    lab = {n: n for n in adj}
+    for _ in range(MOD_LPA_ROUNDS):
+        nl = {}
+        for n in adj:
+            c = Counter(lab[v] for v in adj[n])
+            nl[n] = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = nl
+    m_dir = len(sym)
+    e_c, d_c, members = Counter(), Counter(), defaultdict(set)
+    for u, v in sym:
+        d_c[lab[u]] += 1
+        members[lab[u]].add(u)
+        if lab[u] == lab[v]:
+            e_c[lab[u]] += 1
+    rows = []
+    for c in d_c:
+        contrib = int(
+            np.floor(
+                1e6 * (float(e_c[c]) * m_dir - float(d_c[c]) * d_c[c])
+                / (float(m_dir) * m_dir)
+                + 0.5
+            )
+        )
+        rows.append((c, len(members[c]), d_c[c], e_c[c], contrib))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    got = [tuple(r) for r in run("q_graph_modularity").collect()]
+    assert got == rows[:MOD_TOP]
+    # the audit must be non-degenerate: some community has internal edges
+    assert any(r[3] > 0 for r in rows), "no community has internal edges"
+
+
+# ---------------------------------------------------------------------------
+# STL decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_stl_decompose_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import STL_TREND_HALF
+
+    ev = _table("events")
+    ev["d"] = ev["ts"].dt.date
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    daily = (
+        ev.groupby(["event_type", "d"])["c"].sum().reset_index().sort_values(
+            ["event_type", "d"]
+        )
+    )
+    want = []
+    full = 2 * STL_TREND_HALF + 1
+    for et, g in daily.groupby("event_type"):
+        ys = list(g["c"])
+        ds = list(g["d"])
+        dt_rows = []
+        for i in range(len(ys)):
+            lo, hi = i - STL_TREND_HALF, i + STL_TREND_HALF
+            if lo < 0 or hi >= len(ys):
+                continue
+            s7 = sum(ys[lo : hi + 1])
+            trend = 1000 * s7 // 7
+            detr = 1000 * ys[i] - trend
+            dow = (ds[i] - __import__("datetime").date(1970, 1, 1)).days % 7
+            dt_rows.append((ds[i], dow, ys[i], trend, detr))
+        seas = defaultdict(list)
+        for _, dow, _, _, detr in dt_rows:
+            seas[dow].append(detr)
+
+        def tdiv(a: int, b: int) -> int:
+            # truncate-toward-zero, matching Spark DIV and DuckDB //
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
+        seas_m = {dow: tdiv(sum(v), len(v)) for dow, v in seas.items()}
+        for day, dow, yc, trend, detr in dt_rows:
+            want.append(
+                (et, day, yc, trend, seas_m[dow], detr - seas_m[dow])
+            )
+    want.sort(key=lambda r: (r[0], r[1]))
+    got = [
+        (r["event_type"], r["day"], r["y_cents"], r["trend_milli"],
+         r["seas_milli"], r["resid_milli"])
+        for r in run("q_stl_decompose").collect()
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CUPED
+# ---------------------------------------------------------------------------
+
+
+def test_abtest_cuped_matches_python(run):
+    ev = _table("events")
+    ev["d"] = ev["ts"].dt.date
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    d0, d1 = ev["d"].min(), ev["d"].max()
+    sd = d0 + __import__("datetime").timedelta(days=(d1 - d0).days // 2)
+    per = defaultdict(lambda: [0, 0])
+    for u, d, c in zip(ev["user_id"], ev["d"], ev["c"]):
+        per[int(u)][0 if d < sd else 1] += int(c)
+    xs = {u: v[0] for u, v in per.items()}
+    ys = {u: v[1] for u, v in per.items()}
+    n = len(per)
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxy = sum(xs[u] * ys[u] for u in per)
+    sxx = sum(x * x for x in xs.values())
+    theta = (float(n) * sxy - float(sx) * sy) / (float(n) * sxx - float(sx) * sx)
+    want = {}
+    for variant in (0, 1):
+        us = [u for u in per if _h31(str(u)) % 2 == variant]
+        n_v = len(us)
+        sx_v = sum(xs[u] for u in us)
+        sy_v = sum(ys[u] for u in us)
+        adj = sy_v / n_v - theta * (sx_v / n_v - sx / n)
+        want[variant] = (
+            n_v, sx_v, sy_v,
+            int(np.floor(theta * 1e6 + 0.5)),
+            int(np.floor(sy_v / n_v * 1e6 + 0.5)),
+            int(np.floor(adj * 1e6 + 0.5)),
+        )
+    got = {
+        r["variant"]: (
+            r["n_v"], r["sx_v"], r["sy_v"], r["theta_micro"],
+            r["mean_y_micro"], r["cuped_mean_micro"],
+        )
+        for r in run("q_abtest_cuped").collect()
+    }
+    assert set(got) == {0, 1}
+    for v in (0, 1):
+        assert got[v][:3] == want[v][:3]
+        for gi, wi in zip(got[v][3:], want[v][3:]):
+            assert abs(gi - wi) <= 1  # float recompute: ±1 micro-unit
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import BOOT_B, _POIS_CUM
+
+    orders = _table("orders")
+    cents = {
+        int(k): int(round(p * 100))
+        for k, p in zip(orders["o_orderkey"], orders["o_totalprice"])
+    }
+
+    def weight(u):
+        for w, t in enumerate(_POIS_CUM):
+            if u < t:
+                return w
+        return 7
+
+    stats = []
+    for b in range(BOOT_B):
+        num = den = 0
+        for k, c in cents.items():
+            w = weight(_h31(f"{k}:{b}") % 10000)
+            num += w * c
+            den += w
+        stats.append(num // den)
+    stats.sort()
+
+    def disc_q(q):
+        import math
+
+        return stats[max(0, math.ceil(q * len(stats)) - 1)]
+
+    row = run("q_bootstrap_ci").collect()[0]
+    assert row["b_resamples"] == BOOT_B
+    assert row["n_orders"] == len(cents)
+    assert row["point_mean_c"] == sum(cents.values()) // len(cents)
+    assert row["boot_min_cents"] == stats[0]
+    assert row["boot_max_cents"] == stats[-1]
+    assert row["ci_lo_cents"] == disc_q(0.025)
+    assert row["ci_hi_cents"] == disc_q(0.975)
+    assert row["ci_lo_cents"] <= row["point_mean_c"] <= row["ci_hi_cents"]
