@@ -190,3 +190,24 @@ def test_bench_stdout_line_fits_driver_tail():
         f"{len(HEADLINE)} headline queries — retire entries or shrink "
         "the encoding before adding more (bench.py docstring)"
     )
+
+
+def test_bench_family_reps_cover_folded_queries():
+    """FAMILY_REPS (round-7 verdict item 5) must stay coherent: every
+    representative is actually benched, every folded member is a real
+    registered query that is NOT separately benched, and the explicit
+    BENCH_OMITTED list accounts for declared-but-unbenched round-8+
+    queries so no omission is silent."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import BENCH_OMITTED, FAMILY_REPS, HEADLINE
+
+    registry.load_all()
+    for rep, members in FAMILY_REPS.items():
+        assert rep in HEADLINE, rep
+        for m in members:
+            assert m in registry.QUERIES, m
+            assert m not in HEADLINE, f"{m} folded AND benched"
+    for q in BENCH_OMITTED:
+        assert q in registry.QUERIES and q not in HEADLINE, q
