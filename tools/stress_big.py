@@ -136,7 +136,25 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            "q_token_fertility", "q_decontaminate_embed",
            # windowed top-k rides the 10x event log; its rank stage
            # is bounded by windows x types regardless of row count.
-           "q_stream_topk"]
+           "q_stream_topk",
+           # round-8 batch: BPE/collocations/rocchio/proximity ride
+           # 10-way dup families where the vocabulary and bigram-type
+           # grids BARELY grow (counts 10x, types flat — that is the
+           # vocabulary-bound claim under test); winnowing's bucketed
+           # pair join meets maximal dup-family answer mass (the
+           # est_err discipline: output-bound, see the round-8
+           # candidate audit); SSSP relaxes the SAME node set under
+           # 10x edge multiplicity (distinct edges flat, n_txn 10x);
+           # modularity's co-purchase graph DENSIFIES (support 10x
+           # clears the gate on more pairs — a denser-graph stress);
+           # STL/CUPED collapse the 10x event log to calendar/user
+           # cells; bootstrap's 40-fold expansion is in-scan on 10x
+           # orders; the probe encodes+decodes 10x payload rows
+           # embarrassingly parallel.
+           "q_bpe_learn_k", "q_collocation_llr", "q_rocchio_expand",
+           "q_search_proximity", "q_winnowing_fingerprint",
+           "q_sssp_weighted", "q_graph_modularity", "q_stl_decompose",
+           "q_abtest_cuped", "q_bootstrap_ci", "q_multimodal_probe"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
