@@ -824,6 +824,11 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
+            # each round's distances feed BOTH the next relaxation join
+            # and the next union — without the materialization boundary
+            # the lineage doubles per round (2^k subtrees, 83 shuffles
+            # in the round-8 plan audit; 20 with it)
+            .persist()
         )
     reached = r.groupBy("dist").agg(F.count("*").cast("long").alias("n_nodes"))
     unreached = (
@@ -974,6 +979,10 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             freq.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lab")
+            # the final labels feed BOTH audit joins (within + degsum)
+            # and each round feeds the next — persist keeps the lineage
+            # linear (32 shuffles -> 23 in the round-8 plan audit)
+            .persist()
         )
     m = edges.agg(F.count("*").cast("long").alias("m_dir"))
     la = labels.select(F.col("node").alias("src"), F.col("lab").alias("community"))
