@@ -403,6 +403,18 @@ q_collocation_llr.__doc__ = q_collocation_llr.__doc__.replace(
 WIN_K = 3   # k-gram length (tokens per shingle)
 WIN_W = 4   # winnow window (positions per window)
 WIN_TOP = 20
+WIN_MAX_DF = 32  # drop fingerprints shared by more than this many
+#                  docs before pairing — Schleimer et al.'s own
+#                  "ignore very common fingerprints" step (boilerplate
+#                  shares no authorship signal), and the hot-bucket cap
+#                  that bounds the pair join: the round-8 bucket audit
+#                  measured fingerprint TYPES flat under 10x
+#                  replication (18,715 at sf0.1 AND sf≈1) while pair
+#                  mass grew 113x (347k -> 39.3M), 96% of it inside
+#                  buckets >32 docs. The gate fixtures never reach the
+#                  cap (max bucket 24 at sf0.1), so results there are
+#                  cap-invariant; at scale the cap turns a quadratic
+#                  answer-mass blowup into boilerplate triage.
 
 # Rolling k-gram hash at token position p: h31 of the joined k tokens.
 # Window MIN over positions p..p+W-1 selects the fingerprint VALUE —
@@ -431,7 +443,9 @@ wm AS (
                         ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS wn
   FROM kg
 ),
-fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE wn = {WIN_W}),
+fps0 AS (SELECT DISTINCT doc_id, fp FROM wm WHERE wn = {WIN_W}),
+rare AS (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= {WIN_MAX_DF}),
+fps AS (SELECT fps0.doc_id, fps0.fp FROM fps0 JOIN rare ON fps0.fp = rare.fp),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
   FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -186,7 +186,12 @@ def test_collocation_llr_matches_python(run):
 
 
 def test_winnowing_matches_python(run):
-    from kafka_to_parquet_spark.operators.batch8 import WIN_K, WIN_TOP, WIN_W
+    from kafka_to_parquet_spark.operators.batch8 import (
+        WIN_K,
+        WIN_MAX_DF,
+        WIN_TOP,
+        WIN_W,
+    )
 
     docs = _table("documents")
     fps: dict[int, set[int]] = {}
@@ -202,6 +207,13 @@ def test_winnowing_matches_python(run):
         }
         if s:
             fps[int(doc_id)] = s
+    # common-fingerprint triage (WIN_MAX_DF), mirroring both engines
+    fp_df = Counter(f for s in fps.values() for f in s)
+    fps = {
+        d: {f for f in s if fp_df[f] <= WIN_MAX_DF}
+        for d, s in fps.items()
+    }
+    fps = {d: s for d, s in fps.items() if s}
     pairs = []
     ids = sorted(fps)
     buckets = defaultdict(list)
