@@ -444,8 +444,11 @@ wm AS (
   FROM kg
 ),
 fps0 AS (SELECT DISTINCT doc_id, fp FROM wm WHERE wn = {WIN_W}),
-rare AS (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= {WIN_MAX_DF}),
-fps AS (SELECT fps0.doc_id, fps0.fp FROM fps0 JOIN rare ON fps0.fp = rare.fp),
+fps AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fdf FROM fps0)
+  WHERE fdf <= {WIN_MAX_DF}
+),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
   FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -519,7 +522,7 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.currentRow, WIN_W - 1)
     )
-    fps = (
+    fps0 = (
         kg.select(
             "doc_id",
             F.min("kh").over(w).alias("fp"),
@@ -528,6 +531,18 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("wn") == WIN_W)
         .select("doc_id", "fp")
         .distinct()
+    )
+    # df cap as ONE count-window over fp partitions (thousands of
+    # small buckets) — no groupBy+join-back, which would reference
+    # fps0 twice and double the winnow lineage (the SSSP persist
+    # lesson); the window's fp-keyed exchange is the same one the
+    # pair self-join needs next. persist(): the capped relation is
+    # consumed THREE times (sizes + both sides of the pair join).
+    fps = (
+        fps0.withColumn("fdf", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("fdf") <= WIN_MAX_DF)
+        .select("doc_id", "fp")
+        .persist()
     )
     sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
     a, b = fps.alias("a"), fps.alias("b")
