@@ -1377,8 +1377,8 @@ point AS (
 )
 SELECT CAST({BOOT_B} AS BIGINT) AS b_resamples,
        n_orders, point_mean_c,
-       CAST(quantile_disc(mean_c, 0.025) AS BIGINT) AS ci_lo_cents,
-       CAST(quantile_disc(mean_c, 0.975) AS BIGINT) AS ci_hi_cents,
+       CAST(quantile_disc(mean_c, 0.05) AS BIGINT) AS ci_lo_cents,
+       CAST(quantile_disc(mean_c, 0.95) AS BIGINT) AS ci_hi_cents,
        CAST(min(mean_c) AS BIGINT) AS boot_min_cents,
        CAST(max(mean_c) AS BIGINT) AS boot_max_cents
 FROM stats CROSS JOIN point
@@ -1386,7 +1386,7 @@ GROUP BY n_orders, point_mean_c
 """,
 )
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson-bootstrap 95% confidence interval for the mean order
+    """Poisson-bootstrap 90% confidence interval for the mean order
     value — the SINGLE-PASS distributed bootstrap (Chamandy et al.
     2012, "Estimating Uncertainty for Massive Data Streams", the
     Google recipe): instead of resampling n rows B times (impossible
@@ -1402,7 +1402,10 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines replicate identically. Resample means are floor
     divisions of exact non-negative cent sums; CI bounds are disc
     quantiles (order statistics — the q_rfm_segments
-    percentile_disc/quantile_disc rule).
+    percentile_disc/quantile_disc rule). The interval is 90% (5/95
+    cuts): with B = {B} resamples those are INTERIOR order statistics
+    (ranks 2 and 38), where a 2.5/97.5 cut would degenerate to the
+    sample min/max — a wider B buys narrower cuts, not a code change.
 
     Scale shape: the B-fold expansion happens INSIDE the scan task
     (explode over a {B}-element literal sequence — no join, no
@@ -1442,11 +1445,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_orders", "point_mean_c")
         .agg(
             F.expr(
-                "CAST(percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_c)"
+                "CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY mean_c)"
                 " AS BIGINT)"
             ).alias("ci_lo_cents"),
             F.expr(
-                "CAST(percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_c)"
+                "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY mean_c)"
                 " AS BIGINT)"
             ).alias("ci_hi_cents"),
             F.min("mean_c").cast("long").alias("boot_min_cents"),

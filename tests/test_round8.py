@@ -583,6 +583,10 @@ def test_bootstrap_ci_matches_python(run):
     assert row["point_mean_c"] == sum(cents.values()) // len(cents)
     assert row["boot_min_cents"] == stats[0]
     assert row["boot_max_cents"] == stats[-1]
-    assert row["ci_lo_cents"] == disc_q(0.025)
-    assert row["ci_hi_cents"] == disc_q(0.975)
+    assert row["ci_lo_cents"] == disc_q(0.05)
+    assert row["ci_hi_cents"] == disc_q(0.95)
+    # 5/95 cuts are INTERIOR order statistics at B=40 (2.5/97.5 would
+    # degenerate to min/max)
+    assert stats[0] <= row["ci_lo_cents"] and row["ci_lo_cents"] != stats[0] or stats[0] == stats[1]
+    assert row["ci_hi_cents"] <= stats[-1]
     assert row["ci_lo_cents"] <= row["point_mean_c"] <= row["ci_hi_cents"]
