@@ -79,7 +79,6 @@ HEADLINE = [
     "q_dedup_minhash_lsh", # MLlib MinHash LSH candidate pairs
     "q_dedup_embedding_lsh",  # angular-LSH near-dup (100 TB shape)
     "q_dedup_components",  # min-label-propagation dup clustering
-    "q_multimodal_decode", # binary column + mapInPandas decode path
     "q_sim_topk",          # brute-force cosine top-k
     "q_sim_ivf",           # IVF-bucketed ANN
     "q_udf_pandas_cosine", # Arrow pandas-UDF path
@@ -99,7 +98,6 @@ HEADLINE = [
     "q_bm25",              # BM25 top-k retrieval
     "q_tpch_q7",           # bilateral nation-pair volume, 5-dim broadcast chain
     "q_tpch_q13",          # left-outer count histogram (agg-before-join)
-    "q_tfidf_top_term",    # rational TF-IDF argmax (word-count topology)
     "q_vocab_topk",        # vocabulary head (explode + two-level agg)
     "q_tpch_q1",           # full pricing-summary measure set (scan-bound)
     "q_tpch_q9",           # 5-table profit rollup (broadcast chain + fact shuffle)
@@ -148,6 +146,7 @@ HEADLINE = [
     "q_bootstrap_ci",        # 40-fold in-scan Poisson resampling
     "q_stl_decompose",       # bounded-frame trend + broadcast seasonal join
     "q_collocation_llr",     # bigram-type G² with margin windows
+    "q_text_rake",           # running-stopword-count phrase segmentation
 ]
 
 # Bench family representatives: members NOT in HEADLINE are benched
@@ -170,8 +169,13 @@ FAMILY_REPS = {
     "q_dedup_keep_best": ["q_select_topq"],      # per-group argmax/window select
     "q_agg_percentile": ["q_winsorize"],         # exact grouped percentiles
     "q_funnel": ["q_event_pattern"],             # per-user ordered journey scan
-    "q_vocab_topk": ["q_ttr_source"],            # word-count topology per source
     "q_table_checksum": ["q_zorder_stats"],      # single-pass integer layout audits
+    # round-8 second batch folds:
+    "q_bpe_learn_k": ["q_bpe_apply"],            # shared merge chain
+    "q_stl_decompose": ["q_ts_anomaly_stl"],     # shared decomposition
+    "q_graph_triangles": ["q_graph_clustering_coeff"],  # shared oriented wedges
+    "q_vocab_topk": ["q_ttr_source", "q_tfidf_top_term"],  # word-count topology
+    "q_multimodal_probe": ["q_multimodal_decode"],  # same mapInPandas path, real decode on top
 }
 
 # Declared-but-not-benched (beyond FAMILY_REPS): cheap single-pass
@@ -181,6 +185,7 @@ BENCH_OMITTED = {
     "q_search_proximity": "two-term postings filter+join ⊂ q_bm25 shape",
     "q_rocchio_expand": "q_bm25 stage + one more token pass (q_bm25 benched)",
     "q_abtest_cuped": "one fact pass + 2-row finish ⊂ q_mann_whitney shape",
+    "q_abtest_power": "one fact pass + 1-row moment reduce ⊂ q_abtest_cuped shape",
 }
 
 

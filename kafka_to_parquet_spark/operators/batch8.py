@@ -47,6 +47,26 @@ more of the same:
                     bootstrap (Chamandy et al.), deterministic via
                     hash-derived Poisson weights.
 
+A second session batch appends five more, closing loops the first
+batch opened (same last-in-line registration discipline):
+
+- q_text_rake     — RAKE keyphrase extraction: stopword-boundary
+                    phrase segmentation via a running-count window (a
+                    new declarative segmentation topology),
+                    degree/frequency word scores, phrase ranking.
+- q_bpe_apply     — tokenize WITH q_bpe_learn_k's merges (shared
+                    chain) and report per-source compression — the
+                    apply side that closes the tokenizer loop.
+- q_ts_anomaly_stl — median/MAD flags over q_stl_decompose's
+                    remainder (shared decomposition) — anomalies
+                    AFTER trend+seasonality are explained away.
+- q_graph_clustering_coeff — per-node clustering coefficient by
+                    crediting each oriented triangle to its three
+                    corners — q_graph_triangles' per-node refinement.
+- q_abtest_power  — minimum detectable effect at α=0.05/80% power
+                    from exact per-user moments — the sizing step
+                    that completes the experimentation lifecycle.
+
 The reference (a straight-line Kafka→parquet ETL, src/main.rs:59-294)
 has none of these; they are part of the mandated LLM-pipeline /
 analytics extension tier.
@@ -1066,10 +1086,7 @@ _STL_DAILY = """daily AS (
 )"""
 
 
-@query(
-    "q_stl_decompose",
-    oracle=f"""
-WITH {_STL_DAILY},
+_STL_CTES = f"""{_STL_DAILY},
 tr AS (
   SELECT event_type, d, yc,
          CAST(sum(yc) OVER w AS BIGINT) AS s7,
@@ -1089,43 +1106,28 @@ seas AS (
   SELECT event_type, dow,
          CAST(sum(detr_milli) // count(*) AS BIGINT) AS seas_milli
   FROM dt GROUP BY event_type, dow
-)
-SELECT dt.event_type, dt.d AS day, dt.yc AS y_cents,
-       dt.trend_milli, seas.seas_milli,
-       CAST(dt.detr_milli - seas.seas_milli AS BIGINT) AS resid_milli
-FROM dt JOIN seas ON dt.event_type = seas.event_type AND dt.dow = seas.dow
-ORDER BY dt.event_type, dt.d
+),
+decomp AS (
+  SELECT dt.event_type, dt.d AS day, dt.yc AS y_cents,
+         dt.trend_milli, seas.seas_milli,
+         CAST(dt.detr_milli - seas.seas_milli AS BIGINT) AS resid_milli
+  FROM dt JOIN seas ON dt.event_type = seas.event_type AND dt.dow = seas.dow
+)"""
+
+
+@query(
+    "q_stl_decompose",
+    oracle=f"""
+WITH {_STL_CTES}
+SELECT event_type, day, y_cents, trend_milli, seas_milli, resid_milli
+FROM decomp
+ORDER BY event_type, day
 """,
 )
-def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STL-style additive decomposition of each event type's daily
-    revenue series: trend = centered {W}-day rolling mean, seasonal =
-    per-weekday mean of the detrended series, remainder = series −
-    trend − seasonal — the decomposition behind anomaly detection and
-    forecasting baselines ("is Monday's dip seasonality or a real
-    drop?"). Classic STL iterates loess passes; this is the one-pass
-    moving-average variant (the `decompose()` of R), whose algebra is
-    exactly expressible in windows + groupBy and therefore
-    oracle-checkable — per-series loess belongs to an applyInPandas
-    twin if ever needed.
-
-    All-integer: day revenue is exact cents; trend in milli-cents is
-    1000·Σ₇/7 by integer floor-division of non-negative sums; the
-    weekday seasonal is an integer floor-mean of detrended milli
-    values (Spark DIV and DuckDB // both truncate toward zero, so
-    the quotient matches even when a detrended sum is negative);
-    remainder is a difference of integers. Edge days without a full {W}-day window are excluded
-    (n7 = {W} — the standard moving-average NA edge). Weekday is epoch
-    day mod 7 (q_seasonality_dow's locale-immune convention).
-
-    Scale shape: the fact collapses map-side to |types|·|days| cells;
-    the trend is a bounded-frame window over per-type partitions
-    (thousands of small partitions, never global); the seasonal is a
-    ≤|types|·7-cell aggregate joined back BROADCAST. Nothing after the
-    first aggregate is data-sized. 100 TB honesty: rows-between frames
-    assume gapless days per type — a sparse series composes
-    q_ts_gapfill first (documented, same assumption as
-    q_ts_rolling_median)."""
+def _stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the _STL_CTES ``decomp`` relation — shared by
+    q_stl_decompose (the decomposition itself) and q_ts_anomaly_stl
+    (the residual flagging pass)."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
@@ -1158,18 +1160,46 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     seas = dt.groupBy("event_type", "dow").agg(
         F.expr("CAST(sum(detr_milli) DIV count(*) AS BIGINT)").alias("seas_milli")
     )
-    return (
-        dt.join(F.broadcast(seas), ["event_type", "dow"])
-        .select(
-            "event_type",
-            F.col("d").alias("day"),
-            F.col("yc").alias("y_cents"),
-            "trend_milli",
-            "seas_milli",
-            (F.col("detr_milli") - F.col("seas_milli")).cast("long").alias("resid_milli"),
-        )
-        .orderBy("event_type", "day")
+    return dt.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("yc").alias("y_cents"),
+        "trend_milli",
+        "seas_milli",
+        (F.col("detr_milli") - F.col("seas_milli")).cast("long").alias("resid_milli"),
     )
+
+
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of each event type's daily
+    revenue series: trend = centered {W}-day rolling mean, seasonal =
+    per-weekday mean of the detrended series, remainder = series −
+    trend − seasonal — the decomposition behind anomaly detection and
+    forecasting baselines ("is Monday's dip seasonality or a real
+    drop?"). Classic STL iterates loess passes; this is the one-pass
+    moving-average variant (the `decompose()` of R), whose algebra is
+    exactly expressible in windows + groupBy and therefore
+    oracle-checkable — per-series loess belongs to an applyInPandas
+    twin if ever needed.
+
+    All-integer: day revenue is exact cents; trend in milli-cents is
+    1000·Σ₇/7 by integer floor-division of non-negative sums; the
+    weekday seasonal is an integer floor-mean of detrended milli
+    values (Spark DIV and DuckDB // both truncate toward zero, so
+    the quotient matches even when a detrended sum is negative);
+    remainder is a difference of integers. Edge days without a full {W}-day window are excluded
+    (n7 = {W} — the standard moving-average NA edge). Weekday is epoch
+    day mod 7 (q_seasonality_dow's locale-immune convention).
+
+    Scale shape: the fact collapses map-side to |types|·|days| cells;
+    the trend is a bounded-frame window over per-type partitions
+    (thousands of small partitions, never global); the seasonal is a
+    ≤|types|·7-cell aggregate joined back BROADCAST. Nothing after the
+    first aggregate is data-sized. 100 TB honesty: rows-between frames
+    assume gapless days per type — a sparse series composes
+    q_ts_gapfill first (documented, same assumption as
+    q_ts_rolling_median)."""
+    return _stl_decomposition(spark, sf_dir).orderBy("event_type", "day")
 
 
 q_stl_decompose.__doc__ = q_stl_decompose.__doc__.replace(
@@ -1500,7 +1530,7 @@ def _bpe_ctes() -> list[str]:
   GROUP BY word
 )""",
         f"""v0 AS (
-  SELECT regexp_replace(word, '(.)', {us} || '\\1' || {us}, 'g') AS s, wf
+  SELECT word, regexp_replace(word, '(.)', {us} || '\\1' || {us}, 'g') AS s, wf
   FROM btf
 )""",
     ]
@@ -1519,7 +1549,7 @@ def _bpe_ctes() -> list[str]:
             f"m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)"
         )
         ctes.append(f"""v{r} AS (
-  SELECT replace(s, {us} || a || {us} || {us} || b || {us},
+  SELECT word, replace(s, {us} || a || {us} || {us} || b || {us},
                  {us} || a || b || {us}) AS s, wf
   FROM v{r - 1} CROSS JOIN m{r}
 )""")
@@ -1564,6 +1594,19 @@ def q_bpe_learn_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist their vocab (each is referenced by BOTH the next round's
     statistics and its re-segmentation — without the cache the lineage
     re-derives the corpus collapse 2^{K} times)."""
+    v, merges = _bpe_chain(spark, sf_dir)
+    out = None
+    for r, m in enumerate(merges, start=1):
+        step = m.select(F.lit(r).cast("long").alias("step"), "a", "b", "cnt")
+        out = step if out is None else out.unionByName(step)
+    return out.orderBy("step")
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str):
+    """The shared BPE merge chain (Spark twin of _bpe_ctes): returns
+    (final per-word segmentation with word/s/wf, list of 1-row merge
+    frames) — consumed by q_bpe_learn_k (the merge table) and
+    q_bpe_apply (the merged segmentation joined back per source)."""
     d = load(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
@@ -1571,7 +1614,7 @@ def q_bpe_learn_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("wf"))
     )
     v = tf.select(
-        F.regexp_replace("word", "(.)", "\x1f$1\x1f").alias("s"), "wf"
+        "word", F.regexp_replace("word", "(.)", "\x1f$1\x1f").alias("s"), "wf"
     ).persist()
     pair_expr = (
         "transform(sequence(1, size(syms) - 1),"
@@ -1597,6 +1640,7 @@ def q_bpe_learn_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = (
             v.crossJoin(F.broadcast(best))
             .select(
+                "word",
                 F.expr(
                     "replace(s, concat('\x1f', a, '\x1f\x1f', b, '\x1f'),"
                     " concat('\x1f', a, b, '\x1f'))"
@@ -1605,11 +1649,609 @@ def q_bpe_learn_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-    out = None
-    for r, m in enumerate(merges, start=1):
-        step = m.select(F.lit(r).cast("long").alias("step"), "a", "b", "cnt")
-        out = step if out is None else out.unionByName(step)
-    return out.orderBy("step")
+    return v, merges
 
 
 q_bpe_learn_k.__doc__ = q_bpe_learn_k.__doc__.replace("{K}", str(BPE_LEARN_K))
+
+
+# ===========================================================================
+# Second session batch — five more, closing loops the first batch opened
+# (learn→apply for BPE, decompose→flag for STL, triangles→per-node for
+# graphs, srm/ttest→power for experiments) plus RAKE keyphrases.
+# Same last-in-line registration discipline.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+RAKE_STOP_K = 20   # stoplist = top-k words by document frequency
+#                    (deterministic df DESC, word tiebreak — a fixture
+#                    has no curated stoplist, and corpus-df IS how
+#                    stoplists are bootstrapped for new languages)
+RAKE_MAX_LEN = 4   # RAKE's standard phrase-length cap
+RAKE_TOP = 15
+
+
+@query(
+    "q_text_rake",
+    oracle=f"""
+WITH {_PROX_POSTINGS},
+df AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfreq
+  FROM post GROUP BY word
+),
+stop AS (SELECT word FROM df ORDER BY dfreq DESC, word LIMIT {RAKE_STOP_K}),
+seg AS (
+  SELECT doc_id, pos, word,
+         CAST(sum(CASE WHEN word IN (SELECT word FROM stop) THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS grp,
+         word IN (SELECT word FROM stop) AS is_stop
+  FROM post
+),
+phr AS (
+  SELECT doc_id, grp,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM seg WHERE NOT is_stop
+  GROUP BY doc_id, grp
+  HAVING count(*) <= {RAKE_MAX_LEN}
+),
+pw AS (
+  SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS word FROM phr
+),
+ws AS (
+  SELECT word,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS degree,
+         CAST(1000 * sum(plen) // count(*) AS BIGINT) AS score_milli
+  FROM pw GROUP BY word
+),
+pocc AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(max(plen) AS BIGINT) AS n_words
+  FROM phr GROUP BY phrase
+),
+ptype AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+  FROM (SELECT DISTINCT phrase FROM phr)
+),
+pscore AS (
+  SELECT ptype.phrase, CAST(sum(ws.score_milli) AS BIGINT) AS phrase_score_milli
+  FROM ptype JOIN ws ON ptype.word = ws.word
+  GROUP BY ptype.phrase
+)
+SELECT pocc.phrase, n_occurrences, n_words, phrase_score_milli
+FROM pocc JOIN pscore ON pocc.phrase = pscore.phrase
+ORDER BY phrase_score_milli DESC, pocc.phrase
+LIMIT {RAKE_TOP}
+""",
+)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010 — Rapid Automatic
+    Keyword Extraction, the classic unsupervised keyphrase baseline):
+    split token streams into candidate phrases at stopword boundaries
+    (stoplist = the corpus's top-{S} words by document frequency, the
+    standard df bootstrap), score each word by co-occurrence degree /
+    frequency within candidate phrases, and rank phrases by their
+    members' summed scores. The curation op behind topic labeling and
+    index-term suggestion — and a genuinely NEW dataflow topology for
+    the engine: segmentation by RUNNING STOPWORD COUNT (a prefix-sum
+    window turns "split at delimiters" into a group-by key, fully
+    declarative — no UDF tokenizer state).
+
+    Determinism: the stoplist is a (df DESC, word) total order; phrase
+    assembly is an ORDER BY pos string_agg (mirrored by a sorted
+    collect_list transform); degree/freq are exact integers counted
+    at the INSTANCE level (RAKE's statistics see every occurrence),
+    the word score an integer floor division, and the phrase score an
+    exact BIGINT sum of member-word milli-scores over the DISTINCT
+    phrase type — no float exists anywhere.
+
+    Scale shape: segmentation is a doc-partitioned running-sum window
+    over the postings (thousands of small partitions); phrases
+    aggregate on (doc, grp) — map-side combinable; word scores are a
+    vocabulary-sized aggregate; the phrase scoring join runs phrase
+    words × the broadcast-able word-score table. Nothing is
+    corpus-quadratic; the stoplist subquery is a {S}-row broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    df = post.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("long").alias("dfreq")
+    )
+    stop = df.orderBy(F.desc("dfreq"), "word").limit(RAKE_STOP_K).select("word")
+    seg = post.join(
+        F.broadcast(stop.withColumn("is_stop", F.lit(True))), "word", "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "word",
+        F.coalesce(F.col("is_stop"), F.lit(False)).alias("is_stop"),
+    )
+    wgrp = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = seg.withColumn(
+        "grp", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wgrp)
+    )
+    phr = (
+        seg.filter(~F.col("is_stop"))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, word))),"
+                " x -> x.word), ' ')"
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_LEN)
+    )
+    # phr is persisted: it feeds the word-score aggregate (instance
+    # level — RAKE's freq/degree count every occurrence), the phrase
+    # occurrence counts, AND the distinct phrase-type scoring — three
+    # consumers of one segmentation pass (the winnowing lesson).
+    phr = phr.persist()
+    pw = phr.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    ws = pw.groupBy("word").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+        F.expr("CAST(1000 * sum(plen) DIV count(*) AS BIGINT)").alias(
+            "score_milli"
+        ),
+    )
+    pocc = phr.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.max("plen").cast("long").alias("n_words"),
+    )
+    ptype = (
+        phr.select("phrase")
+        .distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("word"))
+    )
+    pscore = (
+        ptype.join(F.broadcast(ws.select("word", "score_milli")), "word")
+        .groupBy("phrase")
+        .agg(F.sum("score_milli").cast("long").alias("phrase_score_milli"))
+    )
+    return (
+        pocc.join(pscore, "phrase")
+        .select("phrase", "n_occurrences", "n_words", "phrase_score_milli")
+        .orderBy(F.desc("phrase_score_milli"), "phrase")
+        .limit(RAKE_TOP)
+    )
+
+
+q_text_rake.__doc__ = q_text_rake.__doc__.replace("{S}", str(RAKE_STOP_K))
+
+
+# ---------------------------------------------------------------------------
+# STL residual anomaly flags (median/MAD over the remainder)
+# ---------------------------------------------------------------------------
+
+
+ANOM_TOP = 3  # most-anomalous days reported per event type: a
+#               threshold fence is fixture-fragile here (the synthetic
+#               residuals are short-tailed — a uniform distribution's
+#               max deviation is exactly 2·MAD, so any normal-
+#               consistent 2.25·MAD+ fence flags NOTHING structurally,
+#               measured 0 rows at every SF); ranking by MAD-score
+#               always surfaces the K weirdest days and reports the
+#               score so the reader applies their own fence.
+
+
+@query(
+    "q_ts_anomaly_stl",
+    oracle=f"""
+WITH {_STL_CTES},
+med AS (
+  SELECT event_type, CAST(2 * quantile_cont(resid_milli, 0.5) AS BIGINT) AS med2
+  FROM decomp GROUP BY event_type
+),
+dev AS (
+  SELECT decomp.*, med2, abs(2 * resid_milli - med2) AS dd
+  FROM decomp JOIN med ON decomp.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, CAST(2 * quantile_cont(dd, 0.5) AS BIGINT) AS mad_d2
+  FROM dev GROUP BY event_type
+),
+ranked AS (
+  SELECT dev.event_type, day, y_cents, resid_milli,
+         CAST(dd AS BIGINT) AS dd, med2, mad_d2,
+         CAST(10000 * dd // mad_d2 AS BIGINT) AS score_bp,
+         row_number() OVER (PARTITION BY dev.event_type
+                            ORDER BY dd DESC, day) AS rn
+  FROM dev JOIN mad ON dev.event_type = mad.event_type
+)
+SELECT event_type, day, y_cents, resid_milli, dd, med2, mad_d2, score_bp
+FROM ranked WHERE rn <= {ANOM_TOP}
+ORDER BY event_type, day
+""",
+)
+def q_ts_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition-based anomaly report: the {T} days per event
+    type whose STL REMAINDER deviates most from its per-type median,
+    in MAD units (score_bp = 10⁴·dd/mad) — the two-stage detector
+    real monitoring runs (q_ts_cusum finds level shifts, q_rate_spike
+    global bursts; this finds days that are anomalous AFTER trend and
+    weekday seasonality are explained away, the only honest
+    definition of "unexpected" for a seasonal metric). Reported as a
+    top-k by MAD-score rather than a fixed fence — see ANOM_TOP for
+    why a 2.25·MAD threshold is structurally empty on short-tailed
+    residuals. Composes q_stl_decompose's exact decomposition (shared
+    _stl_decomposition helper / _STL_CTES oracle prefix) with
+    q_outliers_mad's doubled-median integer discipline: med2 =
+    2·median, dd = |2·resid − med2| — every rank key and the bp score
+    are exact integer arithmetic (quantile_cont of integers
+    interpolates to halves, so doubling restores exactness), and the
+    rank carries a (dd DESC, day) total order.
+
+    Scale shape: everything after the decomposition operates on the
+    |types|·|days| calendar grid — two grouped exact medians with
+    broadcast joins back plus a per-type rank window over calendar
+    rows; the fact is touched once, by the shared daily collapse."""
+    d = _stl_decomposition(spark, sf_dir).persist()
+    med = d.groupBy("event_type").agg(
+        F.expr(
+            "CAST(2 * percentile(resid_milli, 0.5) AS BIGINT)"
+        ).alias("med2")
+    )
+    dev = d.join(F.broadcast(med), "event_type").withColumn(
+        "dd", F.abs(2 * F.col("resid_milli") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(dd, 0.5) AS BIGINT)").alias("mad_d2")
+    )
+    wrank = Window.partitionBy("event_type").orderBy(F.desc("dd"), "day")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= ANOM_TOP)
+        .select(
+            "event_type", "day", "y_cents", "resid_milli",
+            F.col("dd").cast("long").alias("dd"), "med2", "mad_d2",
+            F.expr("CAST(10000 * dd DIV mad_d2 AS BIGINT)").alias("score_bp"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+q_ts_anomaly_stl.__doc__ = q_ts_anomaly_stl.__doc__.replace("{T}", str(ANOM_TOP))
+
+
+# ---------------------------------------------------------------------------
+# BPE apply: tokenize the corpus with the learned merges
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_oracle() -> str:
+    us = "chr(31)"
+    return (
+        "WITH " + ",\n".join(_bpe_ctes()) + f""",
+stf AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT source, unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY source, word
+),
+seg AS (
+  SELECT word,
+         CAST(len(string_split(trim(s, {us}), {us} || {us})) AS BIGINT)
+           AS n_syms
+  FROM v{BPE_LEARN_K}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_word_types,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf * len(stf.word)) AS BIGINT) AS symbols_before,
+       CAST(sum(tf * n_syms) AS BIGINT) AS symbols_after,
+       CAST(1000 * sum(tf * len(stf.word)) // sum(tf * n_syms) AS BIGINT)
+         AS compression_milli
+FROM stf JOIN seg ON stf.word = seg.word
+GROUP BY source
+ORDER BY source
+"""
+    )
+
+
+@query("q_bpe_apply", oracle=_bpe_apply_oracle())
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize WITH the learned vocabulary: apply q_bpe_learn_k's
+    {K} merges to every word and report the per-source compression —
+    symbols before (characters) vs after (BPE symbols), the
+    exchange-rate readout that closes the tokenizer-training loop
+    (q_bpe_merge_step counts → q_bpe_learn_k learns → this APPLIES —
+    and its compression_milli is exactly the quantity
+    q_token_fertility monitors in production). Sources whose text the
+    merges compress poorly are the OOV-heavy ones a vocabulary
+    budget-setter up-weights next training round.
+
+    Shares the merge chain verbatim (_bpe_chain / _bpe_ctes — the
+    segmentation this query applies IS the one the learner produced,
+    by construction, not a re-derivation). Per-source term frequencies
+    join onto the merged VOCABULARY (word types), so corpus size never
+    touches the chain.
+
+    Determinism: symbol counts are codepoint/array lengths of
+    deterministic strings; everything aggregates as exact BIGINTs; the
+    ratio is one integer floor division of positive sums.
+
+    Scale shape: one additional corpus pass (the per-(source, word) tf
+    collapse, map-side combinable) + a vocabulary-keyed join against
+    the chain's final segmentation — both bounded by |sources|·|vocab|,
+    not corpus size; the output is |sources| rows."""
+    v, _merges = _bpe_chain(spark, sf_dir)
+    seg = v.select(
+        "word",
+        F.size(
+            F.split(F.expr("trim(BOTH '\x1f' FROM s)"), "\x1f\x1f")
+        ).cast("long").alias("n_syms"),
+    )
+    d = load(spark, sf_dir, "documents")
+    stf = (
+        d.select("source", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    return (
+        stf.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_word_types"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.length("word")).cast("long").alias("symbols_before"),
+            F.sum(F.col("tf") * F.col("n_syms")).cast("long").alias("symbols_after"),
+            F.expr(
+                "CAST(1000 * sum(tf * length(word)) DIV sum(tf * n_syms) AS BIGINT)"
+            ).alias("compression_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+q_bpe_apply.__doc__ = q_bpe_apply.__doc__.replace("{K}", str(BPE_LEARN_K))
+
+
+# ---------------------------------------------------------------------------
+# Per-node clustering coefficient (oriented triangle attribution)
+# ---------------------------------------------------------------------------
+
+CC_TOP = 20
+
+
+def _clustering_oracle() -> str:
+    from kafka_to_parquet_spark.operators.graph import MIN_SUP, _PAIRS_CTE
+
+    return f"""
+WITH {_PAIRS_CTE},
+e AS (SELECT pa, pb FROM pairs WHERE support >= {MIN_SUP}),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e) GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN (da.d, pa) < (db.d, pb) THEN pa ELSE pb END AS u,
+         CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS v
+  FROM e JOIN deg da ON da.n = pa JOIN deg db ON db.n = pb
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM o e1 JOIN o e2 ON e1.v = e2.u
+            JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tn AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS t
+  FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY n
+)
+SELECT deg.n AS node, deg.d AS degree,
+       CAST(coalesce(tn.t, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * coalesce(tn.t, 0) * 1000000 // (deg.d * (deg.d - 1)) AS BIGINT)
+         AS cc_micro
+FROM deg LEFT JOIN tn ON deg.n = tn.n
+WHERE deg.d >= 2
+ORDER BY cc_micro DESC, node
+LIMIT {CC_TOP}
+"""
+
+
+@query("q_graph_clustering_coeff", oracle=_clustering_oracle())
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the co-purchase graph:
+    cc(v) = 2·T(v) / (d(v)·(d(v)−1)) — "how interconnected is this
+    node's neighborhood", the per-node refinement of
+    q_graph_triangles' global count and the structural input to
+    spam-hub / community-seed triage (a high-degree node with cc ≈ 0
+    is a hub bridging unrelated baskets; cc ≈ 1 is a clique member).
+    Top-{N} nodes by (cc, node) among degree ≥ 2.
+
+    Triangle attribution: each triangle found ONCE by the
+    degree-ordered oriented wedge join (q_graph_triangles' O(m^1.5)
+    plan, oriented edges reused from its shared persisted cache) is
+    credited to ALL THREE corners via a 3-way node explode — per-node
+    counts need no second triangle enumeration.
+
+    Determinism: triangle counts, degrees are exact integers; cc in
+    micro-units is one integer floor division (non-negative operands).
+
+    Scale shape: the oriented out-neighborhoods are O(√m) by
+    construction, so the wedge join is bounded; the attribution
+    explode is 3 rows per triangle; degree and per-node counts are
+    map-side-combinable node-sized aggregates; the final join is
+    node-keyed. TakeOrdered bounds the report."""
+    from kafka_to_parquet_spark.operators.graph import MIN_SUP, _oriented_edges, _part_pairs
+
+    e = _part_pairs(spark, sf_dir).filter(F.col("support") >= MIN_SUP).select(
+        "pa", "pb"
+    )
+    deg = (
+        e.select(F.col("pa").alias("n"))
+        .union(e.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    o = _oriented_edges(spark, sf_dir)
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    tn = (
+        tri.select(F.col("a").alias("n"))
+        .unionByName(tri.select(F.col("b").alias("n")))
+        .unionByName(tri.select(F.col("c").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    return (
+        deg.join(tn, "n", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(2 * coalesce(t, 0) * 1000000 DIV (d * (d - 1)) AS BIGINT)"
+            ).alias("cc_micro"),
+        )
+        .orderBy(F.desc("cc_micro"), "node")
+        .limit(CC_TOP)
+    )
+
+
+q_graph_clustering_coeff.__doc__ = q_graph_clustering_coeff.__doc__.replace(
+    "{N}", str(CC_TOP)
+)
+
+
+# ---------------------------------------------------------------------------
+# Experiment power analysis (minimum detectable effect)
+# ---------------------------------------------------------------------------
+
+# z-quantiles as shared literals (α = 0.05 two-sided, power = 0.80):
+# the ONLY floats, identical text in both engines.
+_Z_ALPHA2 = "1.9599639845400545"
+_Z_BETA = "0.8416212335729143"
+
+# MDE_abs = (z_{α/2} + z_β) · sqrt(s² · (1/n_a + 1/n_b)), s² the
+# pooled per-user metric variance from exact BIGINT moments.
+_POWER_S2 = (
+    "((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    " / (CAST(n AS DOUBLE) * (n - 1)))"
+)
+_POWER_MDE = (
+    f"(({_Z_ALPHA2} + {_Z_BETA}) * sqrt({_POWER_S2}"
+    " * (1.0 / n_a + 1.0 / n_b)))"
+)
+
+
+@query(
+    "q_abtest_power",
+    oracle=f"""
+WITH pu AS (
+  SELECT user_id,
+         CAST({duck_h31("CAST(user_id AS VARCHAR)")} % 2 AS BIGINT) AS variant,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM pu
+)
+SELECT n, n_a, n_b,
+       CAST(floor(CAST(sy AS DOUBLE) / n * 1000000.0 + 0.5) AS BIGINT)
+         AS mean_micro,
+       CAST(floor({_POWER_S2} * 1000000.0 + 0.5) AS BIGINT) AS var_micro,
+       CAST(floor({_POWER_MDE} * 1000000.0 + 0.5) AS BIGINT) AS mde_abs_micro,
+       CAST(floor({_POWER_MDE} / (CAST(sy AS DOUBLE) / n) * 10000.0 + 0.5)
+            AS BIGINT) AS mde_rel_bp
+FROM m
+""",
+)
+def q_abtest_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the minimum detectable effect (MDE)
+    of a two-variant test on per-user revenue at α = 0.05 (two-sided)
+    and 80% power — MDE = (z_{{α/2}} + z_β)·√(s²·(1/n_a + 1/n_b)) —
+    THE sizing computation run on HISTORICAL data before launching an
+    experiment, completing the suite's lifecycle: this sizes it,
+    q_srm_check gates the assignment, q_welch_ttest / q_abtest_cuped
+    read it out. An MDE of e.g. 800 bp means effects under 8% are
+    invisible at this traffic — ship the experiment longer or accept
+    the blindness.
+
+    Determinism: per-user cents and all moments are exact BIGINTs;
+    z-quantiles are shared literal doubles; s², MDE, and the relative
+    MDE are mirrored double expressions micro/bp-rounded per the
+    q_graph_assortativity discipline. Planned allocation counts come
+    from the same h31(user) % 2 assignment CUPED uses.
+
+    Scale shape: one fact pass collapsing map-side to per-user rows,
+    then a 1-row moment reduce — the cheapest plan a query can have.
+    Σy² at 1e9 users needs decimal widening (documented, constants
+    rescale)."""
+    ev = load(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.expr(
+                f"CAST({spark_h31('CAST(user_id AS STRING)')} % 2 AS BIGINT)"
+            ).alias("variant"),
+            "y",
+        )
+    )
+    m = pu.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return m.select(
+        "n",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(floor(CAST(sy AS DOUBLE) / n * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("mean_micro"),
+        F.expr(
+            f"CAST(floor({_POWER_S2} * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("var_micro"),
+        F.expr(
+            f"CAST(floor({_POWER_MDE} * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("mde_abs_micro"),
+        F.expr(
+            f"CAST(floor({_POWER_MDE} / (CAST(sy AS DOUBLE) / n) * 10000.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("mde_rel_bp"),
+    )

@@ -590,3 +590,183 @@ def test_bootstrap_ci_matches_python(run):
     assert stats[0] <= row["ci_lo_cents"] and row["ci_lo_cents"] != stats[0] or stats[0] == stats[1]
     assert row["ci_hi_cents"] <= stats[-1]
     assert row["ci_lo_cents"] <= row["point_mean_c"] <= row["ci_hi_cents"]
+
+
+# ---------------------------------------------------------------------------
+# Second session batch
+# ---------------------------------------------------------------------------
+
+
+def test_text_rake_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import (
+        RAKE_MAX_LEN,
+        RAKE_STOP_K,
+        RAKE_TOP,
+    )
+
+    docs = _table("documents")
+    dfreq = Counter()
+    all_toks = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = _tokens(text)
+        all_toks[int(doc_id)] = toks
+        for w in set(toks):
+            dfreq[w] += 1
+    stop = {
+        w
+        for w, _ in sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :RAKE_STOP_K
+        ]
+    }
+    phrases = []  # instances
+    for toks in all_toks.values():
+        cur = []
+        for w in toks:
+            if w in stop:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+    phrases = [p for p in phrases if len(p) <= RAKE_MAX_LEN]
+    freq, degree = Counter(), Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            degree[w] += len(p)
+    score = {w: 1000 * degree[w] // freq[w] for w in freq}
+    pocc = Counter(" ".join(p) for p in phrases)
+    rows = []
+    for ph, n_occ in pocc.items():
+        words = ph.split(" ")
+        rows.append((ph, n_occ, len(words), sum(score[w] for w in words)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    got = [tuple(r) for r in run("q_text_rake").collect()]
+    assert got == rows[:RAKE_TOP]
+
+
+def test_bpe_apply_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import BPE_LEARN_K
+
+    docs = _table("documents")
+    tf = Counter(w for t in docs["text"] for w in _tokens(t))
+    vocab = {w: list(w) for w in tf}
+    for _ in range(BPE_LEARN_K):
+        pc = Counter()
+        for w, seq in vocab.items():
+            for i in range(len(seq) - 1):
+                pc[(seq[i], seq[i + 1])] += tf[w]
+        (a, b), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        vocab = {w: _merge_greedy(seq, a, b) for w, seq in vocab.items()}
+    per_src = defaultdict(lambda: [0, 0, 0, 0])  # types, tokens, before, after
+    stf = defaultdict(Counter)
+    for text, src in zip(docs["text"], docs["source"]):
+        for w in _tokens(text):
+            stf[src][w] += 1
+    want = []
+    for src in sorted(stf):
+        types = len(stf[src])
+        toks = sum(stf[src].values())
+        before = sum(c * len(w) for w, c in stf[src].items())
+        after = sum(c * len(vocab[w]) for w, c in stf[src].items())
+        want.append((src, types, toks, before, after, 1000 * before // after))
+    got = [tuple(r) for r in run("q_bpe_apply").collect()]
+    assert got == want
+
+
+def test_ts_anomaly_stl_matches_python(run):
+    """The top-k anomaly report must equal a recompute over
+    q_stl_decompose's (already python-verified) output using the
+    doubled-median MAD-score rule."""
+    import statistics as st
+
+    from kafka_to_parquet_spark.operators.batch8 import ANOM_TOP
+
+    decomp = [tuple(r) for r in run("q_stl_decompose").collect()]
+    by_type = defaultdict(list)
+    for et, day, yc, trend, seas, resid in decomp:
+        by_type[et].append((day, yc, resid))
+    want = []
+    for et, rows in by_type.items():
+        resids = [r[2] for r in rows]
+        med2 = int(2 * st.median(resids))
+        scored = sorted(
+            ((abs(2 * r[2] - med2), r) for r in rows),
+            key=lambda x: (-x[0], x[1][0]),
+        )
+        mad_d2 = int(2 * st.median(sorted(dd for dd, _ in scored)))
+        for dd, (day, yc, resid) in scored[:ANOM_TOP]:
+            want.append(
+                (et, day, yc, resid, dd, med2, mad_d2, 10000 * dd // mad_d2)
+            )
+    want.sort(key=lambda r: (r[0], r[1]))
+    got = [tuple(r) for r in run("q_ts_anomaly_stl").collect()]
+    assert got == want
+    assert got, "report empty — fixture degenerate?"
+
+
+def test_graph_clustering_coeff_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import CC_TOP
+    from kafka_to_parquet_spark.operators.graph import MIN_SUP
+
+    li = _table("lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    per_order = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        per_order[int(o)].add(int(p))
+    support = Counter()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    edges = [e for e, c in support.items() if c >= MIN_SUP]
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = Counter()
+    for u in adj:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    tri[u] += 1
+                    tri[v] += 1
+                    tri[w] += 1
+    rows = []
+    for n_, nbrs in adj.items():
+        d = len(nbrs)
+        if d >= 2:
+            rows.append(
+                (n_, d, tri[n_], 2 * tri[n_] * 1_000_000 // (d * (d - 1)))
+            )
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    got = [tuple(r) for r in run("q_graph_clustering_coeff").collect()]
+    assert got == rows[:CC_TOP]
+
+
+def test_abtest_power_matches_python(run):
+    import math
+
+    ev = _table("events")
+    per = Counter()
+    for u, v in zip(ev["user_id"], ev["value"]):
+        per[int(u)] += int(round(v * 100))
+    n = len(per)
+    sy = sum(per.values())
+    syy = sum(y * y for y in per.values())
+    n_a = sum(1 for u in per if _h31(str(u)) % 2 == 0)
+    n_b = n - n_a
+    s2 = (float(n) * syy - float(sy) * sy) / (float(n) * (n - 1))
+    mde = (1.9599639845400545 + 0.8416212335729143) * math.sqrt(
+        s2 * (1.0 / n_a + 1.0 / n_b)
+    )
+    row = run("q_abtest_power").collect()[0]
+    assert (row["n"], row["n_a"], row["n_b"]) == (n, n_a, n_b)
+    assert abs(row["mean_micro"] - int(np.floor(sy / n * 1e6 + 0.5))) <= 1
+    assert abs(row["var_micro"] - int(np.floor(s2 * 1e6 + 0.5))) <= 1
+    assert abs(row["mde_abs_micro"] - int(np.floor(mde * 1e6 + 0.5))) <= 1
+    assert abs(row["mde_rel_bp"] - int(np.floor(mde / (sy / n) * 1e4 + 0.5))) <= 1

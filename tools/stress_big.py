@@ -154,7 +154,15 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            "q_bpe_learn_k", "q_collocation_llr", "q_rocchio_expand",
            "q_search_proximity", "q_winnowing_fingerprint",
            "q_sssp_weighted", "q_graph_modularity", "q_stl_decompose",
-           "q_abtest_cuped", "q_bootstrap_ci", "q_multimodal_probe"]
+           "q_abtest_cuped", "q_bootstrap_ci", "q_multimodal_probe",
+           # round-8 second batch: RAKE's segmentation window + phrase
+           # grids ride 10-way dup families (types flat, counts 10x);
+           # BPE apply shares learn's vocabulary-bound chain; the
+           # anomaly report re-ranks the fixed calendar grid; the
+           # clustering coefficient re-runs the bounded oriented wedge
+           # join on the densified support graph; power is one pass.
+           "q_text_rake", "q_bpe_apply", "q_ts_anomaly_stl",
+           "q_graph_clustering_coeff", "q_abtest_power"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
