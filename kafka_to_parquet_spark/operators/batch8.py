@@ -2029,12 +2029,26 @@ q_bpe_apply.__doc__ = q_bpe_apply.__doc__.replace("{K}", str(BPE_LEARN_K))
 CC_TOP = 20
 
 
+# Edge gate: support STRICTLY ABOVE the 0.99 disc-quantile of pair
+# supports — the q_graph_kcore data-derived-threshold discipline. A
+# fixed literal (operators/graph.py's MIN_SUP = 2) degenerates under
+# volume growth: 10x-replicating the fixture multiplies every pair's
+# support by 10, so "support >= 2" stops filtering entirely and the
+# graph densifies 340x (3,573 -> 1,196,000 edges, measured), blowing
+# the wedge join up 35x. The quantile form is scale-free: at sf0.1
+# p99 = 1 so "> p99" IS ">= 2" (identical results at every gate SF),
+# and on the 10x corpus p99 = 10 recovers exactly the pre-replication
+# edge set.
+CC_SUP_Q = 0.99
+
+
 def _clustering_oracle() -> str:
-    from kafka_to_parquet_spark.operators.graph import MIN_SUP, _PAIRS_CTE
+    from kafka_to_parquet_spark.operators.graph import _PAIRS_CTE
 
     return f"""
 WITH {_PAIRS_CTE},
-e AS (SELECT pa, pb FROM pairs WHERE support >= {MIN_SUP}),
+kq AS (SELECT CAST(quantile_disc(support, {CC_SUP_Q}) AS BIGINT) AS ks FROM pairs),
+e AS (SELECT pa, pb FROM pairs CROSS JOIN kq WHERE support > ks),
 deg AS (
   SELECT n, CAST(count(*) AS BIGINT) AS d
   FROM (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e) GROUP BY n
@@ -2074,11 +2088,14 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_graph_triangles' global count and the structural input to
     spam-hub / community-seed triage (a high-degree node with cc ≈ 0
     is a hub bridging unrelated baskets; cc ≈ 1 is a clique member).
-    Top-{N} nodes by (cc, node) among degree ≥ 2.
+    Top-{N} nodes by (cc, node) among degree ≥ 2. The edge gate is
+    the 0.99-disc-quantile rule (see CC_SUP_Q: a fixed min-support
+    literal densifies 340× under volume replication and blows the
+    wedge join up 35×, measured — the q_graph_kcore lesson).
 
     Triangle attribution: each triangle found ONCE by the
     degree-ordered oriented wedge join (q_graph_triangles' O(m^1.5)
-    plan, oriented edges reused from its shared persisted cache) is
+    plan, orientation built inline over the quantile-gated edges) is
     credited to ALL THREE corners via a 3-way node explode — per-node
     counts need no second triangle enumeration.
 
@@ -2090,10 +2107,18 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is 3 rows per triangle; degree and per-node counts are
     map-side-combinable node-sized aggregates; the final join is
     node-keyed. TakeOrdered bounds the report."""
-    from kafka_to_parquet_spark.operators.graph import MIN_SUP, _oriented_edges, _part_pairs
+    from kafka_to_parquet_spark.operators.graph import _part_pairs
 
-    e = _part_pairs(spark, sf_dir).filter(F.col("support") >= MIN_SUP).select(
-        "pa", "pb"
+    pp = _part_pairs(spark, sf_dir).persist()
+    kq = pp.selectExpr(
+        f"CAST(percentile_disc({CC_SUP_Q}) WITHIN GROUP (ORDER BY support)"
+        " AS BIGINT) AS ks"
+    )
+    e = (
+        pp.crossJoin(F.broadcast(kq))
+        .filter(F.col("support") > F.col("ks"))
+        .select("pa", "pb")
+        .persist()
     )
     deg = (
         e.select(F.col("pa").alias("n"))
@@ -2101,7 +2126,21 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count("*").cast("long").alias("d"))
     )
-    o = _oriented_edges(spark, sf_dir)
+    # degree-ordered orientation (q_graph_triangles' O(sqrt(m)) bound),
+    # built inline over the quantile-gated edge set — the shared
+    # _oriented_edges cache is keyed to the certified MIN_SUP gate.
+    da = deg.select(F.col("n").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("pb"), F.col("d").alias("db"))
+    lower = F.struct(F.col("da"), F.col("pa")) < F.struct(F.col("db"), F.col("pb"))
+    o = (
+        e.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(lower, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+            F.when(lower, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        )
+        .persist()
+    )
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))

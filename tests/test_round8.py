@@ -708,8 +708,9 @@ def test_ts_anomaly_stl_matches_python(run):
 
 
 def test_graph_clustering_coeff_matches_python(run):
-    from kafka_to_parquet_spark.operators.batch8 import CC_TOP
-    from kafka_to_parquet_spark.operators.graph import MIN_SUP
+    import math
+
+    from kafka_to_parquet_spark.operators.batch8 import CC_SUP_Q, CC_TOP
 
     li = _table("lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
     per_order = defaultdict(set)
@@ -721,7 +722,9 @@ def test_graph_clustering_coeff_matches_python(run):
         for i in range(len(ps)):
             for j in range(i + 1, len(ps)):
                 support[(ps[i], ps[j])] += 1
-    edges = [e for e, c in support.items() if c >= MIN_SUP]
+    sups = sorted(support.values())
+    ks = sups[max(0, math.ceil(CC_SUP_Q * len(sups)) - 1)]  # disc quantile
+    edges = [e for e, c in support.items() if c > ks]
     adj = defaultdict(set)
     for u, v in edges:
         adj[u].add(v)
