@@ -2308,3 +2308,397 @@ def q_abtest_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("mde_rel_bp"),
     )
+
+
+# ===========================================================================
+# Third session batch — four more (same last-in-line registration):
+# TextRank (PageRank lowered onto a text-derived graph), KMV sketch
+# ALGEBRA (union/intersection estimates from mergeable sketches),
+# a literal-twiddle weekly DFT, and Kneser-Ney continuation counts.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction
+# ---------------------------------------------------------------------------
+
+TR_STOP_K = 20   # df-bootstrap stoplist (q_text_rake's discipline)
+TR_WINDOW = 2    # co-occurrence window over the stop-filtered sequence
+TR_ROUNDS = 3    # PageRank rounds (q_graph_pagerank's knob)
+TR_TOP = 20
+_TR_T = 1_000_000_000_000  # total rank mass in integer units
+
+
+def _textrank_oracle() -> str:
+    ctes = [
+        _PROX_POSTINGS,
+        f"""tdf AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfreq
+  FROM post GROUP BY word
+)""",
+        f"stopw AS (SELECT word FROM tdf ORDER BY dfreq DESC, word LIMIT {TR_STOP_K})",
+        """fpost AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS fpos
+  FROM post WHERE word NOT IN (SELECT word FROM stopw)
+)""",
+        f"""wedge AS (
+  SELECT a.word AS wa, b.word AS wb, CAST(count(*) AS BIGINT) AS w
+  FROM fpost a JOIN fpost b
+    ON a.doc_id = b.doc_id
+   AND b.fpos - a.fpos BETWEEN 1 AND {TR_WINDOW}
+   AND a.word <> b.word
+  GROUP BY a.word, b.word
+)""",
+        """edges AS (
+  SELECT wa AS src, wb AS dst, CAST(sum(w) AS BIGINT) AS w
+  FROM (SELECT wa, wb, w FROM wedge
+        UNION ALL SELECT wb AS wa, wa AS wb, w FROM wedge)
+  GROUP BY wa, wb
+)""",
+        "tnodes AS (SELECT DISTINCT src AS node FROM edges)",
+        f"""tpar AS (
+  SELECT {_TR_T} // count(*) AS r_init,
+         (15 * ({_TR_T} // count(*))) // 100 AS base
+  FROM tnodes
+)""",
+        "strength AS (SELECT src, CAST(sum(w) AS BIGINT) AS s FROM edges GROUP BY src)",
+        "tr0 AS (SELECT node, (SELECT r_init FROM tpar) AS r FROM tnodes)",
+    ]
+    for k in range(1, TR_ROUNDS + 1):
+        ctes.append(f"""tc{k} AS (
+  SELECT e.dst AS node, sum((tr{k - 1}.r // strength.s) * e.w) AS c
+  FROM edges e
+  JOIN strength ON e.src = strength.src
+  JOIN tr{k - 1} ON tr{k - 1}.node = e.src
+  GROUP BY e.dst
+)""")
+        ctes.append(f"""tr{k} AS (
+  SELECT n.node, (SELECT base FROM tpar) + (85 * COALESCE(tc{k}.c, 0)) // 100 AS r
+  FROM tnodes n LEFT JOIN tc{k} ON tc{k}.node = n.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node AS word, CAST(r AS BIGINT) AS rank_units
+FROM tr{TR_ROUNDS}
+ORDER BY rank_units DESC, word
+LIMIT {TR_TOP}
+"""
+    )
+
+
+@query("q_text_textrank", oracle=_textrank_oracle())
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): build the
+    word co-occurrence graph (edges between non-stopword tokens within
+    {W} positions of each other in the stop-filtered sequence, weighted
+    by co-occurrence count) and rank words by weighted PageRank —
+    graph-centrality keywords, the global counterpart of q_text_rake's
+    local degree/frequency scores (RAKE finds multiword PHRASES; this
+    finds the corpus's structurally central TERMS). The engine's
+    integer PageRank (q_graph_pagerank's 1e-12-unit fixed-point, 0.85
+    damping, {R} rounds) LOWERED ONTO A TEXT-DERIVED GRAPH — the
+    whole point of building operators compositionally.
+
+    Determinism: the stoplist is a (df DESC, word) total order; edge
+    weights are exact counts; each round is integer division and
+    integer sums per q_graph_pagerank's order-independence argument
+    (per-edge contribution = (r // strength)·w, all BIGINT); top-{N}
+    carries the (rank DESC, word) tiebreak.
+
+    Scale shape: the window adjacency is a doc-keyed band self-join
+    over the re-indexed filtered postings (per-doc fan-out ≤ {W});
+    the edge relation collapses to word-pair TYPES map-side before
+    its exchange; strength folds into the edge relation once; each
+    PageRank round exchanges only the vocabulary-sized rank relation
+    (edges persist pre-hashed on src). Vocabulary-bound end to end —
+    the corpus is touched once, by the postings explode."""
+    docs = load(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    tdf = post.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("long").alias("dfreq")
+    )
+    stopw = tdf.orderBy(F.desc("dfreq"), "word").limit(TR_STOP_K).select("word")
+    fpost = (
+        post.join(F.broadcast(stopw), "word", "left_anti")
+        .withColumn(
+            "fpos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+        .select("doc_id", "word", "fpos")
+    )
+    a, b = fpost.alias("a"), fpost.alias("b")
+    wedge = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.fpos") - F.col("a.fpos")).between(1, TR_WINDOW)
+            & (F.col("a.word") != F.col("b.word")),
+        )
+        .groupBy(F.col("a.word").alias("wa"), F.col("b.word").alias("wb"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    edges = (
+        wedge.unionByName(
+            wedge.select(
+                F.col("wb").alias("wa"), F.col("wa").alias("wb"), "w"
+            )
+        )
+        .groupBy(F.col("wa").alias("src"), F.col("wb").alias("dst"))
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    strength = edges.groupBy("src").agg(F.sum("w").cast("long").alias("s"))
+    edges_s = (
+        edges.join(strength, "src")
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    tnodes = edges_s.select(F.col("src").alias("node")).distinct()
+    tpar = tnodes.agg(
+        F.expr(f"{_TR_T} DIV count(*) AS r_init"),
+        F.expr(f"(15 * ({_TR_T} DIV count(*))) DIV 100 AS base"),
+    )
+    r = tnodes.crossJoin(F.broadcast(tpar)).select(
+        "node", F.col("r_init").alias("r")
+    )
+    for _ in range(TR_ROUNDS):
+        contrib = (
+            edges_s.join(r, edges_s.src == r.node)
+            .select("dst", F.expr("(r DIV s) * w").alias("c"))
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum("c").alias("c"))
+        )
+        r = (
+            tnodes.join(contrib, tnodes.node == contrib.node2, "left")
+            .crossJoin(F.broadcast(tpar))
+            .select(
+                "node",
+                F.expr("base + (85 * COALESCE(c, 0)) DIV 100").alias("r"),
+            )
+            .persist()
+        )
+    return (
+        r.select(F.col("node").alias("word"), F.col("r").cast("long").alias("rank_units"))
+        .orderBy(F.desc("rank_units"), "word")
+        .limit(TR_TOP)
+    )
+
+
+q_text_textrank.__doc__ = (
+    q_text_textrank.__doc__
+    .replace("{W}", str(TR_WINDOW))
+    .replace("{R}", str(TR_ROUNDS))
+    .replace("{N}", str(TR_TOP))
+)
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch algebra: pairwise union/intersection estimates + audit
+# ---------------------------------------------------------------------------
+
+
+def _kmv_union_oracle() -> str:
+    from kafka_to_parquet_spark.llm.corpus_stats import KMV_K
+
+    return f"""
+WITH dw AS (
+  SELECT DISTINCT source, word
+  FROM (SELECT source, unnest({_TOKENS_SQL}) AS word FROM documents)
+),
+hv AS (SELECT DISTINCT source, {duck_h31("word")} AS hv FROM dw),
+kept AS (
+  SELECT source, hv FROM (
+    SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+    FROM hv) WHERE rk <= {KMV_K}
+),
+singles AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(max(hv) AS BIGINT) AS h_k
+  FROM kept GROUP BY source
+),
+sest AS (
+  SELECT source,
+         CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
+                   ELSE CAST({KMV_K} - 1 AS BIGINT) * {H31_P} // h_k END
+              AS BIGINT) AS est
+  FROM singles
+),
+srcs AS (SELECT DISTINCT source FROM dw),
+prs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+merged AS (
+  SELECT sa, sb, hv FROM (
+    SELECT p.sa, p.sb, k.hv FROM prs p JOIN kept k ON k.source = p.sa
+    UNION
+    SELECT p.sa, p.sb, k.hv FROM prs p JOIN kept k ON k.source = p.sb
+  )
+),
+mr AS (
+  SELECT sa, sb, hv,
+         row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rk,
+         count(*) OVER (PARTITION BY sa, sb) AS n_m
+  FROM merged
+),
+uest AS (
+  SELECT sa, sb,
+         CAST(CASE WHEN max(n_m) < {KMV_K} THEN max(n_m)
+                   ELSE CAST({KMV_K} - 1 AS BIGINT) * {H31_P}
+                        // max(CASE WHEN rk = {KMV_K} THEN hv END) END
+              AS BIGINT) AS est_union
+  FROM mr GROUP BY sa, sb
+),
+uex AS (
+  SELECT sa, sb, CAST(count(DISTINCT word) AS BIGINT) AS exact_union
+  FROM (
+    SELECT p.sa, p.sb, d.word FROM prs p JOIN dw d ON d.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, d.word FROM prs p JOIN dw d ON d.source = p.sb
+  ) GROUP BY sa, sb
+),
+sex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM dw GROUP BY source)
+SELECT u.sa AS source_a, u.sb AS source_b,
+       ea.n_exact AS exact_a, eb.n_exact AS exact_b,
+       x.exact_union, u.est_union,
+       CAST(abs(u.est_union - x.exact_union) * 10000 // x.exact_union AS BIGINT)
+         AS err_union_bp,
+       CAST(sa2.est + sb2.est - u.est_union AS BIGINT) AS est_inter,
+       CAST(ea.n_exact + eb.n_exact - x.exact_union AS BIGINT) AS exact_inter
+FROM uest u
+JOIN uex x ON u.sa = x.sa AND u.sb = x.sb
+JOIN sex ea ON u.sa = ea.source
+JOIN sex eb ON u.sb = eb.source
+JOIN sest sa2 ON u.sa = sa2.source
+JOIN sest sb2 ON u.sb = sb2.source
+ORDER BY source_a, source_b
+"""
+
+
+@query("q_kmv_union_audit", oracle=_kmv_union_oracle())
+def q_kmv_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ALGEBRA, audited: the property that makes KMV the
+    production distinct-count sketch is MERGEABILITY — the union of
+    two vocabularies is estimated by merging their K-minimum sets and
+    re-truncating to K, and intersections follow by inclusion-
+    exclusion, all WITHOUT re-touching the data. This query estimates
+    |vocab(a) ∪ vocab(b)| and |vocab(a) ∩ vocab(b)| for every source
+    pair from the per-source sketches alone, next to exact counts and
+    the realized union error in bp — extending q_kmv_distinct (point
+    estimates) to the set-operation layer a dataset-overlap dashboard
+    actually runs on (q_source_vocab_overlap computes these overlaps
+    EXACTLY at vocabulary cost; this gets them from 20 sketches of
+    {K} values — the 100 TB path).
+
+    Determinism: h31 minima are exact integers; per-set K-th order
+    statistics via rank windows; sets smaller than K estimate exactly
+    (their sketch IS the set) through an identical CASE in both
+    engines; inclusion-exclusion is signed integer arithmetic.
+
+    Scale shape: the data-sized work is ONE distinct over (source,
+    word) + one rank window per source — everything pairwise operates
+    on kept sketches (≤ |sources|·{K} rows): the merged-pair relation
+    is ≤ |pairs|·2{K} rows however large the corpus. The exact-union
+    audit leg is the expensive one BY CONSTRUCTION (it is the ground
+    truth being compared against, the q_lsh_recall discipline) and
+    drops in production."""
+    from kafka_to_parquet_spark.llm.corpus_stats import KMV_K
+
+    d = load(spark, sf_dir, "documents")
+    dw = (
+        d.select("source", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .distinct()
+        .persist()
+    )
+    hv = dw.select("source", F.expr(spark_h31("word")).alias("hv")).distinct()
+    kept = (
+        hv.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("source").orderBy("hv"))
+        )
+        .filter(F.col("rk") <= KMV_K)
+        .select("source", "hv")
+        .persist()
+    )
+    singles = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("hv").cast("long").alias("h_k"),
+    )
+    sest = singles.select(
+        "source",
+        F.expr(
+            f"CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept"
+            f" ELSE CAST({KMV_K} - 1 AS BIGINT) * {H31_P} DIV h_k END AS BIGINT)"
+        ).alias("est"),
+    )
+    srcs = dw.select("source").distinct()
+    prs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .persist()
+    )
+    ka = prs.join(kept, prs.sa == kept.source).select("sa", "sb", "hv")
+    kb = prs.join(kept, prs.sb == kept.source).select("sa", "sb", "hv")
+    merged = ka.unionByName(kb).distinct()
+    mr = merged.select(
+        "sa",
+        "sb",
+        "hv",
+        F.row_number()
+        .over(Window.partitionBy("sa", "sb").orderBy("hv"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy("sa", "sb")).alias("n_m"),
+    )
+    uest = mr.groupBy("sa", "sb").agg(
+        F.expr(
+            f"CAST(CASE WHEN max(n_m) < {KMV_K} THEN max(n_m)"
+            f" ELSE CAST({KMV_K} - 1 AS BIGINT) * {H31_P}"
+            f" DIV max(CASE WHEN rk = {KMV_K} THEN hv END) END AS BIGINT)"
+        ).alias("est_union")
+    )
+    da = prs.join(dw, prs.sa == dw.source).select("sa", "sb", "word")
+    db = prs.join(dw, prs.sb == dw.source).select("sa", "sb", "word")
+    uex = (
+        da.unionByName(db)
+        .groupBy("sa", "sb")
+        .agg(F.countDistinct("word").cast("long").alias("exact_union"))
+    )
+    sex = dw.groupBy("source").agg(F.count("*").cast("long").alias("n_exact"))
+    ea = sex.select(F.col("source").alias("sa"), F.col("n_exact").alias("exact_a"))
+    eb = sex.select(F.col("source").alias("sb"), F.col("n_exact").alias("exact_b"))
+    esta = sest.select(F.col("source").alias("sa"), F.col("est").alias("est_a"))
+    estb = sest.select(F.col("source").alias("sb"), F.col("est").alias("est_b"))
+    return (
+        uest.join(uex, ["sa", "sb"])
+        .join(F.broadcast(ea), "sa")
+        .join(F.broadcast(eb), "sb")
+        .join(F.broadcast(esta), "sa")
+        .join(F.broadcast(estb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "est_union",
+            F.expr(
+                "CAST(abs(est_union - exact_union) * 10000 DIV exact_union"
+                " AS BIGINT)"
+            ).alias("err_union_bp"),
+            F.expr("CAST(est_a + est_b - est_union AS BIGINT)").alias("est_inter"),
+            F.expr(
+                "CAST(exact_a + exact_b - exact_union AS BIGINT)"
+            ).alias("exact_inter"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+q_kmv_union_audit.__doc__ = q_kmv_union_audit.__doc__.replace("{K}", "256")
