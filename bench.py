@@ -147,6 +147,7 @@ HEADLINE = [
     "q_stl_decompose",       # bounded-frame trend + broadcast seasonal join
     "q_collocation_llr",     # bigram-type G² with margin windows
     "q_text_rake",           # running-stopword-count phrase segmentation
+    "q_text_textrank",       # integer PageRank on the co-occurrence word graph
 ]
 
 # Bench family representatives: members NOT in HEADLINE are benched
@@ -186,6 +187,9 @@ BENCH_OMITTED = {
     "q_rocchio_expand": "q_bm25 stage + one more token pass (q_bm25 benched)",
     "q_abtest_cuped": "one fact pass + 2-row finish ⊂ q_mann_whitney shape",
     "q_abtest_power": "one fact pass + 1-row moment reduce ⊂ q_abtest_cuped shape",
+    "q_kmv_union_audit": "data-sized stage is one distinct+rank ⊂ q_vocab_topk shape; pairwise legs are sketch-sized",
+    "q_ts_spectral_dow": "one calendar-grid groupBy ⊂ q_stl_decompose's daily collapse",
+    "q_kn_continuation": "doc-keyed adjacency + type distinct ⊂ q_collocation_llr shape",
 }
 
 

@@ -67,6 +67,19 @@ batch opened (same last-in-line registration discipline):
                     from exact per-user moments — the sizing step
                     that completes the experimentation lifecycle.
 
+A third session batch appends four (same discipline):
+
+- q_text_textrank — TextRank keywords: the engine's integer PageRank
+                    lowered onto a window co-occurrence word graph.
+- q_kmv_union_audit — KMV sketch ALGEBRA: pairwise union/intersection
+                    estimates from merged K-minimum sets, audited
+                    against exact counts.
+- q_ts_spectral_dow — single-bin weekly DFT with repr-exact literal
+                    twiddles (no libm trig at query time).
+- q_kn_continuation — Kneser-Ney continuation counts, the
+                    distinct-left-context statistic behind the
+                    canonical n-gram LM smoother.
+
 The reference (a straight-line Kafka→parquet ETL, src/main.rs:59-294)
 has none of these; they are part of the mandated LLM-pipeline /
 analytics extension tier.
@@ -2322,7 +2335,12 @@ def q_abtest_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TextRank keyword extraction
 # ---------------------------------------------------------------------------
 
-TR_STOP_K = 20   # df-bootstrap stoplist (q_text_rake's discipline)
+TR_STOP_K = 10   # df-bootstrap stoplist (q_text_rake's discipline) —
+#                  HALF of RAKE's 20: the fixture's prose draws on a
+#                  ~31-type vocabulary, and stopping 20 of 31 would
+#                  leave an 11-node graph; a language-scale corpus
+#                  uses a language-scale stoplist, the knob is the
+#                  contract
 TR_WINDOW = 2    # co-occurrence window over the stop-filtered sequence
 TR_ROUNDS = 3    # PageRank rounds (q_graph_pagerank's knob)
 TR_TOP = 20
@@ -2702,3 +2720,220 @@ def q_kmv_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_kmv_union_audit.__doc__ = q_kmv_union_audit.__doc__.replace("{K}", "256")
+
+
+# ---------------------------------------------------------------------------
+# Weekly spectral strength (single-bin DFT with literal twiddles)
+# ---------------------------------------------------------------------------
+
+# cos/sin(2πk/7) for k = 0..6 as repr-exact double literals: both
+# engines parse the same decimal to the same IEEE double, so no libm
+# cos/sin (whose last-ulp behavior is NOT guaranteed identical across
+# JVM and DuckDB) ever runs at query time. The weekday index selects
+# the literal — the classic twiddle-factor table, radix 7.
+_TW_COS = (
+    "1.0", "0.6234898018587336", "-0.22252093395631434",
+    "-0.900968867902419", "-0.9009688679024191",
+    "-0.2225209339563146", "0.6234898018587334",
+)
+_TW_SIN = (
+    "0.0", "0.7818314824680298", "0.9749279121818236",
+    "0.43388373911755823", "-0.433883739117558",
+    "-0.9749279121818236", "-0.7818314824680299",
+)
+
+
+def _tw_case(table: tuple[str, ...]) -> str:
+    return (
+        "CASE dow "
+        + " ".join(f"WHEN {k} THEN {v}" for k, v in enumerate(table))
+        + " END"
+    )
+
+
+# Per-day projection fenced to integer milli-units BEFORE the sum (the
+# q_mutual_information per-cell rounding discipline: no cross-row
+# float accumulation exists), then exact BIGINT sums; the final
+# amplitude/share is ONE mirrored double expression over those sums.
+_SPEC_XR = f"CAST(floor(yc * ({_tw_case(_TW_COS)}) * 1000.0 + 0.5) AS BIGINT)"
+_SPEC_XI = f"CAST(floor(yc * ({_tw_case(_TW_SIN)}) * 1000.0 + 0.5) AS BIGINT)"
+_SPEC_BP = (
+    "CAST(floor(10000.0 * sqrt(CAST(xr AS DOUBLE) * xr + CAST(xi AS DOUBLE) * xi)"
+    " / (1000.0 * total_cents) + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "q_ts_spectral_dow",
+    oracle=f"""
+WITH {_STL_DAILY},
+proj AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) % 7 AS dow,
+         yc
+  FROM daily
+),
+sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(yc) AS BIGINT) AS total_cents,
+         CAST(sum({_SPEC_XR}) AS BIGINT) AS xr,
+         CAST(sum({_SPEC_XI}) AS BIGINT) AS xi
+  FROM proj GROUP BY event_type
+)
+SELECT event_type, n_days, total_cents, xr AS xr_milli, xi AS xi_milli,
+       {_SPEC_BP} AS weekly_amp_bp
+FROM sums
+ORDER BY event_type
+""",
+)
+def q_ts_spectral_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin discrete Fourier transform of each event type's
+    daily revenue at the WEEKLY frequency: X = Σ_d y_d·e^(−2πi·dow/7),
+    reported as the real/imaginary integer sums and the amplitude as
+    a share of total revenue in bp — the spectral twin of
+    q_seasonality_dow's χ² (χ² says "the weekday histogram is
+    non-uniform"; the DFT bin measures HOW MUCH of the signal's mass
+    beats at exactly one cycle per week, and its phase — xr/xi — says
+    WHERE in the week the peak sits). The one-bin Goertzel-style form
+    is what a 100 TB pipeline runs per metric: a full FFT needs the
+    series on one machine, a fixed bin is a map-side sum.
+
+    Engine-exactness without trusting libm: the seven twiddle factors
+    are repr-exact double LITERALS (see _TW_COS — JVM cos vs DuckDB
+    cos may differ in the last ulp, parsed decimal literals cannot);
+    each day's projection is micro-fenced to integer milli-units
+    before the per-type sum (no cross-row float order exists); the
+    final amplitude share is one mirrored sqrt expression over exact
+    BIGINTs.
+
+    Scale shape: the fact collapses map-side to the |types|·|days|
+    calendar grid (shared _STL_DAILY), then ONE grouped sum — the
+    cheapest possible spectral estimator."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("yc")
+    )
+    proj = daily.select(
+        "event_type",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long") % 7
+        ).alias("dow"),
+        "yc",
+    )
+    sums = proj.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("yc").cast("long").alias("total_cents"),
+        F.sum(F.expr(_SPEC_XR)).cast("long").alias("xr"),
+        F.sum(F.expr(_SPEC_XI)).cast("long").alias("xi"),
+    )
+    return sums.select(
+        "event_type",
+        "n_days",
+        "total_cents",
+        F.col("xr").alias("xr_milli"),
+        F.col("xi").alias("xi_milli"),
+        F.expr(_SPEC_BP).alias("weekly_amp_bp"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney continuation counts
+# ---------------------------------------------------------------------------
+
+KN_TOP = 20
+
+
+@query(
+    "q_kn_continuation",
+    oracle=f"""
+WITH {_PROX_POSTINGS},
+bg AS (
+  SELECT DISTINCT p1.word AS w1, p2.word AS w2
+  FROM post p1 JOIN post p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+),
+nbt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bg),
+cont AS (
+  SELECT w2 AS word, CAST(count(*) AS BIGINT) AS cont_count
+  FROM bg GROUP BY w2
+),
+freq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS raw_freq
+  FROM post GROUP BY word
+)
+SELECT cont.word, cont_count, raw_freq, n_types,
+       CAST(cont_count * 1000000 // n_types AS BIGINT) AS kn_prob_ppm,
+       CAST(raw_freq * 1000 // cont_count AS BIGINT) AS burst_ratio_milli
+FROM cont JOIN freq ON cont.word = freq.word CROSS JOIN nbt
+ORDER BY cont_count DESC, cont.word
+LIMIT {KN_TOP}
+""",
+)
+def q_kn_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation counts — the statistic behind THE
+    canonical n-gram LM smoother (Kneser & Ney 1995; still the
+    baseline every neural LM paper reports against): a word's unigram
+    probability under KN is proportional not to how OFTEN it occurs
+    but to how many DISTINCT left contexts it follows (N1+(·w) over
+    the bigram-type total). The divergence from raw frequency is the
+    famous "San Francisco" effect — "francisco" is frequent but
+    follows only "san", so KN correctly refuses to predict it in
+    novel contexts; burst_ratio (freq per context) makes that gap a
+    reported column. Complements q_text_unigram_logprob (raw-count
+    LM) and q_word_burstiness (cf/df — the document-level analog;
+    this is the SEQUENCE-level one).
+
+    Determinism: bigram TYPES are a distinct over the adjacency join;
+    continuation counts, frequencies, the type total, and both ratios
+    are exact integers with full (count DESC, word) tiebreaks.
+
+    Scale shape: the adjacency self-join is doc-keyed (q_search_phrase
+    topology); the distinct collapses to bigram types before any
+    counting; continuation counts are a vocabulary-sized aggregate;
+    the scalar type-total broadcasts. Top-{N} is TakeOrdered."""
+    docs = load(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    p1, p2 = post.alias("p1"), post.alias("p2")
+    bg = (
+        p1.join(
+            p2,
+            (F.col("p1.doc_id") == F.col("p2.doc_id"))
+            & (F.col("p2.pos") == F.col("p1.pos") + 1),
+        )
+        .select(F.col("p1.word").alias("w1"), F.col("p2.word").alias("w2"))
+        .distinct()
+    )
+    nbt = bg.agg(F.count("*").cast("long").alias("n_types"))
+    cont = bg.groupBy(F.col("w2").alias("word")).agg(
+        F.count("*").cast("long").alias("cont_count")
+    )
+    freq = post.groupBy("word").agg(F.count("*").cast("long").alias("raw_freq"))
+    return (
+        cont.join(freq, "word")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "word",
+            "cont_count",
+            "raw_freq",
+            "n_types",
+            F.expr("CAST(cont_count * 1000000 DIV n_types AS BIGINT)").alias(
+                "kn_prob_ppm"
+            ),
+            F.expr("CAST(raw_freq * 1000 DIV cont_count AS BIGINT)").alias(
+                "burst_ratio_milli"
+            ),
+        )
+        .orderBy(F.desc("cont_count"), "word")
+        .limit(KN_TOP)
+    )
+
+
+q_kn_continuation.__doc__ = q_kn_continuation.__doc__.replace("{N}", str(KN_TOP))

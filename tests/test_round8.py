@@ -775,3 +775,161 @@ def test_abtest_power_matches_python(run):
     assert abs(row["var_micro"] - int(np.floor(s2 * 1e6 + 0.5))) <= 1
     assert abs(row["mde_abs_micro"] - int(np.floor(mde * 1e6 + 0.5))) <= 1
     assert abs(row["mde_rel_bp"] - int(np.floor(mde / (sy / n) * 1e4 + 0.5))) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Third session batch
+# ---------------------------------------------------------------------------
+
+
+def test_text_textrank_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import (
+        TR_ROUNDS,
+        TR_STOP_K,
+        TR_TOP,
+        TR_WINDOW,
+        _TR_T,
+    )
+
+    docs = _table("documents")
+    dfreq = Counter()
+    toks_by_doc = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = _tokens(text)
+        toks_by_doc[int(doc_id)] = toks
+        for w in set(toks):
+            dfreq[w] += 1
+    stop = {
+        w
+        for w, _ in sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :TR_STOP_K
+        ]
+    }
+    wedge = Counter()
+    for toks in toks_by_doc.values():
+        ft = [w for w in toks if w not in stop]
+        for i in range(len(ft)):
+            for j in range(i + 1, min(i + TR_WINDOW + 1, len(ft))):
+                if ft[i] != ft[j]:
+                    wedge[(ft[i], ft[j])] += 1
+    edges = Counter()
+    for (a, b), w in wedge.items():
+        edges[(a, b)] += w
+        edges[(b, a)] += w
+    strength = Counter()
+    for (a, _b), w in edges.items():
+        strength[a] += w
+    nodes = sorted(strength)
+    n = len(nodes)
+    r_init = _TR_T // n
+    base = (15 * r_init) // 100
+    r = {v: r_init for v in nodes}
+    for _ in range(TR_ROUNDS):
+        c = Counter()
+        for (a, b), w in edges.items():
+            c[b] += (r[a] // strength[a]) * w
+        r = {v: base + (85 * c[v]) // 100 for v in nodes}
+    want = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:TR_TOP]
+    got = [(row["word"], row["rank_units"]) for row in run("q_text_textrank").collect()]
+    assert got == want
+
+
+def test_kmv_union_audit_matches_python(run):
+    from kafka_to_parquet_spark.llm.corpus_stats import KMV_K
+
+    docs = _table("documents")
+    vocab = defaultdict(set)
+    for text, src in zip(docs["text"], docs["source"]):
+        vocab[src].update(_tokens(text))
+    kept = {
+        s: sorted(_h31(w) for w in ws)[:KMV_K] for s, ws in vocab.items()
+    }
+
+    def est_from(mins):
+        if len(mins) < KMV_K:
+            return len(mins)
+        return (KMV_K - 1) * H31_P // mins[KMV_K - 1]
+
+    sest = {s: est_from(m) for s, m in kept.items()}
+    want = []
+    srcs = sorted(vocab)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            merged = sorted(set(kept[sa]) | set(kept[sb]))[:KMV_K]
+            est_u = est_from(merged)
+            ex_u = len(vocab[sa] | vocab[sb])
+            want.append(
+                (
+                    sa, sb, len(vocab[sa]), len(vocab[sb]), ex_u, est_u,
+                    abs(est_u - ex_u) * 10000 // ex_u,
+                    sest[sa] + sest[sb] - est_u,
+                    len(vocab[sa]) + len(vocab[sb]) - ex_u,
+                )
+            )
+    got = [tuple(r) for r in run("q_kmv_union_audit").collect()]
+    assert got == sorted(want)
+
+
+def test_ts_spectral_dow_matches_python(run):
+    import datetime
+
+    from kafka_to_parquet_spark.operators.batch8 import _TW_COS, _TW_SIN
+
+    ev = _table("events")
+    ev["d"] = ev["ts"].dt.date
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    daily = ev.groupby(["event_type", "d"])["c"].sum().reset_index()
+    epoch = datetime.date(1970, 1, 1)
+    want = {}
+    for et, g in daily.groupby("event_type"):
+        xr = xi = tot = 0
+        for d, yc in zip(g["d"], g["c"]):
+            dow = (d - epoch).days % 7
+            xr += int(np.floor(yc * float(_TW_COS[dow]) * 1000.0 + 0.5))
+            xi += int(np.floor(yc * float(_TW_SIN[dow]) * 1000.0 + 0.5))
+            tot += int(yc)
+        amp = int(
+            np.floor(
+                10000.0 * ((float(xr) * xr + float(xi) * xi) ** 0.5)
+                / (1000.0 * tot)
+                + 0.5
+            )
+        )
+        want[et] = (len(g), tot, xr, xi, amp)
+    got = {
+        r["event_type"]: (
+            r["n_days"], r["total_cents"], r["xr_milli"], r["xi_milli"],
+            r["weekly_amp_bp"],
+        )
+        for r in run("q_ts_spectral_dow").collect()
+    }
+    assert set(got) == set(want)
+    for et in want:
+        assert got[et][:4] == want[et][:4], et
+        assert abs(got[et][4] - want[et][4]) <= 1, et  # sqrt recompute
+
+
+def test_kn_continuation_matches_python(run):
+    from kafka_to_parquet_spark.operators.batch8 import KN_TOP
+
+    docs = _table("documents")
+    bg = set()
+    freq = Counter()
+    for text in docs["text"]:
+        toks = _tokens(text)
+        freq.update(toks)
+        for i in range(len(toks) - 1):
+            bg.add((toks[i], toks[i + 1]))
+    cont = Counter(b for _a, b in bg)
+    n_types = len(bg)
+    rows = [
+        (
+            w, c, freq[w], n_types,
+            c * 1_000_000 // n_types,
+            freq[w] * 1000 // c,
+        )
+        for w, c in cont.items()
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    got = [tuple(r) for r in run("q_kn_continuation").collect()]
+    assert got == rows[:KN_TOP]

@@ -162,7 +162,14 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # clustering coefficient re-runs the bounded oriented wedge
            # join on the densified support graph; power is one pass.
            "q_text_rake", "q_bpe_apply", "q_ts_anomaly_stl",
-           "q_graph_clustering_coeff", "q_abtest_power"]
+           "q_graph_clustering_coeff", "q_abtest_power",
+           # round-8 third batch: textrank's graph is vocabulary-bound
+           # (the fixture vocab BARELY grows under replication);
+           # kmv-union's pairwise legs are sketch-sized by design and
+           # its exact audit leg rides the flat vocabulary; the DFT
+           # collapses to the calendar grid; KN counts bigram TYPES.
+           "q_text_textrank", "q_kmv_union_audit",
+           "q_ts_spectral_dow", "q_kn_continuation"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
