@@ -933,3 +933,80 @@ def test_kn_continuation_matches_python(run):
     rows.sort(key=lambda r: (-r[1], r[0]))
     got = [tuple(r) for r in run("q_kn_continuation").collect()]
     assert got == rows[:KN_TOP]
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: the sentinel-framed replace() IS greedy BPE merging
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_framed_replace_equals_greedy_merge_fuzz():
+    """q_bpe_learn_k's core trick — applying a merge as ONE string
+    replace over sentinel-framed symbols — must equal the canonical
+    greedy leftmost merge for ANY symbol sequence and pair, including
+    the aaaa→[aa,aa] overlap traps and multi-char symbols from prior
+    merges. Pure-python mirror of the identical Spark/DuckDB string
+    semantics (left-to-right non-overlapping scan)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    US = "\x1f"
+
+    def frame(seq):
+        return "".join(US + x + US for x in seq)
+
+    def unframe(s):
+        return s.strip(US).split(US + US) if s else []
+
+    sym = st.sampled_from(["a", "b", "ab", "ba", "aa", "c"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(sym, min_size=1, max_size=12), sym, sym)
+    def check(seq, a, b):
+        framed = frame(seq).replace(
+            US + a + US + US + b + US, US + a + b + US
+        )
+        assert unframe(framed) == _merge_greedy(seq, a, b), (seq, a, b)
+
+    check()
+
+
+def test_synth_media_fuzz_wide_doc_ids():
+    """The probe query's closed-form oracle must hold for ANY doc id —
+    fuzz far past the fixture range (incl. the 10x-stress offsets)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_to_parquet_spark.llm.multimodal import (
+        SYNTH_KINDS,
+        decode_audio,
+        decode_gif,
+        decode_image,
+        decode_video,
+        probe_media,
+        synth_media,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(min_value=0, max_value=50_000_000))
+    def check(d):
+        payload = synth_media(d)
+        kind = SYNTH_KINDS[d % 6]
+        assert probe_media(payload)[1] == kind
+        if kind in ("png", "ppm", "bmp"):
+            arr = decode_image(payload)[0]
+            want = sum((i * 31 + 7 + d) % 256 for i in range(arr.size))
+        elif kind == "gif":
+            arr = decode_gif(payload)[0]
+            want = 3 * sum(
+                (((i * 7 + d) % 8) * 40 + 5) % 256 for i in range(arr.size // 3)
+            )
+        elif kind == "wav":
+            arr = decode_audio(payload)[0]
+            want = sum((i * 777 + d * 11) % 65536 - 32768 for i in range(arr.size))
+        else:
+            arr = decode_video(payload)[0]
+            want = sum((i * 31 + 7 + d) % 256 for i in range(arr.size))
+        assert int(arr.astype(np.int64).sum()) == want
+
+    check()
