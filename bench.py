@@ -157,7 +157,7 @@ HEADLINE = [
 # folded query keeps.
 FAMILY_REPS = {
     "q_dedup_simhash": ["q_dedup_simhash_pairs"],
-    "q_dedup_minhash": ["q_dedup_minhash_incr"],
+    "q_dedup_minhash": ["q_dedup_minhash_incr", "q_split_leakage"],
     "q_knn_graph_ivf": ["q_knn_multiprobe", "q_knn_graph"],
     "q_text_unigram_logprob": ["q_text_bigram_logprob", "q_text_entropy"],
     "q_dedup_embedding_lsh": ["q_dedup_embedding"],
@@ -190,6 +190,7 @@ BENCH_OMITTED = {
     "q_kmv_union_audit": "data-sized stage is one distinct+rank ⊂ q_vocab_topk shape; pairwise legs are sketch-sized",
     "q_ts_spectral_dow": "one calendar-grid groupBy ⊂ q_stl_decompose's daily collapse",
     "q_kn_continuation": "doc-keyed adjacency + type distinct ⊂ q_collocation_llr shape",
+    "q_kmeans_silhouette": "broadcast centroid scan + K-row agg ⊂ q_kmeans_step shape",
 }
 
 

@@ -79,6 +79,13 @@ A third session batch appends four (same discipline):
 - q_kn_continuation — Kneser-Ney continuation counts, the
                     distinct-left-context statistic behind the
                     canonical n-gram LM smoother.
+- q_kmeans_silhouette — simplified-silhouette quality audit of the
+                    declared k-means assignment (shared scoring
+                    stage), the measurement leg the Lloyd family
+                    lacked.
+- q_split_leakage — verified near-dups straddling the declared hash
+                    splitter's train/val/test boundary — the audit
+                    that justifies dedup-before-split.
 
 The reference (a straight-line Kafka→parquet ETL, src/main.rs:59-294)
 has none of these; they are part of the mandated LLM-pipeline /
@@ -2937,3 +2944,221 @@ def q_kn_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_kn_continuation.__doc__ = q_kn_continuation.__doc__.replace("{N}", str(KN_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette audit of the k-means assignment
+# ---------------------------------------------------------------------------
+
+# Per-vector simplified silhouette s = 1 − √(a/b): a = squared
+# distance to the OWN (nearest) centroid, b = to the runner-up —
+# the centroid form of Rousseeuw's silhouette that scales (the full
+# form needs all pairwise point distances). a ≤ b by construction so
+# s ∈ [0, 1]; s ≈ 0 means the point sits on a cluster boundary.
+_SIL_MICRO = (
+    "CAST(CASE WHEN b_d2 <= 0 THEN 0 ELSE"
+    " floor((1.0 - sqrt(a_d2 / b_d2)) * 1000000 + 0.5) END AS BIGINT)"
+)
+
+
+def _silhouette_oracle() -> str:
+    from kafka_to_parquet_spark.llm.clustering import (
+        KM_K,
+        KM_MOD,
+        duck_ivf_assign_cte,
+    )
+
+    return f"""
+WITH {duck_ivf_assign_cte(KM_MOD, KM_K)},
+two AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cent_id END) AS cent_id,
+         max(CASE WHEN rn = 1 THEN d2 END) AS a_d2,
+         max(CASE WHEN rn = 2 THEN d2 END) AS b_d2
+  FROM (SELECT vec_id, cent_id, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM scored)
+  WHERE rn <= 2 GROUP BY vec_id
+),
+sil AS (SELECT cent_id, {_SIL_MICRO} AS s FROM two)
+SELECT cent_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(s) // count(*) AS BIGINT) AS mean_sil_micro,
+       CAST(min(s) AS BIGINT) AS min_sil_micro,
+       CAST(max(s) AS BIGINT) AS max_sil_micro
+FROM sil GROUP BY cent_id
+ORDER BY cent_id
+"""
+
+
+@query("q_kmeans_silhouette", oracle=_silhouette_oracle())
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette audit of the k-means assignment
+    (Rousseeuw 1987, centroid form): per vector, s = 1 − √(a/b) over
+    the distances to its nearest and runner-up centroids, aggregated
+    per cluster — the clustering-QUALITY leg the Lloyd family lacked
+    (q_kmeans_step/q_kmeans3 produce assignments; q_ann_recall-style
+    discipline says measure them: a cluster whose mean silhouette ≈ 0
+    is an artifact of k, not structure — exactly what a semantic-dedup
+    pipeline checks before trusting q_semdedup's buckets). The full
+    silhouette needs all pairwise point distances (corpus-quadratic);
+    the centroid form is THE scalable variant and shares its
+    assignment stage verbatim with the declared family
+    (ivf_scored / duck_ivf_assign_cte — same d2 rounding, same
+    tiebreak).
+
+    Determinism: d2 values are the family's shared round(·, 6)
+    mirrored doubles; per-vector s is ONE mirrored CASE+sqrt
+    expression micro-rounded; per-cluster stats are exact integer
+    aggregates of those micro values (sum DIV count on non-negatives).
+
+    Scale shape: centroids broadcast into the embedding scan; the
+    nearest-two reduction is a per-vector sort of K=5 scored rows
+    collected map-side (sort_array over a bounded list — the shuffle
+    carries N pre-reduced rows, never N·k window rows); the final
+    aggregate is K rows."""
+    from kafka_to_parquet_spark.llm.clustering import KM_K, KM_MOD, ivf_scored
+
+    e = load(spark, sf_dir, "embeddings")
+    scored = ivf_scored(e, KM_MOD, KM_K)
+    two = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(d2, cent_id)))"
+            ).alias("ranked")
+        )
+        .select(
+            F.expr("ranked[0].cent_id").alias("cent_id"),
+            F.expr("ranked[0].d2").alias("a_d2"),
+            F.expr("ranked[1].d2").alias("b_d2"),
+        )
+    )
+    sil = two.select("cent_id", F.expr(_SIL_MICRO).alias("s"))
+    return (
+        sil.groupBy("cent_id")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.expr("CAST(sum(s) DIV count(*) AS BIGINT)").alias("mean_sil_micro"),
+            F.min("s").cast("long").alias("min_sil_micro"),
+            F.max("s").cast("long").alias("max_sil_micro"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split near-dup leakage report
+# ---------------------------------------------------------------------------
+
+LEAK_JAC_BP = 5000  # verified near-dup gate (q_dedup_minhash's 0.5)
+
+
+def _leakage_oracle() -> str:
+    from kafka_to_parquet_spark.llm.minhash import _minhash_cand_cte
+    from kafka_to_parquet_spark.llm.pipeline import _SPLIT_CASE
+
+    case_a = _SPLIT_CASE.replace("doc_id", "doc_a")
+    case_b = _SPLIT_CASE.replace("doc_id", "doc_b")
+    return f"""
+WITH {_minhash_cand_cte()},
+ver AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id
+  WHERE len(list_intersect(sa.sh, sb.sh)) * 10000
+        // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        >= {LEAK_JAC_BP}
+),
+lab AS (
+  SELECT least({case_a}, {case_b}) AS split_a,
+         greatest({case_a}, {case_b}) AS split_b,
+         doc_a, doc_b
+  FROM ver
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lab)
+SELECT split_a, split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) * 10000 // n_total AS BIGINT) AS share_bp,
+       CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT) AS leaked,
+       CAST(min(doc_a) AS BIGINT) AS example_doc_a
+FROM lab CROSS JOIN tot
+GROUP BY split_a, split_b, n_total
+ORDER BY split_a, split_b
+"""
+
+
+@query("q_split_leakage", oracle=_leakage_oracle())
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate LEAKAGE report: verified near-dup
+    pairs (q_dedup_minhash's banded candidates + exact-Jaccard ≥ 0.5
+    gate, integer-bp form) labeled with each member's split under the
+    DECLARED hash splitter (q_split_assign's exact CASE, textually
+    shared) and aggregated per split pair — rows with split_a ≠
+    split_b are eval answers sitting in the training set, THE failure
+    mode dedup-before-split exists to prevent (and the one a
+    train/val loss gap can't distinguish from generalization). This
+    is the audit that justifies running q_dedup_* before
+    q_split_assign; q_decontaminate checks leakage against an
+    EXTERNAL benchmark, this checks it between the corpus's own
+    splits.
+
+    Determinism: candidates and the Jaccard gate are the certified
+    q_dedup_minhash machinery (shared CTE/helpers verbatim); split
+    labels are the certified splitter's integer-hash CASE; the label
+    pair is (least, greatest) so the report is orientation-free;
+    counts/shares exact integers.
+
+    Scale shape: everything up to `ver` is q_dedup_minhash's plan
+    (banded, hot-bucket-capped, digest-only exchanges); the labeling
+    is two scalar CASE expressions; the report aggregate is ≤ 6 rows
+    with a broadcast 1-row total."""
+    from kafka_to_parquet_spark.llm.minhash import (
+        _hashed_shingles,
+        minhash_candidates,
+    )
+    from kafka_to_parquet_spark.llm.pipeline import _SPLIT_CASE
+
+    cand = minhash_candidates(spark, sf_dir)
+    sh = _hashed_shingles(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    ver = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.expr(
+                "size(array_intersect(hs_a, hs_b)) * 10000"
+                " DIV (size(hs_a) + size(hs_b) - size(array_intersect(hs_a, hs_b)))"
+            )
+            >= LEAK_JAC_BP
+        )
+        .select("doc_a", "doc_b")
+    )
+    case_a = _SPLIT_CASE.replace("doc_id", "doc_a")
+    case_b = _SPLIT_CASE.replace("doc_id", "doc_b")
+    lab = ver.select(
+        F.expr(f"least({case_a}, {case_b})").alias("split_a"),
+        F.expr(f"greatest({case_a}, {case_b})").alias("split_b"),
+        "doc_a",
+    )
+    tot = lab.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        lab.crossJoin(F.broadcast(tot))
+        .groupBy("split_a", "split_b", "n_total")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("CAST(count(*) * 10000 DIV first(n_total) AS BIGINT)").alias(
+                "share_bp"
+            ),
+            F.expr(
+                "CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("leaked"),
+            F.min("doc_a").cast("long").alias("example_doc_a"),
+        )
+        .select(
+            "split_a", "split_b", "n_pairs", "share_bp", "leaked", "example_doc_a"
+        )
+        .orderBy("split_a", "split_b")
+    )

@@ -1010,3 +1010,75 @@ def test_synth_media_fuzz_wide_doc_ids():
         assert int(arr.astype(np.int64).sum()) == want
 
     check()
+
+
+def test_kmeans_silhouette_matches_python(run):
+    import math
+
+    from kafka_to_parquet_spark.llm.clustering import KM_K, KM_MOD
+
+    emb = _table("embeddings")
+    vecs = {int(v): list(e) for v, e in zip(emb["vec_id"], emb["embedding"])}
+    cents = {
+        v: e for v, e in vecs.items() if v % KM_MOD == 0 and v < KM_MOD * KM_K
+    }
+
+    def d2(x, y):
+        return round(sum((a - b) * (a - b) for a, b in zip(x, y)), 6)
+
+    agg = defaultdict(list)
+    for v, e in vecs.items():
+        ds = sorted((d2(e, c), cid) for cid, c in cents.items())
+        (a_d2, cid), (b_d2, _) = ds[0], ds[1]
+        s = 0 if b_d2 <= 0 else int(
+            np.floor((1.0 - math.sqrt(a_d2 / b_d2)) * 1e6 + 0.5)
+        )
+        agg[cid].append(s)
+    want = sorted(
+        (cid, len(ss), sum(ss) // len(ss), min(ss), max(ss))
+        for cid, ss in agg.items()
+    )
+    got = [tuple(r) for r in run("q_kmeans_silhouette").collect()]
+    # d2 here is a float recompute of the engines' shared fragment —
+    # identical rounding to 6dp makes the ranks and micro values match
+    # exactly in practice; tolerate ±1 micro on the aggregates.
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    for g, w in zip(got, want):
+        for gi, wi in zip(g[2:], w[2:]):
+            assert abs(gi - wi) <= 1
+
+
+def test_split_leakage_matches_python(run):
+    """Recompute the report from the ALREADY-verified q_dedup_minhash
+    output (hash-green vs its own oracle) + the splitter CASE."""
+    from kafka_to_parquet_spark.operators.batch8 import LEAK_JAC_BP
+
+    pairs = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in run("q_dedup_minhash").collect()
+    ]
+
+    def split(d):
+        b = (d * 2654435761) % 1000
+        return "train" if b < 800 else ("val" if b < 900 else "test")
+
+    lab = Counter()
+    ex = {}
+    for da, db, jac in pairs:
+        if round(jac * 10000) < LEAK_JAC_BP:
+            continue
+        key = tuple(sorted((split(da), split(db))))
+        lab[key] += 1
+        ex[key] = min(ex.get(key, da), da)
+    total = sum(lab.values())
+    want = sorted(
+        (
+            sa, sb, n, n * 10000 // total, int(sa != sb), ex[(sa, sb)]
+        )
+        for (sa, sb), n in lab.items()
+    )
+    got = [tuple(r) for r in run("q_split_leakage").collect()]
+    # q_dedup_minhash reports jaccard as a 6dp float; the leakage gate
+    # uses the integer-bp form — both land on the same >= 0.5 set on
+    # this fixture (no pair sits within 1e-4 of the boundary).
+    assert got == want

@@ -169,7 +169,12 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # its exact audit leg rides the flat vocabulary; the DFT
            # collapses to the calendar grid; KN counts bigram TYPES.
            "q_text_textrank", "q_kmv_union_audit",
-           "q_ts_spectral_dow", "q_kn_continuation"]
+           "q_ts_spectral_dow", "q_kn_continuation",
+           # audit pair: silhouette rides the UNREPLICATED embeddings
+           # (stability check); leakage rides q_dedup_minhash's
+           # banded machinery over 10-way dup families — maximal
+           # verified-pair mass, the answer-bound class.
+           "q_kmeans_silhouette", "q_split_leakage"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
