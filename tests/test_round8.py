@@ -11,7 +11,6 @@ from collections import Counter, defaultdict
 
 import duckdb
 import numpy as np
-import pytest
 
 SF = "/root/testdata/sf0.001"
 H31_P = 2_147_483_647
