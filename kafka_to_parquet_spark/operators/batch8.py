@@ -2726,7 +2726,11 @@ def q_kmv_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_kmv_union_audit.__doc__ = q_kmv_union_audit.__doc__.replace("{K}", "256")
+from kafka_to_parquet_spark.llm.corpus_stats import KMV_K as _KMV_K
+
+q_kmv_union_audit.__doc__ = q_kmv_union_audit.__doc__.replace(
+    "{K}", str(_KMV_K)
+)
 
 
 # ---------------------------------------------------------------------------

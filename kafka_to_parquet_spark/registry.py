@@ -180,6 +180,18 @@ CERTIFIED: set[str] = {
     "q_stream_transitions", "q_token_fertility", "q_ts_sax_motif",
     "q_unique_shingle_share", "q_vocab_coverage", "q_vocab_growth",
     "q_word_burstiness", "q_zipf_slope",
+    # round 8 (CORRECTNESS_r08.json): 50 accepted rows, all hash-green —
+    # the 22 first-time batch8 rows below, the q_token_fertility
+    # RECERTIFY re-verification (already listed above; entry cleared at
+    # round-9 start), and 27 rotation re-certifications.
+    "q_abtest_cuped", "q_abtest_power", "q_bootstrap_ci",
+    "q_bpe_apply", "q_bpe_learn_k", "q_collocation_llr",
+    "q_graph_clustering_coeff", "q_graph_modularity", "q_kmeans_silhouette",
+    "q_kmv_union_audit", "q_kn_continuation", "q_multimodal_probe",
+    "q_rocchio_expand", "q_search_proximity", "q_split_leakage",
+    "q_sssp_weighted", "q_stl_decompose", "q_text_rake",
+    "q_text_textrank", "q_ts_anomaly_stl", "q_ts_spectral_dow",
+    "q_winnowing_fingerprint",
 }
 
 # Certified queries whose implementation (or a shared helper on their
@@ -195,12 +207,9 @@ CERTIFIED: set[str] = {
 # (round-7 entries — q_semdedup, q_dedup_jaccard_prefix,
 # q_dedup_containment — all landed green rows in CORRECTNESS_r07.json
 # and were cleared at round-8 start.)
-RECERTIFY: set[str] = {
-    # round-8: zero-divisor NULLIF guards added to both the Spark
-    # expressions and the oracle (ADVICE r07) — the ratio columns'
-    # SQL changed, so the r07 row was earned by the old text.
-    "q_token_fertility",
-}
+# (round-8 entry — q_token_fertility — landed a green row in
+# CORRECTNESS_r08.json and was cleared at round-9 start.)
+RECERTIFY: set[str] = set()
 
 
 def _round_number() -> int:

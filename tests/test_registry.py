@@ -2,9 +2,11 @@
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 from kafka_to_parquet_spark import registry
 
@@ -144,10 +146,7 @@ def test_perf_tool_query_lists_are_registered():
     artifact regenerations — a typo'd or stale name would crash the
     tool mid-run (or silently drop coverage) instead of failing here
     in a second."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
     from bench import HEADLINE
     from scaling_report import QUERIES as SCALING_QUERIES
     from stress_big import QUERIES as STRESS_QUERIES
@@ -171,9 +170,6 @@ def test_bench_stdout_line_fits_driver_tail():
     not as a silently-truncated BENCH_r{N}.json after a 10-minute
     run."""
     import json
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from bench import HEADLINE, compact_val
 
     assert all(n.startswith("q_") for n in HEADLINE)
@@ -198,9 +194,6 @@ def test_bench_family_reps_cover_folded_queries():
     registered query that is NOT separately benched, and the explicit
     BENCH_OMITTED list accounts for declared-but-unbenched round-8+
     queries so no omission is silent."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from bench import BENCH_OMITTED, FAMILY_REPS, HEADLINE
 
     registry.load_all()
