@@ -106,3 +106,47 @@ def clear_result_caches(
 def registered_entry_count() -> int:
     """Total live entries across all registered caches (test hook)."""
     return sum(len(c) for c in _REGISTERED)
+
+
+class RoundLoop:
+    """Per-round cache discipline for iterative kernels (SSSP, LPA,
+    TextRank, the BPE merge chain): ``step(df)`` persists round r's
+    relation, eagerly materializes it, then releases round r−1's
+    now-superseded blocks — so the loop holds at most TWO rounds of
+    executor storage instead of O(rounds).
+
+    Why materialize before releasing: an ``InMemoryRelation`` whose
+    blocks were never computed recomputes its child plan on demand, so
+    unpersisting a round while a later round's plan (which references
+    it twice — union + join) is still lazy would re-trigger exactly the
+    exponential-lineage recompute the per-round persist exists to
+    prevent (SSSP was 83 shuffles without the persists; round-8 plan
+    audit). The eager ``count()`` is the round's own job scheduled now
+    instead of inside the final action — these relations are node- /
+    vocabulary-sized by design, so the extra scheduling is bounded by
+    rounds, not data (llm/components.py's per-round convergence collect
+    is the precedent).
+
+    The FINAL round's relation intentionally stays persisted: the plan
+    the query returns reads it, and the caller's action happens after
+    the operator function returns. It is freed by LRU / session
+    teardown like any feature cache; at 100 TB the loop's storage
+    footprint is now 2 node-sized relations instead of rounds×.
+    """
+
+    def __init__(self) -> None:
+        self._prev: DataFrame | None = None
+
+    def step(self, df: DataFrame) -> DataFrame:
+        """Persist + materialize ``df`` (round r), release round r−1."""
+        df = df.persist()
+        df.count()
+        if self._prev is not None:
+            try:
+                self._prev.unpersist()
+            except Exception:
+                # A stopped/restarted session mid-loop: storage dies
+                # with the session; never fail the kernel over cleanup.
+                pass
+        self._prev = df
+        return df

@@ -100,8 +100,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import RoundLoop
 from kafka_to_parquet_spark.functions.hashes import H31_P, duck_h31, spark_h31
 from kafka_to_parquet_spark.functions.text import _TOKENS_SQL, tokens_col
+from kafka_to_parquet_spark.llm.corpus_stats import KMV_K as _KMV_K
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
 
@@ -885,19 +887,21 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = nodes.agg(F.min("node").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
+    loop = RoundLoop()
     for _ in range(SSSP_ROUNDS):
         relaxed = edges.join(r, edges.src == r.node).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
-        r = (
+        # each round's distances feed BOTH the next relaxation join
+        # and the next union — without the materialization boundary
+        # the lineage doubles per round (2^k subtrees, 83 shuffles
+        # in the round-8 plan audit; 20 with it). RoundLoop releases
+        # round r−1's blocks once round r materializes, so the loop
+        # holds 2 node-sized relations, not SSSP_ROUNDS.
+        r = loop.step(
             r.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            # each round's distances feed BOTH the next relaxation join
-            # and the next union — without the materialization boundary
-            # the lineage doubles per round (2^k subtrees, 83 shuffles
-            # in the round-8 plan audit; 20 with it)
-            .persist()
         )
     reached = r.groupBy("dist").agg(F.count("*").cast("long").alias("n_nodes"))
     unreached = (
@@ -1037,6 +1041,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("lab")
     )
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
+    loop = RoundLoop()
     for _ in range(MOD_LPA_ROUNDS):
         freq = (
             edges.join(labels, edges.src == labels.node)
@@ -1044,14 +1049,15 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
             .select(F.col("node2").alias("node"), "lab", "c")
         )
-        labels = (
+        # the final labels feed BOTH audit joins (within + degsum)
+        # and each round feeds the next — the per-round persist keeps
+        # the lineage linear (32 shuffles -> 23 in the round-8 plan
+        # audit); RoundLoop releases round r−1 once round r is
+        # materialized so only the live round holds storage.
+        labels = loop.step(
             freq.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lab")
-            # the final labels feed BOTH audit joins (within + degsum)
-            # and each round feeds the next — persist keeps the lineage
-            # linear (32 shuffles -> 23 in the round-8 plan audit)
-            .persist()
         )
     m = edges.agg(F.count("*").cast("long").alias("m_dir"))
     la = labels.select(F.col("node").alias("src"), F.col("lab").alias("community"))
@@ -1647,9 +1653,15 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("wf"))
     )
-    v = tf.select(
-        "word", F.regexp_replace("word", "(.)", "\x1f$1\x1f").alias("s"), "wf"
-    ).persist()
+    # The per-round segmentation is vocabulary-sized; RoundLoop keeps
+    # only the live round cached (the 1-row `best` frames below stay
+    # persisted — all K are consumed by the final merge table).
+    loop = RoundLoop()
+    v = loop.step(
+        tf.select(
+            "word", F.regexp_replace("word", "(.)", "\x1f$1\x1f").alias("s"), "wf"
+        )
+    )
     pair_expr = (
         "transform(sequence(1, size(syms) - 1),"
         " i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"
@@ -1671,7 +1683,7 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
             .persist()
         )
         merges.append(best)
-        v = (
+        v = loop.step(
             v.crossJoin(F.broadcast(best))
             .select(
                 "word",
@@ -1681,7 +1693,6 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
                 ).alias("s"),
                 "wf",
             )
-            .persist()
         )
     return v, merges
 
@@ -2492,6 +2503,7 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = tnodes.crossJoin(F.broadcast(tpar)).select(
         "node", F.col("r_init").alias("r")
     )
+    loop = RoundLoop()
     for _ in range(TR_ROUNDS):
         contrib = (
             edges_s.join(r, edges_s.src == r.node)
@@ -2499,14 +2511,17 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.sum("c").alias("c"))
         )
-        r = (
+        # vocabulary-sized rank relation, persisted per round so the
+        # chain of join+agg rounds stays linear; RoundLoop bounds the
+        # loop's storage to the live round (+ its predecessor during
+        # the handoff) instead of TR_ROUNDS cached copies.
+        r = loop.step(
             tnodes.join(contrib, tnodes.node == contrib.node2, "left")
             .crossJoin(F.broadcast(tpar))
             .select(
                 "node",
                 F.expr("base + (85 * COALESCE(c, 0)) DIV 100").alias("r"),
             )
-            .persist()
         )
     return (
         r.select(F.col("node").alias("word"), F.col("r").cast("long").alias("rank_units"))
@@ -2725,8 +2740,6 @@ def q_kmv_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source_a", "source_b")
     )
 
-
-from kafka_to_parquet_spark.llm.corpus_stats import KMV_K as _KMV_K
 
 q_kmv_union_audit.__doc__ = q_kmv_union_audit.__doc__.replace(
     "{K}", str(_KMV_K)

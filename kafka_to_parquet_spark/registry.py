@@ -209,7 +209,15 @@ CERTIFIED: set[str] = {
 # and were cleared at round-8 start.)
 # (round-8 entry — q_token_fertility — landed a green row in
 # CORRECTNESS_r08.json and was cleared at round-9 start.)
-RECERTIFY: set[str] = set()
+# Round-10 entries: the iterative kernels now run their per-round
+# persists through cache.RoundLoop (eager materialize + release round
+# r−1) — results are value-identical by construction, but the changed
+# loop body must earn a fresh driver row rather than coast on the
+# pre-helper certification.
+RECERTIFY: set[str] = {
+    "q_sssp_weighted", "q_graph_modularity", "q_text_textrank",
+    "q_bpe_learn_k", "q_bpe_apply",
+}
 
 
 def _round_number() -> int:
