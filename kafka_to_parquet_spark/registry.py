@@ -310,3 +310,6 @@ def load_all() -> None:
     # batch8 stays after batch7 for the same reason: round-8
     # declarations queue behind any earlier never-certified names.
     from kafka_to_parquet_spark.operators import batch8  # noqa: F401
+    # batch9 (round-10 session additions) registers LAST so its
+    # never-certified names queue behind every earlier declaration.
+    from kafka_to_parquet_spark.operators import batch9  # noqa: F401
