@@ -905,3 +905,688 @@ def q_lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal duplicated-span extraction (span-granularity substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def _span_maximal_oracle() -> str:
+    from kafka_to_parquet_spark.functions.hashes import duck_h31
+    from kafka_to_parquet_spark.llm.dedup import SUBSTR_W
+
+    wh = duck_h31(f"array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+win AS MATERIALIZED (
+  SELECT doc_id, i, {wh} AS wh
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SUBSTR_W} + 2)) AS i
+        FROM toks WHERE len(t) >= {SUBSTR_W})
+),
+dup AS (SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+hit AS (SELECT DISTINCT doc_id, i FROM win JOIN dup USING (wh)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                <= {SUBSTR_W} THEN 0 ELSE 1 END AS brk
+  FROM hit
+),
+grp AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+),
+span AS (
+  SELECT doc_id, g, CAST(min(i) AS BIGINT) AS s,
+         CAST(max(i) + {SUBSTR_W} - 1 AS BIGINT) AS e
+  FROM grp GROUP BY doc_id, g
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens,
+         CAST(max(e - s + 1) AS BIGINT) AS longest_len
+  FROM span GROUP BY doc_id
+)
+SELECT agg.doc_id, agg.n_spans, agg.covered_tokens, agg.longest_len,
+       CAST(min(span.s) AS BIGINT) AS longest_start
+FROM agg JOIN span ON agg.doc_id = span.doc_id
+                  AND span.e - span.s + 1 = agg.longest_len
+GROUP BY agg.doc_id, agg.n_spans, agg.covered_tokens, agg.longest_len
+"""
+
+
+@query("q_dedup_span_maximal", oracle=_span_maximal_oracle())
+def q_dedup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granularity substring dedup: merge overlapping cross-doc-
+    duplicated windows into MAXIMAL duplicated spans (the island/gap
+    merge) and report, per affected document, the span count, total
+    covered tokens, and the longest span's length and start offset —
+    the variable-length span view that q_dedup_substring (per-window
+    profile) and q_dedup_span_strip (removal) bracket but don't emit.
+    This is the per-span signal of Lee et al. 2022's suffix-array
+    dedup in the distributed window-fingerprint formulation; the
+    genuinely-suffix-ranked counterpart is q_suffix_lrs below.
+
+    Island rule: duplicated window starts i1 < i2 merge when
+    i2 − i1 ≤ W (their covered ranges [i, i+W−1] overlap or touch), so
+    a span is a maximal run of overlapping duplicated windows.
+
+    Scale shape: shares llm/dedup's cached window-hash relation (hash
+    longs, never window strings, across exchanges); the island merge
+    is a lag + running-sum window PARTITIONED BY DOC (degree-bounded
+    partitions, never global); span and report aggregates key on
+    (doc, island) then doc. Linear in corpus token count."""
+    from kafka_to_parquet_spark.llm.dedup import (
+        SUBSTR_W,
+        _dup_window_hashes,
+        _window_hashes,
+    )
+
+    win = _window_hashes(spark, sf_dir)
+    dup = _dup_window_hashes(win)
+    hit = win.join(dup, "wh").select("doc_id", "i").distinct()
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    isl = hit.select(
+        "doc_id",
+        "i",
+        F.when(
+            F.col("i") - F.lag("i").over(wd) <= SUBSTR_W, F.lit(0)
+        ).otherwise(F.lit(1)).alias("brk"),
+    )
+    grp = isl.select(
+        "doc_id",
+        "i",
+        F.sum("brk")
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("g"),
+    )
+    span = grp.groupBy("doc_id", "g").agg(
+        F.min("i").cast("long").alias("s"),
+        (F.max("i") + SUBSTR_W - 1).cast("long").alias("e"),
+    )
+    agg = span.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("covered_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("long").alias("longest_len"),
+    )
+    sp = span.select(
+        F.col("doc_id").alias("sp_doc"), F.col("s").alias("sp_s"),
+        (F.col("e") - F.col("s") + 1).alias("sp_len"),
+    )
+    return (
+        agg.join(
+            sp,
+            (F.col("doc_id") == F.col("sp_doc"))
+            & (F.col("sp_len") == F.col("longest_len")),
+        )
+        .groupBy("doc_id", "n_spans", "covered_tokens", "longest_len")
+        .agg(F.min("sp_s").cast("long").alias("longest_start"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_spans", "covered_tokens", "longest_len", "longest_start",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest repeated substring via distributed prefix doubling
+# ---------------------------------------------------------------------------
+
+# Position packing stride: doc_id * SFX_PACK + p must be injective, so
+# every document must hold fewer than SFX_PACK tokens (the fixture max
+# is ~120; the guard below raises loudly rather than mislabel).
+SFX_PACK = 2048
+
+
+def _suffix_lrs_oracle() -> str:
+    """Brute-force mirror: every (position, length) substring instance
+    grouped — O(Σ L²) rows, fine at the driver's sf0.01 oracle scale
+    (~1M instances); the Spark side is the scalable algorithm."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE len({_TOKENS_SQL}) > 0
+),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, CAST(len(t) AS INTEGER) + 1)) AS i FROM toks
+),
+pl AS (
+  SELECT doc_id, t, i,
+         unnest(range(1, CAST(len(t) AS INTEGER) - i + 2)) AS l
+  FROM pos
+),
+grams AS (SELECT l, array_to_string(t[i:i+l-1], ' ') AS g FROM pl),
+dup AS (
+  SELECT l, g, CAST(count(*) AS BIGINT) AS n_occ
+  FROM grams GROUP BY l, g HAVING count(*) >= 2
+),
+mx AS (SELECT max(l) AS lrs FROM dup)
+SELECT CAST(d.l AS BIGINT) AS lrs_len, d.g AS phrase, d.n_occ
+FROM dup d JOIN mx ON d.l = mx.lrs
+ORDER BY phrase
+"""
+
+
+@query("q_suffix_lrs", oracle=_suffix_lrs_oracle())
+def q_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest repeated token sequence in the corpus (every sequence
+    achieving the maximum, with its occurrence count) — the
+    suffix-array signal of Lee et al. 2022's exact-substring dedup at
+    its strongest point, computed by DISTRIBUTED PREFIX DOUBLING
+    (Manber-Myers over DataFrame ops) rather than an in-memory suffix
+    array (which does not distribute):
+
+    1. Level k assigns every in-doc position an EQUALITY CLASS id for
+       its 2^k-token gram — built from level k−1 by pairing each
+       position's class with the class 2^(k−1) ahead (one equi-join on
+       (doc, p+off)) and taking min(packed position) per class pair
+       (one aggregate + join-back). No rank ORDER is ever needed, so
+       there is NO global sort/window anywhere — the classic
+       distributed-SA bottleneck is simply absent.
+    2. exists(ℓ): an ℓ-gram repeats iff some (class_k[p],
+       class_k[p+ℓ−2^k]) pair (k = ⌊log2 ℓ⌋ — the overlapping-gram
+       O(1) comparison trick, EXACT, no hashing) occurs ≥ 2 times: one
+       equi-join + one aggregate.
+    3. Binary search the maximal ℓ (repeatability is monotone in ℓ):
+       O(log maxlen) probes, each a scalar collect (the
+       llm/components.py convergence-check precedent).
+
+    Levels persist because every probe reuses them (the sparse-table
+    cost: ⌈log2 maxlen⌉ position-sized relations); all but the final
+    extraction level are released before the result plan is returned.
+
+    100 TB shape: O(log L) levels × (join + agg) with all exchanges
+    hash-partitioned on (doc, p) or class pairs — positions-sized,
+    well-distributed, no SinglePartition anywhere; the driver round
+    trips are ~20 scalar collects. The oracle is the O(Σ L²) brute
+    force — tractable at oracle scale, and the point: the Spark plan
+    is the one that survives 100×."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+        .persist()
+    )
+    maxlen_row = toks.agg(F.max(F.size("t"))).collect()
+    maxlen = maxlen_row[0][0] or 0
+    empty = spark.createDataFrame(
+        [], "lrs_len long, phrase string, n_occ long"
+    )
+    if maxlen == 0:
+        toks.unpersist()
+        return empty
+    if maxlen >= SFX_PACK:
+        toks.unpersist()
+        raise ValueError(
+            f"q_suffix_lrs: document holds {maxlen} tokens >= SFX_PACK="
+            f"{SFX_PACK}; raise the packing stride"
+        )
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    pack = f"doc_id * {SFX_PACK} + p"
+    # Levels are localCheckpoint-ed, NOT persisted: each level's
+    # logical plan references the previous level ~4× (pair join + the
+    # class aggregate + join-back), and persist() only caches
+    # EXECUTION — the analyzed tree still grows 4^k nodes and Catalyst
+    # optimization time explodes (measured: level 5 took 100 s of pure
+    # planner time at sf0.001). The eager checkpoint makes each level
+    # a leaf, so every level plans in O(1). (llm/components.py's
+    # pointer-jumping made the same call for the same reason.)
+    lev0 = (
+        pos.groupBy("tok")
+        .agg(F.expr(f"min({pack})").alias("rk"))
+        .join(pos, "tok")
+        .select("doc_id", "p", "rk")
+        .localCheckpoint(eager=True)
+    )
+    levels = [lev0]
+    k_max = maxlen.bit_length() - 1  # ⌊log2 maxlen⌋
+    for k in range(1, k_max + 1):
+        off = 1 << (k - 1)
+        prev = levels[-1]
+        b = prev.select(
+            "doc_id", (F.col("p") - off).alias("p"), F.col("rk").alias("rk2")
+        )
+        pairs = prev.join(b, ["doc_id", "p"])
+        grp = pairs.groupBy("rk", "rk2").agg(F.expr(f"min({pack})").alias("rep"))
+        lev = (
+            pairs.join(grp, ["rk", "rk2"])
+            .select("doc_id", "p", F.col("rep").alias("rk"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(lev)
+
+    def fingerprints(length: int) -> DataFrame:
+        k = length.bit_length() - 1
+        off2 = length - (1 << k)
+        lv = levels[k]
+        if off2 == 0:
+            return lv.select(
+                "doc_id", "p", F.col("rk").alias("f1"), F.col("rk").alias("f2")
+            )
+        b2 = lv.select(
+            "doc_id", (F.col("p") - off2).alias("p"), F.col("rk").alias("f2")
+        )
+        return lv.join(b2, ["doc_id", "p"]).select(
+            "doc_id", "p", F.col("rk").alias("f1"), "f2"
+        )
+
+    def exists_dup(length: int) -> bool:
+        fp = fingerprints(length)
+        hits = (
+            fp.groupBy("f1", "f2")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .limit(1)
+            .count()
+        )
+        return hits > 0
+
+    lo, hi, best = 1, maxlen, 0
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if exists_dup(mid):
+            best = mid
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    if best == 0:
+        # checkpointed RDD blocks are reclaimed by the ContextCleaner
+        # once the references drop
+        levels.clear()
+        toks.unpersist()
+        return empty
+    k_best = best.bit_length() - 1
+    # Release every level except the one the extraction plan reads —
+    # the references drop and the ContextCleaner reclaims the blocks.
+    levels = {k_best: levels[k_best]}
+    fp = fingerprints(best)
+    groups = (
+        fp.groupBy("f1", "f2")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.expr(f"min({pack})").alias("rep"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select(
+            F.expr(f"rep DIV {SFX_PACK}").alias("rep_doc"),
+            (F.col("rep") % SFX_PACK).alias("rep_p"),
+            "n_occ",
+        )
+    )
+    return (
+        groups.join(toks, groups.rep_doc == toks.doc_id)
+        .select(
+            F.lit(best).cast("long").alias("lrs_len"),
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("rep_p").cast("int"), best)
+            ).alias("phrase"),
+            "n_occ",
+        )
+        .orderBy("phrase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-density DBSCAN over the embedding projection
+# ---------------------------------------------------------------------------
+
+DB_CELL = 50_000    # grid pitch in micro-units (0.05 in embedding space)
+DB_MINPTS = 4       # core-cell threshold
+DB_OFF = 1 << 10    # cell-coordinate offset for positive packing
+DB_SPAN = 1 << 12   # packing stride: id = (cx+OFF)*SPAN + (cy+OFF)
+
+# Exact floor division for signed integers (both engines' integer
+# division truncates toward zero; the pmod rewrite makes the numerator
+# an exact multiple, where truncation == floor).
+def _fdiv(u: str, c: int, div: str) -> str:
+    return f"((({u}) - ((({u}) % {c}) + {c}) % {c}) {div} {c})"
+
+
+def _db_micro(dim: int, elem_fn: str) -> str:
+    return (
+        f"CAST(floor(CAST({elem_fn}(embedding, {dim}) AS DOUBLE) * 1000000"
+        " + 0.5) AS BIGINT)"
+    )
+
+
+def _dbscan_oracle() -> str:
+    u1 = _db_micro(1, "list_element")
+    u2 = _db_micro(2, "list_element")
+    fx = _fdiv("u1", DB_CELL, "//")
+    fy = _fdiv("u2", DB_CELL, "//")
+    return f"""
+WITH RECURSIVE
+u AS (SELECT {u1} AS u1, {u2} AS u2 FROM embeddings),
+cell AS (
+  SELECT {fx} AS cx, {fy} AS cy, CAST(count(*) AS BIGINT) AS n
+  FROM u GROUP BY 1, 2
+),
+core AS (
+  SELECT cx, cy, n, (cx + {DB_OFF}) * {DB_SPAN} + (cy + {DB_OFF}) AS id
+  FROM cell WHERE n >= {DB_MINPTS}
+),
+adj AS (
+  SELECT a.id AS e_u, b.id AS e_v FROM core a JOIN core b
+  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+reach(c, m) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.c, a.e_v FROM reach r JOIN adj a ON r.m = a.e_u
+),
+lab AS (SELECT c AS id, min(m) AS cluster FROM reach GROUP BY c),
+ccore AS (
+  SELECT lab.cluster, CAST(count(*) AS BIGINT) AS n_core_cells,
+         CAST(sum(core.n) AS BIGINT) AS n_core_points
+  FROM core JOIN lab USING (id) GROUP BY lab.cluster
+),
+bord0 AS (
+  SELECT cell.cx, cell.cy, cell.n, min(lab.cluster) AS cluster
+  FROM cell
+  JOIN core nb ON abs(cell.cx - nb.cx) <= 1 AND abs(cell.cy - nb.cy) <= 1
+  JOIN lab ON nb.id = lab.id
+  WHERE cell.n < {DB_MINPTS}
+  GROUP BY cell.cx, cell.cy, cell.n
+),
+bord AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_border_points
+         FROM bord0 GROUP BY cluster),
+noise AS (
+  SELECT CAST(coalesce(sum(c2.n), 0) AS BIGINT) AS np FROM cell c2
+  WHERE c2.n < {DB_MINPTS} AND NOT EXISTS (
+    SELECT 1 FROM core nb
+    WHERE abs(c2.cx - nb.cx) <= 1 AND abs(c2.cy - nb.cy) <= 1)
+)
+SELECT CAST(ccore.cluster AS BIGINT) AS cluster_id, n_core_cells,
+       n_core_points, CAST(coalesce(bord.n_border_points, 0) AS BIGINT)
+         AS n_border_points
+FROM ccore LEFT JOIN bord ON ccore.cluster = bord.cluster
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), np FROM noise
+ORDER BY cluster_id
+"""
+
+
+@query("q_cluster_dbscan_grid", oracle=_dbscan_oracle())
+def q_cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density DBSCAN over the first two embedding dimensions —
+    the density-based twin of q_kmeans3 (finds clusters k-means can't:
+    arbitrary shape, explicit noise): cells of pitch {C} micro-units
+    with ≥ {M} points are CORE; clusters are connected components of
+    8-adjacent core cells; points in non-core cells 8-adjacent to a
+    core cell are BORDER members of the lexicographically smallest
+    adjacent cluster; everything else is noise (the cluster_id = −1
+    row). This is the GriDBSCAN/cell-based formulation — the one that
+    distributes, because density is estimated per CELL (one aggregate)
+    instead of per-point ε-neighborhood (a quadratic range join).
+
+    Determinism: micro-unit coordinates, exact signed floor-division
+    cell assignment (pmod rewrite — both engines' integer division
+    truncates), min-packed-cell cluster ids, min-label convergence.
+
+    Scale shape: points collapse to the occupied-cell relation in ONE
+    map-side-combined aggregate (the only pass over the data); the CC
+    iteration (min-label + pointer-jump, RoundLoop-released persists)
+    runs over CELLS — bounded by the grid extent, not the corpus.
+    Border/noise assignment is a 9-offset broadcast equi-join, never a
+    theta join."""
+    e = load(spark, sf_dir, "embeddings")
+    u = e.select(
+        F.expr(_db_micro(1, "element_at")).alias("u1"),
+        F.expr(_db_micro(2, "element_at")).alias("u2"),
+    )
+    fx = _fdiv("u1", DB_CELL, "DIV")
+    fy = _fdiv("u2", DB_CELL, "DIV")
+    cell = (
+        u.select(F.expr(fx).alias("cx"), F.expr(fy).alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    core = cell.filter(F.col("n") >= DB_MINPTS).select(
+        "cx", "cy", "n",
+        F.expr(f"(cx + {DB_OFF}) * {DB_SPAN} + (cy + {DB_OFF})").alias("id"),
+    ).persist()
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], ["dx", "dy"]
+    )
+    nbr = core.crossJoin(F.broadcast(offs)).select(
+        F.col("id").alias("e_u"),
+        (F.col("cx") + F.col("dx")).alias("nx"),
+        (F.col("cy") + F.col("dy")).alias("ny"),
+    )
+    core_k = core.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"), F.col("id").alias("e_v")
+    )
+    adj = nbr.join(core_k, ["nx", "ny"]).select("e_u", "e_v").persist()
+    # localCheckpoint, not persist, as the round boundary: each round
+    # references `labels` TWICE (hop join + pointer jump), so a
+    # persisted-but-still-chained logical plan doubles per round and
+    # Catalyst planning time explodes (measured: round 4 took 7.6 s of
+    # planner time on a 49-row relation). The checkpoint makes each
+    # round a leaf; the convergence collect right below is the
+    # materializing action, so each round schedules ONE job — the
+    # llm/components.py pointer-jumping pattern exactly. Superseded
+    # rounds' blocks are reclaimed by the ContextCleaner as the
+    # references drop (the RoundLoop storage discipline, checkpoint
+    # form).
+    labels = (
+        core.select(F.col("id").alias("node"), F.col("id").alias("lab"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    converged = False
+    for _ in range(64):
+        hop = (
+            adj.join(labels, adj.e_u == labels.node)
+            .groupBy(F.col("e_v").alias("node2"))
+            .agg(F.min("lab").alias("lab"))
+            .select(F.col("node2").alias("node"), "lab")
+        )
+        jump = labels.select(
+            F.col("node").alias("lab"), F.col("lab").alias("lab2")
+        )
+        labels = (
+            hop.join(jump, "lab", "left")
+            .select("node", F.coalesce("lab2", "lab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+        cur = labels.agg(F.sum("lab")).collect()[0][0]
+        if cur == prev_sum:
+            converged = True
+            break
+        prev_sum = cur
+    if not converged:
+        raise RuntimeError("q_cluster_dbscan_grid: CC did not converge")
+    lab = labels.select(F.col("node").alias("id"), F.col("lab").alias("cluster"))
+    ccore = (
+        core.join(lab, "id")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_core_cells"),
+            F.sum("n").cast("long").alias("n_core_points"),
+        )
+    )
+    noncore = cell.filter(F.col("n") < DB_MINPTS)
+    nc_nbr = noncore.crossJoin(F.broadcast(offs)).select(
+        "cx", "cy", "n",
+        (F.col("cx") + F.col("dx")).alias("nx"),
+        (F.col("cy") + F.col("dy")).alias("ny"),
+    )
+    lab_k = core.join(lab, "id").select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"), "cluster"
+    )
+    bord0 = (
+        nc_nbr.join(lab_k, ["nx", "ny"])
+        .groupBy("cx", "cy", "n")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    bord = bord0.groupBy("cluster").agg(
+        F.sum("n").cast("long").alias("n_border_points")
+    )
+    clusters = (
+        ccore.join(bord, "cluster", "left")
+        .select(
+            F.col("cluster").cast("long").alias("cluster_id"),
+            "n_core_cells",
+            "n_core_points",
+            F.coalesce("n_border_points", F.lit(0)).cast("long").alias(
+                "n_border_points"
+            ),
+        )
+    )
+    covered = nc_nbr.join(lab_k, ["nx", "ny"]).select("cx", "cy").distinct()
+    noise = (
+        noncore.join(covered, ["cx", "cy"], "left_anti")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("np"))
+        .select(
+            F.lit(-1).cast("long").alias("cluster_id"),
+            F.lit(0).cast("long").alias("n_core_cells"),
+            F.lit(0).cast("long").alias("n_core_points"),
+            F.col("np").alias("n_border_points"),
+        )
+    )
+    return clusters.unionByName(noise).orderBy("cluster_id")
+
+
+q_cluster_dbscan_grid.__doc__ = (
+    q_cluster_dbscan_grid.__doc__
+    .replace("{C}", str(DB_CELL))
+    .replace("{M}", str(DB_MINPTS))
+)
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental MinHash — stream-static LSH band join
+# ---------------------------------------------------------------------------
+
+# (SparkSession, sf_dir) -> temp dir holding a documents.parquet
+# symlink for the file-stream source (the streaming/stateful.py
+# _stream_source_dir pattern, documents flavor). Values are paths —
+# enrolled for dict hygiene, no executor storage.
+from kafka_to_parquet_spark.cache import register_cache  # noqa: E402
+
+_DOC_STREAM_DIRS: dict = register_cache({})
+
+
+def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    key = (spark, sf_dir)
+    d = _DOC_STREAM_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="ktps_docstream_")
+        src = os.path.join(sf_dir, "documents.parquet")
+        os.symlink(
+            src,
+            os.path.join(d, "documents.parquet"),
+            target_is_directory=os.path.isdir(src),
+        )
+        _DOC_STREAM_DIRS[key] = d
+    src = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    where = os.path.join(d, "documents.parquet") if os.path.isdir(src) else d
+    return spark.readStream.schema(schema).parquet(where)
+
+
+def _stream_minhash_oracle() -> str:
+    from kafka_to_parquet_spark.llm.minhash import _minhash_incr_oracle
+
+    # The streamed result must equal the batch incremental join — the
+    # q_stream_dedup oracle discipline (a dropped or duplicated pair
+    # fails the hash).
+    return _minhash_incr_oracle()
+
+
+@query("q_stream_minhash_incr", oracle=_stream_minhash_oracle())
+def q_stream_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental near-dup detection — the readStream twin
+    of q_dedup_minhash_incr: a new crawl delivery arrives as a file
+    stream, each document's MinHash signature and band keys are
+    computed PER ROW inside the stream (array_min over the shingle
+    hashes — no stateful aggregate needed, unlike the batch path's
+    explode+groupBy, because a document's shingles never span rows),
+    candidates come from a STREAM-STATIC equi-join against the
+    persisted corpus band index (llm/minhash.kept_bands — the LSH
+    index a production corpus keeps between deliveries), pairs are
+    de-duplicated with streaming dropDuplicates, and each candidate is
+    verified with exact shingle Jaccard against the static shingle
+    table. availableNow trigger → memory sink (run_to_memory).
+
+    Identity with the batch answer (and hence the shared oracle): the
+    hot-bucket cap drops a band bucket's rows on BOTH sides in the
+    batch formulation; here only the static side is capped, but a
+    candidate needs a kept CORPUS row in the same bucket, so pairs in
+    over-cap buckets vanish identically.
+
+    100 TB shape: the per-delivery stream carries 8 band longs + the
+    shingle array per doc; the corpus side is the capped, persisted
+    band index (narrow rows, terabytes instead of the corpus's
+    hundreds); the join is stream-static hash — no shuffle of the
+    static side per micro-batch beyond the broadcast/probe Spark
+    plans. State = one key per emitted pair (the dedup), bounded by
+    the delivery's candidate count."""
+    from kafka_to_parquet_spark.functions.hashes import spark_h31
+    from kafka_to_parquet_spark.functions.rounding import floor_round
+    from kafka_to_parquet_spark.llm.dedup import INCR_MOD, INCR_REM, shingled_documents
+    from kafka_to_parquet_spark.llm.minhash import (
+        MH_BANDS,
+        MH_P,
+        _mh_coeffs,
+        kept_bands,
+    )
+    from kafka_to_parquet_spark.streaming.stateful import run_to_memory
+
+    sdf = (
+        _stream_docs(spark, sf_dir)
+        .filter(F.col("doc_id") % INCR_MOD == INCR_REM)
+        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .withColumn(
+            "sh",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(toks) - 2),"
+                "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',"
+                "              element_at(toks, i + 2))))"
+            ),
+        )
+    )
+    h = spark_h31("s")
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(sh, s -> ({a} * ({h}) + {b}) % {MH_P}))"
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(_mh_coeffs())
+    ]
+    sig = sdf.select("doc_id", "sh", *sig_cols)
+    keys = F.array(
+        *[
+            F.expr(f"m{2 * j} * CAST({MH_P} AS BIGINT) + m{2 * j + 1}")
+            for j in range(MH_BANDS)
+        ]
+    )
+    xb = sig.select(
+        F.col("doc_id").alias("batch_doc"), "sh", F.posexplode(keys).alias("b", "k")
+    )
+    corpus = (
+        kept_bands(spark, sf_dir)
+        .filter(F.col("doc_id") % INCR_MOD != INCR_REM)
+        .select(F.col("doc_id").alias("corpus_doc"), "b", "k")
+    )
+    cand = (
+        xb.join(corpus, ["b", "k"])
+        .select("batch_doc", "corpus_doc", "sh")
+        .dropDuplicates(["batch_doc", "corpus_doc"])
+    )
+    shb = shingled_documents(spark, sf_dir).select(
+        F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("shb")
+    )
+    inter = F.expr("CAST(size(array_intersect(sh, shb)) AS DOUBLE)")
+    union = F.expr("size(sh) + size(shb) - size(array_intersect(sh, shb))")
+    out = cand.join(shb, "corpus_doc").select(
+        "batch_doc", "corpus_doc", floor_round(inter / union, 6).alias("jaccard")
+    )
+    return run_to_memory(out, "append")
