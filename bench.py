@@ -31,6 +31,14 @@ EXTRA_SWEEPS additional timed runs appended after the base sweeps —
 with 5 samples a spike must own 3 disjoint visits to move the median,
 which a transient episode cannot.
 
+That resampler is blind to a query that is CONSISTENTLY slow across
+all its visits (tight median, wrong level). The cross-artifact guard
+(scaling_isolated_figures / xguard_suspects below) triangulates each
+sweep median against the query's independent t(sf0.1) figure in
+SCALING.md's stress table and re-measures flagged queries isolated at
+the end of the run — BENCH_LOCAL.json records all three numbers under
+"xguard"; stdout carries only confirmed regressions ("xguard_regressed").
+
 Stdout-key encoding: the driver captures only a ~2000-char tail of
 stdout, so the line prints canonical full ``q_*`` names (round 6's
 prefix-stripping made cross-round key comparison need normalization —
@@ -103,7 +111,6 @@ HEADLINE = [
     "q_tpch_q9",           # 5-table profit rollup (broadcast chain + fact shuffle)
     "q_tpch_q19",          # disjunctive-bracket hash join (no nested loop)
     "q_tpch_q21",          # per-order countDistinct/max + join-back chain
-    "q_kmeans_step",       # Lloyd step: broadcast assign + dim-wise mean update
     "q_text_unigram_logprob",  # corpus-unigram LM quality score
     "q_kmeans3",           # 3-round integer fixed-point k-means
     "q_graph_triangles",   # degree-ordered triangle count (oriented wedge join)
@@ -120,7 +127,6 @@ HEADLINE = [
     "q_copurchase_pmi",    # PMI association mining over co-order pairs
     "q_snapshot_diff",     # CDF-style version diff (full-outer key join)
     "q_join_dpp",          # dynamic partition pruning star join
-    "q_dedup_window",      # time-windowed first-event dedup
     "q_dedup_containment", # asymmetric prefix×full-posting subset join
     "q_ann_recall",        # IVF-vs-brute recall audit (both ANN plans)
     "q_dedup_substring",   # sliding-window fingerprint dup profile
@@ -148,6 +154,10 @@ HEADLINE = [
     "q_collocation_llr",     # bigram-type G² with margin windows
     "q_text_rake",           # running-stopword-count phrase segmentation
     "q_text_textrank",       # integer PageRank on the co-occurrence word graph
+    # round-10 batch9: one entry per genuinely new iterative shape
+    # (the other ten batch9 queries fold below / into BENCH_OMITTED)
+    "q_suffix_lrs",          # prefix-doubling suffix ranks + binary-search LRS
+    "q_cluster_dbscan_grid", # cell-grid density clustering + core-cell CC
 ]
 
 # Bench family representatives: members NOT in HEADLINE are benched
@@ -157,16 +167,18 @@ HEADLINE = [
 # folded query keeps.
 FAMILY_REPS = {
     "q_dedup_simhash": ["q_dedup_simhash_pairs"],
-    "q_dedup_minhash": ["q_dedup_minhash_incr", "q_split_leakage"],
+    "q_dedup_minhash": ["q_dedup_minhash_incr", "q_split_leakage",
+                        "q_stream_minhash_incr"],  # shared band-index machinery
     "q_knn_graph_ivf": ["q_knn_multiprobe", "q_knn_graph"],
-    "q_text_unigram_logprob": ["q_text_bigram_logprob", "q_text_entropy"],
+    "q_text_unigram_logprob": ["q_text_bigram_logprob", "q_text_entropy",
+                               "q_entropy_filter", "q_lm_bigram_logprob"],
     "q_dedup_embedding_lsh": ["q_dedup_embedding"],
     "q_win_running_scalable": ["q_win_running"],
     "q_dedup_components": ["q_dup_cluster_stats"],
     "q_dedup_substring": ["q_dedup_bag"],
     # round-8 folds (freeing stdout budget for the batch8 entries):
     "q_mann_whitney": ["q_chi2_independence"],   # tiny stat-screen aggregations
-    "q_sample_temperature": ["q_sample_weighted"],  # deterministic sampling family
+    "q_sample_temperature": ["q_sample_weighted", "q_mix_curriculum"],  # deterministic sampling/mixing family
     "q_dedup_keep_best": ["q_select_topq"],      # per-group argmax/window select
     "q_agg_percentile": ["q_winsorize"],         # exact grouped percentiles
     "q_funnel": ["q_event_pattern"],             # per-user ordered journey scan
@@ -177,6 +189,14 @@ FAMILY_REPS = {
     "q_graph_triangles": ["q_graph_clustering_coeff"],  # shared oriented wedges
     "q_vocab_topk": ["q_ttr_source", "q_tfidf_top_term"],  # word-count topology
     "q_multimodal_probe": ["q_multimodal_decode"],  # same mapInPandas path, real decode on top
+    # round-10 folds (freeing stdout budget for the batch9 entries):
+    "q_kmeans3": ["q_kmeans_step"],              # one Lloyd round ⊂ the 3-round loop
+    "q_dedup_keep_best": ["q_dedup_window"],     # per-key window-select dedup family
+    # round-10 batch9 folds:
+    "q_sim_topk": ["q_knn_classify"],            # broadcast-seed scan + per-vec top-k window
+    "q_dedup_span_strip": ["q_dedup_span_maximal"],  # shared window-hash relation + island merge
+    "q_copurchase_pmi": ["q_link_adamic_adar"],  # co-purchase pair topology
+    "q_pack_greedy": ["q_pack_sequences"],       # source-partitioned packing family
 }
 
 # Declared-but-not-benched (beyond FAMILY_REPS): cheap single-pass
@@ -190,7 +210,10 @@ BENCH_OMITTED = {
     "q_kmv_union_audit": "data-sized stage is one distinct+rank ⊂ q_vocab_topk shape; pairwise legs are sketch-sized",
     "q_ts_spectral_dow": "one calendar-grid groupBy ⊂ q_stl_decompose's daily collapse",
     "q_kn_continuation": "doc-keyed adjacency + type distinct ⊂ q_collocation_llr shape",
-    "q_kmeans_silhouette": "broadcast centroid scan + K-row agg ⊂ q_kmeans_step shape",
+    "q_kmeans_silhouette": "broadcast centroid scan + K-row agg ⊂ q_kmeans_step shape (benched via q_kmeans3)",
+    # round-10 batch9:
+    "q_pii_scrub": "one regex scan + per-source agg ⊂ q_text_quality shape",
+    "q_changepoint_cusum": "daily calendar collapse + tiny-series scan ⊂ q_stl_decompose's daily collapse",
 }
 
 
@@ -199,6 +222,57 @@ def compact_val(t: float) -> float | int:
     two stdout chars saved per whole-second timing."""
     v = round(t, 1)
     return int(v) if v == int(v) else v
+
+
+# Cross-artifact guard (round-9 verdict item 6): the in-sweep
+# resampler above catches WITHIN-sweep variance, but a query that is
+# *consistently* slow across all its sweep visits (a real plan/code
+# regression, or a whole-run contention plateau) sails through with a
+# tight-but-wrong median. SCALING.md's stress table holds each heavy
+# query's t(sf0.1) median from an independent tools/stress_big.py run
+# — a second artifact to triangulate against. Any headline query whose
+# sweep median exceeds XGUARD_RATIO x that figure (and by more than
+# XGUARD_ABS, so sub-second scheduling-floor noise can't trip it) gets
+# re-measured ISOLATED at the end of the run; all three numbers land
+# in BENCH_LOCAL.json under "xguard". isolated ~= sweep >> scaling
+# means a true slowdown vs the artifact (investigate / re-run
+# stress_big); isolated << sweep means the sweep itself was the
+# anomaly (contention), and the stdout "xguard_regressed" list stays
+# empty.
+XGUARD_RATIO = 1.5
+XGUARD_ABS = 0.5
+
+
+def scaling_isolated_figures() -> dict[str, float]:
+    """t(sf0.1) medians from SCALING.md's 10x-stress table — the
+    independent per-query figures the cross-artifact guard compares
+    sweep medians against. Empty dict when the artifact or section is
+    missing (guard silently disabled rather than crashing the bench)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.md")
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        return {}
+    idx = text.find("\n## 10× stress")
+    if idx == -1:
+        return {}
+    nxt = text.find("\n## ", idx + 1)
+    section = text[idx: nxt if nxt != -1 else len(text)]
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r"^\| (q_\w+) \| ([0-9.]+)s \|", section, re.M)
+    }
+
+
+def xguard_suspects(timings: dict[str, float],
+                    figs: dict[str, float]) -> list[str]:
+    """Headline queries whose sweep median is suspicious vs their
+    SCALING.md figure (ratio AND absolute-margin gates — see above)."""
+    return sorted(
+        n for n, t in timings.items()
+        if n in figs and t > XGUARD_RATIO * figs[n] and t - figs[n] > XGUARD_ABS
+    )
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:
@@ -277,6 +351,29 @@ def main() -> None:
     timings = {
         n: round(statistics.median(ts), 3) for n, ts in samples.items() if ts
     }
+
+    # Cross-artifact guard (see scaling_isolated_figures above): only
+    # meaningful when the sweep ran at the scale the SCALING.md stress
+    # table measured (sf0.1 — its t(sf0.1) column).
+    xguard: dict[str, dict[str, float]] = {}
+    if sf_dir.rstrip("/").endswith("sf0.1"):
+        figs = scaling_isolated_figures()
+        for name in xguard_suspects(timings, figs):
+            clear_result_caches(spark)
+            iso = []
+            for _ in range(3):
+                try:
+                    iso.append(run_one(spark, name, sf_dir))
+                except Exception as e:  # noqa: BLE001
+                    errors[name] = f"{type(e).__name__}: {e}"[:200]
+                    break
+            if iso:
+                xguard[name] = {
+                    "sweep": timings[name],
+                    "scaling": figs[name],
+                    "isolated": round(statistics.median(iso), 3),
+                }
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -292,6 +389,19 @@ def main() -> None:
         out["resampled"] = noisy
     if errors:
         out["errors"] = errors
+    if xguard:
+        # Full triangulation detail goes to BENCH_LOCAL.json; stdout
+        # carries only the names whose ISOLATED re-measure also exceeds
+        # the SCALING.md figure — i.e. confirmed slowdowns vs the
+        # independent artifact, not sweep-contention false alarms.
+        out["xguard"] = xguard
+        regressed = sorted(
+            n for n, v in xguard.items()
+            if v["isolated"] > XGUARD_RATIO * v["scaling"]
+            and v["isolated"] - v["scaling"] > XGUARD_ABS
+        )
+        if regressed:
+            out["xguard_regressed"] = regressed
 
     # Teardown: evict every memoized/persisted intermediate (shingle
     # tables, edge lists, converged labels, temp-dataset paths) so a
@@ -310,6 +420,9 @@ def main() -> None:
                            "BENCH_LOCAL.json"), "w") as f:
         json.dump(out, f, indent=1)
     out.pop("samples", None)
+    # xguard triangulation detail is BENCH_LOCAL-only; the stdout line
+    # keeps just the confirmed-regression name list (usually absent).
+    out.pop("xguard", None)
 
     # Stdout line (see module docstring): every query present under its
     # CANONICAL q_* name (round-6 verdict item 5), no queries_omitted —

@@ -204,3 +204,101 @@ def test_bench_family_reps_cover_folded_queries():
             assert m not in HEADLINE, f"{m} folded AND benched"
     for q in BENCH_OMITTED:
         assert q in registry.QUERIES and q not in HEADLINE, q
+
+
+def test_bench_xguard_parses_scaling_and_gates_on_ratio_plus_abs():
+    """Cross-artifact bench guard (round-9 verdict item 6): the
+    SCALING.md stress-table parser must find the t(sf0.1) figures for
+    the heavy headline queries, and the suspect gate must require BOTH
+    the 1.5x ratio and the absolute margin — a 0.2s query at 3x its
+    figure is scheduling-floor noise, a 6s query at 1.4x is inside the
+    band; only ratio AND margin together flag."""
+    from bench import (
+        HEADLINE,
+        XGUARD_ABS,
+        XGUARD_RATIO,
+        scaling_isolated_figures,
+        xguard_suspects,
+    )
+
+    figs = scaling_isolated_figures()
+    # the stress table holds dozens of rows, several of them headline
+    assert len(figs) > 50
+    assert len(set(figs) & set(HEADLINE)) > 5
+    assert all(v > 0 for v in figs.values())
+
+    synth = {"q_tiny": 0.1, "q_band": 4.0, "q_slow": 4.0}
+    timings = {
+        "q_tiny": 0.45,   # 4.5x but only +0.35s — noise, not flagged
+        "q_band": 5.5,    # +1.5s but 1.38x — inside the band
+        "q_slow": 6.5,    # 1.63x AND +2.5s — flagged
+        "q_new": 9.9,     # no SCALING figure — guard can't apply
+    }
+    assert xguard_suspects(timings, synth) == ["q_slow"]
+    assert XGUARD_RATIO == 1.5 and XGUARD_ABS == 0.5
+
+
+def test_plans_full_artifact_current():
+    """Full-registry plan audit (round-9 verdict item 4): PLANS.md's
+    window table rotates ~50 names per round, so a plan regression in
+    a non-window query could hide for ~6 rounds. PLANS_FULL.md audits
+    EVERY registered query; this test pins it to the live registry
+    (a new batch can't land unaudited) and requires every recorded
+    single-partition exchange to carry a bounded-relation
+    justification in plan_audit.SINGLE_PART_OK."""
+    import re
+
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+    from plan_audit import SINGLE_PART_OK
+
+    path = os.path.join(REPO_ROOT, "PLANS_FULL.md")
+    assert os.path.exists(path), "run: python tools/plan_audit.py --full"
+    with open(path) as f:
+        text = f.read()
+    assert "plan failed" not in text, "a query's plan build crashed in the sweep"
+    rows = re.findall(r"^\| (q_\w+) \| (\d+) \| (\d+) \|", text, re.M)
+    registry.load_all()
+    audited = {n for n, _, _ in rows}
+    assert audited == set(registry.QUERIES), (
+        f"PLANS_FULL.md stale: missing={sorted(set(registry.QUERIES) - audited)[:5]} "
+        f"extra={sorted(audited - set(registry.QUERIES))[:5]} — "
+        "re-run: python tools/plan_audit.py --full"
+    )
+    offenders = {n for n, _, single in rows if int(single) > 0}
+    undocumented = offenders - set(SINGLE_PART_OK)
+    assert not undocumented, (
+        f"single-partition exchange without a SINGLE_PART_OK entry: "
+        f"{sorted(undocumented)}"
+    )
+    # the allowlist can't hold stale names either
+    assert set(SINGLE_PART_OK) <= set(registry.QUERIES)
+
+
+def test_single_partition_detector_sees_formatted_mode():
+    """The round-10 fix: explain("formatted") reports an exchange's
+    partitioning in the node detail block, not on the tree line, so
+    counting the simple-mode token "Exchange SinglePartition" alone is
+    blind on the very strings the audits feed it. Both spellings must
+    count; partitioning names inside expression text must not."""
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+    from plan_audit import count_single_partition
+
+    formatted = (
+        "== Physical Plan ==\n"
+        "AdaptiveSparkPlan (5)\n"
+        "+- Window (4)\n"
+        "   +- Sort (3)\n"
+        "      +- Exchange (2)\n"
+        "         +- Range (1)\n\n"
+        "(2) Exchange\n"
+        "Input [1]: [id#0L]\n"
+        "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=8]\n"
+    )
+    assert count_single_partition(formatted) == 1
+    simple = "+- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+    assert count_single_partition(simple) == 1
+    hash_part = (
+        "(2) Exchange\n"
+        "Arguments: hashpartitioning(doc_id#1L, 32), ENSURE_REQUIREMENTS\n"
+    )
+    assert count_single_partition(hash_part) == 0
