@@ -173,7 +173,8 @@ FAMILY_REPS = {
     "q_text_unigram_logprob": ["q_text_bigram_logprob", "q_text_entropy",
                                "q_entropy_filter", "q_lm_bigram_logprob"],
     "q_dedup_embedding_lsh": ["q_dedup_embedding"],
-    "q_win_running_scalable": ["q_win_running"],
+    "q_win_running_scalable": ["q_win_running",
+                               "q_select_budget"],  # banded two-level prefix sum
     "q_dedup_components": ["q_dup_cluster_stats"],
     "q_dedup_substring": ["q_dedup_bag"],
     # round-8 folds (freeing stdout budget for the batch8 entries):
@@ -190,10 +191,12 @@ FAMILY_REPS = {
     "q_vocab_topk": ["q_ttr_source", "q_tfidf_top_term"],  # word-count topology
     "q_multimodal_probe": ["q_multimodal_decode"],  # same mapInPandas path, real decode on top
     # round-10 folds (freeing stdout budget for the batch9 entries):
-    "q_kmeans3": ["q_kmeans_step"],              # one Lloyd round ⊂ the 3-round loop
+    "q_kmeans3": ["q_kmeans_step",               # one Lloyd round ⊂ the 3-round loop
+                  "q_coreset_kcenter"],          # broadcast-center distance-scan rounds
     "q_dedup_keep_best": ["q_dedup_window"],     # per-key window-select dedup family
     # round-10 batch9 folds:
     "q_sim_topk": ["q_knn_classify"],            # broadcast-seed scan + per-vec top-k window
+    "q_ngram_novelty": ["q_source_ngram_leak"],  # hash-postings digest-join topology
     "q_dedup_span_strip": ["q_dedup_span_maximal"],  # shared window-hash relation + island merge
     "q_copurchase_pmi": ["q_link_adamic_adar"],  # co-purchase pair topology
     "q_pack_greedy": ["q_pack_sequences"],       # source-partitioned packing family
@@ -213,6 +216,7 @@ BENCH_OMITTED = {
     "q_kmeans_silhouette": "broadcast centroid scan + K-row agg ⊂ q_kmeans_step shape (benched via q_kmeans3)",
     # round-10 batch9:
     "q_pii_scrub": "one regex scan + per-source agg ⊂ q_text_quality shape",
+    "q_pad_waste_buckets": "one tokenize pass + 3-row report ⊂ q_text_quality shape",
     "q_changepoint_cusum": "daily calendar collapse + tiny-series scan ⊂ q_stl_decompose's daily collapse",
 }
 

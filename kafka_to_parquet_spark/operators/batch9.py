@@ -1590,3 +1590,445 @@ def q_stream_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_doc", "corpus_doc", floor_round(inter / union, 6).alias("jaccard")
     )
     return run_to_memory(out, "append")
+
+
+# ---------------------------------------------------------------------------
+# Group C (round-10 session 2): coreset selection, budgeted curation,
+# batching-efficiency audit, cross-source contamination matrix.
+# ---------------------------------------------------------------------------
+
+CORESET_K = 4
+
+# Exact integer squared distance between two micro-unit BIGINT vectors
+# — the q_kmeans3 idiom on both sides (64 dims × (2e6)² ≈ 2.6e14 ≪
+# 2^63, so the fold never leaves BIGINT).
+_D_SPARK = (
+    "aggregate(zip_with({a}, {b}, (za, zb) -> (za - zb) * (za - zb)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _d_duck(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, CAST(len({a}) AS INTEGER) + 1),"
+        f" d_i -> ({a}[d_i] - {b}[d_i]) * ({a}[d_i] - {b}[d_i]))),"
+        " (d_s, d_v) -> d_s + d_v)"
+    )
+
+
+def _coreset_oracle() -> str:
+    """K unrolled Gonzalez rounds: seed = min vec_id; each next center
+    is the min-vec_id among the points at maximal min-distance to the
+    chosen set; radius_sq after each pick."""
+    uv = ("SELECT vec_id, list_transform(embedding,"
+          " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS uvec"
+          " FROM embeddings")
+    parts = [f"WITH uv AS ({uv}),",
+             "c1 AS (SELECT vec_id AS cid, uvec AS carr FROM uv"
+             " WHERE vec_id = (SELECT min(vec_id) FROM uv)),",
+             f"d1 AS (SELECT uv.vec_id, uv.uvec,"
+             f" {_d_duck('uv.uvec', 'c1.carr')} AS dmin FROM uv CROSS JOIN c1),"]
+    for k in range(2, CORESET_K + 1):
+        p, c = k - 1, k
+        parts += [
+            f"c{c} AS (SELECT min(vec_id) AS cid FROM d{p}"
+            f" WHERE dmin = (SELECT max(dmin) FROM d{p})),",
+            f"cc{c} AS (SELECT c{c}.cid, uv.uvec AS carr FROM c{c}"
+            f" JOIN uv ON uv.vec_id = c{c}.cid),",
+            f"d{c} AS (SELECT d{p}.vec_id, d{p}.uvec,"
+            f" least(d{p}.dmin, {_d_duck(f'd{p}.uvec', f'cc{c}.carr')}) AS dmin"
+            f" FROM d{p} CROSS JOIN cc{c}),",
+        ]
+    steps = ["SELECT 1 AS step, (SELECT cid FROM c1) AS center_id,"
+             " (SELECT max(dmin) FROM d1) AS radius_sq"]
+    for k in range(2, CORESET_K + 1):
+        steps.append(
+            f"SELECT {k} AS step, (SELECT cid FROM c{k}) AS center_id,"
+            f" (SELECT max(dmin) FROM d{k}) AS radius_sq")
+    body = "\nUNION ALL\n".join(steps)
+    return ("\n".join(parts)
+            + f"\nsteps AS ({body})\n"
+            + "SELECT CAST(step AS BIGINT) AS step, CAST(center_id AS BIGINT) AS center_id,"
+              " CAST(radius_sq AS BIGINT) AS radius_sq FROM steps ORDER BY step")
+
+
+@query("q_coreset_kcenter", oracle=_coreset_oracle())
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 2-approximation)
+    over the embedding table — the diversity-first data-selection
+    primitive (pick the K mutually-farthest exemplars; radius_sq after
+    each pick is the covering bound the 2-approx guarantee speaks
+    about). Deterministic: micro-unit BIGINT vectors, exact integer
+    squared distances, argmax ties broken by min vec_id.
+
+    Scale shape: K passes over the vector relation (inherent to
+    Gonzalez — each pick needs the current max of dmin), each pass a
+    broadcast of ONE center row + a map-side distance update; the
+    argmax is a pair of 1-row global reduces (max, then min vec_id at
+    that max), never a sort. At 100 TB: same plan with K·2 scalar
+    reduces; sub-sample or IVF-route the candidate pool first if K
+    grows past tens (the q_knn_classify routing note).
+
+    Reference: extension tier (SURVEY §2 X-rows) — the reference ETL
+    (src/main.rs) has no analytics; coreset/diversity selection is the
+    data-efficient-training step of a curation pipeline."""
+    uv = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> " + _KNN_UNIT.format(x="x") + ")").alias(
+            "uvec"
+        ),
+    )
+    seed = uv.agg(F.min("vec_id").alias("cid"))
+    cent = uv.join(F.broadcast(seed), uv.vec_id == F.col("cid")).select(
+        "cid", F.col("uvec").alias("carr")
+    )
+    d = uv.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "uvec",
+        F.col("cid").alias("cur_cid"),
+        F.expr(_D_SPARK.format(a="uvec", b="carr")).alias("dmin"),
+    )
+    steps = [
+        d.agg(
+            F.lit(1).cast("long").alias("step"),
+            F.first("cur_cid").cast("long").alias("center_id"),
+            F.max("dmin").alias("radius_sq"),
+        )
+    ]
+    for k in range(2, CORESET_K + 1):
+        mx = d.agg(F.max("dmin").alias("mx"))
+        cand = (
+            d.join(F.broadcast(mx), F.col("dmin") == F.col("mx"))
+            .agg(F.min("vec_id").alias("cid"))
+        )
+        cent = uv.join(F.broadcast(cand), uv.vec_id == F.col("cid")).select(
+            "cid", F.col("uvec").alias("carr")
+        )
+        d = d.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "uvec",
+            F.col("cid").alias("cur_cid"),
+            F.least(
+                F.col("dmin"), F.expr(_D_SPARK.format(a="uvec", b="carr"))
+            ).alias("dmin"),
+        )
+        steps.append(
+            d.agg(
+                F.lit(k).cast("long").alias("step"),
+                F.first("cur_cid").cast("long").alias("center_id"),
+                F.max("dmin").alias("radius_sq"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Budgeted quality curation: global greedy selection under a token budget
+# ---------------------------------------------------------------------------
+
+# Keep the best documents until the training-token budget is spent:
+# budget = BUDGET_PCT% of the corpus's total tokens.
+BUDGET_PCT = 40
+# Quality bands for the two-level cumulative sum: floor(score·100)
+# buckets the [0,1] score into ≤101 bands, so the global prefix sum
+# decomposes into (bounded band-offset window) + (per-band window) —
+# the q_win_running_scalable / q_corpus_shuffle decomposition; the
+# naive row_number-over-everything form is the hot-key cliff.
+BUDGET_BANDS = 100
+
+
+def _select_budget_oracle() -> str:
+    from kafka_to_parquet_spark.functions.text import _QUALITY_ORACLE
+
+    return f"""
+WITH s AS ({_QUALITY_ORACLE}),
+t AS (
+  SELECT d.doc_id, d.source, s.n_tokens, s.quality_score
+  FROM documents d JOIN s ON d.doc_id = s.doc_id
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) * {BUDGET_PCT} // 100 AS budget FROM t),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS cum
+  FROM t
+),
+sel AS (SELECT doc_id, n_tokens FROM r WHERE cum <= (SELECT budget FROM tot))
+SELECT t.source,
+       CAST(count(*) AS BIGINT)                          AS n_src,
+       CAST(count(sel.doc_id) AS BIGINT)                 AS n_sel,
+       CAST(sum(t.n_tokens) AS BIGINT)                   AS tok_src,
+       CAST(coalesce(sum(sel.n_tokens), 0) AS BIGINT)    AS tok_sel,
+       CAST(count(sel.doc_id) * 10000 // count(*) AS BIGINT) AS sel_docs_bp,
+       CAST(coalesce(sum(sel.n_tokens), 0) * 10000 // sum(t.n_tokens) AS BIGINT)
+                                                         AS sel_tok_bp
+FROM t LEFT JOIN sel ON t.doc_id = sel.doc_id
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
+@query("q_select_budget", oracle=_select_budget_oracle())
+def q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quality-ranked greedy selection under a hard token
+    budget ({BUDGET_PCT}% of corpus tokens): rank ALL documents by
+    (quality_score DESC, doc_id), keep while the running token total
+    fits — the budgeted-curation step (DCLM/FineWeb "keep the best N
+    tokens"), complementary to q_select_topq's per-source percentile
+    (this one lets strong sources win the whole budget; the report's
+    per-source selected shares show exactly how lopsided that gets).
+
+    The global prefix sum is two-level, never a global window: docs
+    band by floor(score·{BUDGET_BANDS}) (≤{BUDGET_BANDS}+1 bands);
+    per-band token totals prefix-sum on the tiny band grid (bounded
+    single-partition window, allowlisted); within a band the cumsum
+    window partitions BY BAND. Band order (DESC) refines to the exact
+    global (score DESC, doc_id) order because a band is a score
+    interval. Budget scalar = one global reduce, broadcast back.
+
+    Scale shape at 100 TB: one tokenize pass, one band-keyed exchange
+    (≤{BUDGET_BANDS}+1 partitions of score-sorted docs — salt a hot
+    band by splitting its range if the score distribution spikes), a
+    grid-sized window, and a source-keyed report aggregate."""
+    from kafka_to_parquet_spark.functions.text import q_text_quality
+
+    scored = q_text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    t = docs.join(scored, "doc_id").withColumn(
+        "band", F.floor(F.col("quality_score") * BUDGET_BANDS).cast("int")
+    )
+    budget = t.agg(
+        F.expr(f"CAST(sum(n_tokens) AS BIGINT) * {BUDGET_PCT} DIV 100").alias(
+            "budget"
+        )
+    )
+    # Band offsets: tokens in STRICTLY higher-quality bands — a window
+    # over the ≤BUDGET_BANDS+1 band-total rows.
+    bands = t.groupBy("band").agg(F.sum("n_tokens").cast("long").alias("tok_band"))
+    wb = (
+        Window.orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bands.select(
+        "band", F.coalesce(F.sum("tok_band").over(wb), F.lit(0)).alias("band_off")
+    )
+    win = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = (
+        t.join(F.broadcast(offsets), "band")
+        .withColumn("cum", F.col("band_off") + F.sum("n_tokens").over(win))
+        .crossJoin(F.broadcast(budget))
+    )
+    sel = r.withColumn("selected", F.col("cum") <= F.col("budget"))
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_src"),
+            F.sum(F.when(F.col("selected"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sel"),
+            F.sum("n_tokens").cast("long").alias("tok_src"),
+            F.sum(F.when(F.col("selected"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tok_sel"),
+        )
+        .select(
+            "source",
+            "n_src",
+            "n_sel",
+            "tok_src",
+            "tok_sel",
+            F.expr("n_sel * 10000 DIV n_src").alias("sel_docs_bp"),
+            F.expr("tok_sel * 10000 DIV tok_src").alias("sel_tok_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batching-efficiency audit: padding waste under three bucketing rules
+# ---------------------------------------------------------------------------
+
+_PAD_POW2 = "greatest(CAST(16 AS BIGINT), CAST(pow(2, ceil(log2(CAST({n} AS DOUBLE)))) AS BIGINT))"
+_PAD_LIN = "((({n}) + 63) DIV 64) * 64"
+_PAD_LIN_DUCK = "((({n}) + 63) // 64) * 64"
+
+
+def _pad_waste_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+         AS BIGINT) AS n
+  FROM documents
+),
+nz AS (SELECT n FROM t WHERE n > 0),
+mx AS (SELECT max(n) AS lmax FROM nz),
+caps AS (
+  SELECT n,
+         (SELECT lmax FROM mx)                                          AS cap_max,
+         greatest(CAST(16 AS BIGINT),
+                  CAST(pow(2, ceil(log2(CAST(n AS DOUBLE)))) AS BIGINT)) AS cap_pow2,
+         {_PAD_LIN_DUCK.format(n='n')}                                   AS cap_lin
+  FROM nz
+),
+u AS (
+  SELECT 'global_max' AS strategy, n, cap_max AS cap FROM caps
+  UNION ALL SELECT 'pow2', n, cap_pow2 FROM caps
+  UNION ALL SELECT 'linear64', n, cap_lin FROM caps
+)
+SELECT strategy,
+       CAST(count(*) AS BIGINT)                      AS n_docs,
+       CAST(count(DISTINCT cap) AS BIGINT)           AS n_buckets,
+       CAST(sum(n) AS BIGINT)                        AS real_tokens,
+       CAST(sum(cap - n) AS BIGINT)                  AS pad_tokens,
+       CAST(sum(cap - n) * 10000 // sum(cap) AS BIGINT) AS waste_bp
+FROM u GROUP BY strategy ORDER BY strategy
+"""
+
+
+@query("q_pad_waste_buckets", oracle=_pad_waste_oracle())
+def q_pad_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-padding waste audit: how many pad tokens three per-doc
+    batching rules burn — pad-to-corpus-max (the naive collate),
+    pad-to-next-power-of-two (bucketed batching, min 16), and
+    pad-to-next-64 (linear buckets) — the GPU-efficiency table that
+    motivates sequence packing (q_pack_sequences is the zero-pad
+    endpoint of the same trade-off). waste_bp = padding share of all
+    batched positions.
+
+    Determinism: lengths are BIGINTs; pow(2, ceil(log2(n))) is exact
+    for every attainable cap (powers of two are exact doubles and
+    log2 of an exact power is exact), mirrored verbatim in both
+    engines.
+
+    Scale shape: one tokenize pass collapsed map-side to the 3-row
+    report; the only broadcast scalar is the corpus max. Buckets are
+    values, not partitions — nothing shuffles by cap."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(F.size(tokens_col(F.col("text"))).cast("long").alias("n")).filter(
+        F.col("n") > 0
+    )
+    mx = t.agg(F.max("n").alias("lmax"))
+    caps = t.crossJoin(F.broadcast(mx)).select(
+        "n",
+        F.col("lmax").alias("cap_max"),
+        F.expr(_PAD_POW2.format(n="n")).alias("cap_pow2"),
+        F.expr(_PAD_LIN.format(n="n")).alias("cap_lin"),
+    )
+    u = (
+        caps.select(F.lit("global_max").alias("strategy"), "n", F.col("cap_max").alias("cap"))
+        .unionByName(caps.select(F.lit("pow2").alias("strategy"), "n", F.col("cap_pow2").alias("cap")))
+        .unionByName(caps.select(F.lit("linear64").alias("strategy"), "n", F.col("cap_lin").alias("cap")))
+    )
+    return (
+        u.groupBy("strategy")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("cap").cast("long").alias("n_buckets"),
+            F.sum("n").cast("long").alias("real_tokens"),
+            F.sum(F.col("cap") - F.col("n")).cast("long").alias("pad_tokens"),
+            F.expr("CAST(sum(cap - n) * 10000 DIV sum(cap) AS BIGINT)").alias(
+                "waste_bp"
+            ),
+        )
+        .orderBy("strategy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination: directional 8-gram fingerprint leakage
+# ---------------------------------------------------------------------------
+
+LEAK_W = 8  # tokens per fingerprint window
+
+
+def _ngram_leak_oracle() -> str:
+    from kafka_to_parquet_spark.functions.hashes import duck_h31
+
+    h = duck_h31(f"array_to_string(toks[ng_i:ng_i+{LEAK_W - 1}], ' ')")
+    return f"""
+WITH t AS (
+  SELECT source, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, CAST(len(toks) AS INTEGER) - {LEAK_W - 2}),
+                               ng_i -> {h})) AS fph
+  FROM t WHERE len(toks) >= {LEAK_W}
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fp FROM g GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM g a JOIN g b ON a.fph = b.fph AND a.source <> b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b, i.n_shared, s.n_fp AS n_fp_a,
+       CAST(i.n_shared * 10000 // s.n_fp AS BIGINT) AS leak_bp
+FROM inter i JOIN sz s ON s.source = i.src_a
+ORDER BY src_a, src_b
+"""
+
+
+@query("q_source_ngram_leak", oracle=_ngram_leak_oracle())
+def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source
+    pair (A, B), the share of A's distinct {LEAK_W}-gram fingerprints
+    that also appear in B (basis points) — the mirror/boilerplate/
+    scraped-twice detector between ingestion feeds, directional
+    because containment is (a small source can be fully inside a big
+    one, not vice versa). q_decontaminate checks the corpus against an
+    EXTERNAL benchmark; this is the corpus against itself, per feed.
+
+    Scale shape: the corpus collapses to DISTINCT (source, fp-hash)
+    rows — BIGINT digests, never window strings, across the exchange;
+    the self-join fans out per fingerprint by the number of SOURCES
+    holding it (≤|sources|, independent of corpus size — the reason
+    no hot-fingerprint cap is needed here, unlike the doc-granularity
+    joins); the report is |sources|² cells at most."""
+    from kafka_to_parquet_spark.functions.hashes import spark_h31
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    h = spark_h31(f"concat_ws(' ', slice(toks, ng_i, {LEAK_W}))")
+    g = (
+        d.select("source", toks.alias("toks"))
+        .filter(F.size("toks") >= LEAK_W)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {LEAK_W - 1}), ng_i -> {h})"
+                )
+            ).alias("fph"),
+        )
+        .distinct()
+    )
+    sz = g.groupBy("source").agg(F.count("*").cast("long").alias("n_fp"))
+    ga = g.select(F.col("source").alias("src_a"), "fph")
+    gb = g.select(F.col("source").alias("src_b"), "fph")
+    inter = (
+        ga.join(gb, "fph")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(F.broadcast(sz.withColumnRenamed("source", "src_a")), "src_a")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.col("n_fp").alias("n_fp_a"),
+            F.expr("n_shared * 10000 DIV n_fp").alias("leak_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )

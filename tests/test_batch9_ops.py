@@ -1,0 +1,126 @@
+"""Invariant tests for the round-10 batch9 operators. Every one of
+these queries is hash-verified against the DuckDB oracle (the driver
+gate); these tests guard the invariants a refactor could silently
+break between oracle runs — monotonicity, conservation, symmetry, and
+the two-level-equals-naive decompositions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_to_parquet_spark import registry
+
+registry.load_all()
+
+BATCH9 = [
+    "q_mix_curriculum", "q_pack_sequences", "q_entropy_filter",
+    "q_pii_scrub", "q_changepoint_cusum", "q_link_adamic_adar",
+    "q_knn_classify", "q_lm_bigram_logprob", "q_dedup_span_maximal",
+    "q_suffix_lrs", "q_cluster_dbscan_grid", "q_stream_minhash_incr",
+    "q_coreset_kcenter", "q_select_budget", "q_pad_waste_buckets",
+    "q_source_ngram_leak",
+]
+
+
+@pytest.mark.parametrize("name", BATCH9)
+def test_batch9_query_runs_with_stable_schema(run, name):
+    df = run(name)
+    rows = df.collect()
+    assert df.columns, name
+    # every batch9 query produces output on the fixture (the oracle
+    # hash-match pins the VALUES; this pins non-degeneracy)
+    assert len(rows) > 0, f"{name} returned no rows at sf0.001"
+
+
+def test_coreset_radius_monotone_and_centers_distinct(run):
+    rows = {r["step"]: r for r in run("q_coreset_kcenter").collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    radii = [rows[k]["radius_sq"] for k in sorted(rows)]
+    # adding a center can only shrink (or hold) the covering radius
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    assert all(r >= 0 for r in radii)
+    centers = [rows[k]["center_id"] for k in sorted(rows)]
+    assert len(set(centers)) == len(centers), "duplicate center chosen"
+
+
+def test_coreset_seed_is_min_vec_id(run, spark, sf_dir):
+    from kafka_to_parquet_spark.tables import load
+
+    seed = run("q_coreset_kcenter").filter(F.col("step") == 1).collect()[0]
+    mn = load(spark, sf_dir, "embeddings").agg(F.min("vec_id")).collect()[0][0]
+    assert seed["center_id"] == mn
+
+
+def test_select_budget_two_level_equals_naive_global_window(run, spark, sf_dir):
+    """The banded two-level prefix sum must reproduce the naive
+    row_number-over-everything selection EXACTLY (same doc set, hence
+    the same per-source report)."""
+    from kafka_to_parquet_spark.functions.text import q_text_quality
+    from kafka_to_parquet_spark.operators.batch9 import BUDGET_PCT
+    from kafka_to_parquet_spark.tables import load
+
+    scored = q_text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    t = docs.join(scored, "doc_id")
+    budget = t.agg(
+        F.expr(f"CAST(sum(n_tokens) AS BIGINT) * {BUDGET_PCT} DIV 100").alias("b")
+    ).collect()[0]["b"]
+    w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= budget)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sel"), F.sum("n_tokens").alias("tok_sel"))
+    )
+    naive_map = {r["source"]: (r["n_sel"], r["tok_sel"]) for r in naive.collect()}
+    got = {
+        r["source"]: (r["n_sel"], r["tok_sel"])
+        for r in run("q_select_budget").collect()
+        if r["n_sel"] > 0
+    }
+    assert got == naive_map
+
+
+def test_select_budget_respects_budget_and_bounds(run):
+    rows = run("q_select_budget").collect()
+    tot_tok = sum(r["tok_src"] for r in rows)
+    sel_tok = sum(r["tok_sel"] for r in rows)
+    from kafka_to_parquet_spark.operators.batch9 import BUDGET_PCT
+
+    assert sel_tok <= tot_tok * BUDGET_PCT // 100
+    for r in rows:
+        assert 0 <= r["n_sel"] <= r["n_src"]
+        assert 0 <= r["tok_sel"] <= r["tok_src"]
+        assert 0 <= r["sel_docs_bp"] <= 10000
+        assert 0 <= r["sel_tok_bp"] <= 10000
+
+
+def test_pad_waste_conserves_real_tokens_across_strategies(run):
+    rows = {r["strategy"]: r for r in run("q_pad_waste_buckets").collect()}
+    assert set(rows) == {"global_max", "pow2", "linear64"}
+    real = {r["real_tokens"] for r in rows.values()}
+    ndocs = {r["n_docs"] for r in rows.values()}
+    assert len(real) == 1 and len(ndocs) == 1, "strategies saw different corpora"
+    assert rows["global_max"]["n_buckets"] == 1
+    for r in rows.values():
+        assert r["pad_tokens"] >= 0
+        assert 0 <= r["waste_bp"] < 10000
+
+
+def test_ngram_leak_symmetric_and_bounded(run):
+    rows = run("q_source_ngram_leak").collect()
+    shared = {(r["src_a"], r["src_b"]): r["n_shared"] for r in rows}
+    for (a, b), n in shared.items():
+        assert a != b
+        # intersection counts are symmetric even though leak_bp is not
+        assert shared.get((b, a)) == n, (a, b)
+    for r in rows:
+        assert 0 < r["n_shared"] <= r["n_fp_a"]
+        assert 0 < r["leak_bp"] <= 10000 or r["n_shared"] * 10000 < r["n_fp_a"]

@@ -174,7 +174,19 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # (stability check); leakage rides q_dedup_minhash's
            # banded machinery over 10-way dup families — maximal
            # verified-pair mass, the answer-bound class.
-           "q_kmeans_silhouette", "q_split_leakage"]
+           "q_kmeans_silhouette", "q_split_leakage",
+           # round-10 batch9: suffix ranks coarsen under 10-way dup
+           # families (every repeat ×10 occurrences, equality classes
+           # denser — the level joins' load test); span-maximal rides
+           # the same window-hash relation as span_strip; the stream
+           # twin replays a 10x delivery against a 10x band index;
+           # budget selection's band grid is fixed while the corpus
+           # under it is 10x; the leak matrix's fingerprint postings
+           # densify 10x with a FIXED source-pair fan-out; dbscan
+           # rides the unreplicated embeddings (stability check, the
+           # silhouette argument).
+           "q_suffix_lrs", "q_dedup_span_maximal", "q_stream_minhash_incr",
+           "q_select_budget", "q_source_ngram_leak", "q_cluster_dbscan_grid"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},

@@ -1,0 +1,173 @@
+"""Measure the q_split_leakage "production ordering" claim (round-8/9
+verdict carry-over): the sf≈1 stress ratio of the cross-split leakage
+audit is answer-bound — 10-way exact-duplicate families inflate the
+verified near-dup pair mass ~quadratically per family — and the
+documented mitigation is ORDERING, not capping: a real pipeline runs
+exact dedup (q_dedup_exact's sha2 collapse) before any near-dup audit,
+which collapses every exact family to one representative and returns
+the pair mass to the unique-text level.
+
+This tool turns that argument into a measurement:
+
+1. t_raw   = q_split_leakage on the raw sf≈1 replica (the 7.2× row in
+   SCALING.md's stress table);
+2. t_dedup = the exact-dedup collapse MATERIALIZED over the sf≈1
+   replica (hash-groupBy keepers → semi join → parquet write — the
+   cost the ordering adds to the pipeline);
+3. t_post  = q_split_leakage on the collapsed corpus;
+4. t_base  = q_split_leakage on sf0.1 (the pre-replication baseline).
+
+Claim verified iff (t_dedup + t_post) / t_base ≈ 1× the data growth
+is paid linearly in the collapse, not quadratically in the audit —
+i.e. raw ratio >> pipeline ratio ≈ 1. Results are written to a
+dedicated SCALING.md section (idempotent replace).
+
+Usage: python tools/stress_leakage_order.py
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_to_parquet_spark import registry  # noqa: E402
+from kafka_to_parquet_spark.cache import clear_result_caches  # noqa: E402
+from kafka_to_parquet_spark.session import get_spark  # noqa: E402
+from kafka_to_parquet_spark.tables import load  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+BIG = "/tmp/ktps_sf1"
+DEDUP = "/tmp/ktps_sf1_dedup"
+
+SECTION = "## Split-leakage ordering measurement (round 10)"
+
+
+def collapse_exact(spark, src_dir: str, out_dir: str) -> float:
+    """Materialize q_dedup_exact's collapse over ``src_dir``'s
+    documents into ``out_dir`` and return the wall time. Digest-only
+    shuffle (sha2 + min doc_id), then a keeper semi join carries each
+    surviving document body exactly once into the write."""
+    t0 = time.time()
+    d = load(spark, src_dir, "documents")
+    keep = (
+        d.select(F.sha2("text", 256).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    (
+        d.join(keep, "doc_id", "left_semi")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+    return time.time() - t0
+
+
+def link_other_tables(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        link = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{t}.parquet", link)
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("leakage_order")
+
+    # The raw sf≈1 replica comes from the stress tool (shared builder,
+    # shared staleness rule).
+    from stress_big import build
+
+    build(spark)
+    link_other_tables(DEDUP)
+
+    fn = registry.QUERIES["q_split_leakage"]
+
+    def run_once(where: str) -> float:
+        t0 = time.time()
+        fn(spark, where).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # Collapse first (its output is an input of the t_post cells), and
+    # time it per sweep like any other cell — the write is the honest
+    # pipeline cost, so no warm-up discount.
+    dedup_times = [collapse_exact(spark, BIG, DEDUP)]
+
+    cells = [SRC, BIG, DEDUP]
+    clear_result_caches(spark)
+    for where in cells:  # warm-up (JIT/codegen + feature-cache build)
+        run_once(where)
+    samples: dict[str, list[float]] = {w: [] for w in cells}
+    for _ in range(3):
+        clear_result_caches(spark)
+        for where in cells:
+            samples[where].append(run_once(where))
+        dedup_times.append(collapse_exact(spark, BIG, DEDUP))
+
+    t_base = statistics.median(samples[SRC])
+    t_raw = statistics.median(samples[BIG])
+    t_post = statistics.median(samples[DEDUP])
+    t_dedup = statistics.median(dedup_times)
+    raw_ratio = t_raw / t_base
+    pipe_ratio = (t_dedup + t_post) / t_base
+
+    # Row counts make the answer-bound mechanism visible in the note.
+    n_raw = load(spark, BIG, "documents").count()
+    n_post = load(spark, DEDUP, "documents").count()
+
+    lines = [
+        SECTION,
+        "",
+        "The stress table's `q_split_leakage` row measures the audit on a",
+        "corpus where EVERY document is a 10-way exact-duplicate family —",
+        "the near-dup pair mass is answer-bound (~k² verified pairs per",
+        "family). Production ordering runs the sha2 exact-dedup collapse",
+        "first; this measurement (tools/stress_leakage_order.py, median of",
+        "3 after warm-up) prices both paths:",
+        "",
+        "| leg | time | vs sf0.1 baseline |",
+        "|---|---|---|",
+        f"| q_split_leakage @ sf0.1 ({n_post:,} docs) | {t_base:.2f}s | 1.0× |",
+        f"| q_split_leakage @ sf≈1 raw ({n_raw:,} docs) | {t_raw:.2f}s | {raw_ratio:.1f}× |",
+        f"| exact-dedup collapse @ sf≈1 (materialized) | {t_dedup:.2f}s | — |",
+        f"| q_split_leakage @ sf≈1 post-collapse | {t_post:.2f}s | {t_post / t_base:.1f}× |",
+        f"| **pipeline (collapse + audit)** | {t_dedup + t_post:.2f}s | **{pipe_ratio:.1f}×** |",
+        "",
+    ]
+    if pipe_ratio < raw_ratio / 2:
+        lines += [
+            f"Claim verified: dedup-first pays the 10× data growth in the",
+            f"linear collapse ({t_dedup:.2f}s) and returns the audit itself to",
+            f"its unique-text cost — {raw_ratio:.1f}× raw vs {pipe_ratio:.1f}× as a pipeline.",
+        ]
+    else:
+        lines += [
+            f"Claim NOT verified at this scale: pipeline ratio {pipe_ratio:.1f}×",
+            f"vs raw {raw_ratio:.1f}× — cap the verified-pair set (winnowing's",
+            "WIN_MAX_DF discipline) instead of relying on ordering.",
+        ]
+    note = "\n".join(lines) + "\n"
+
+    with open("SCALING.md") as f:
+        old = f.read()
+    idx = old.find(SECTION)
+    if idx != -1:
+        nxt = old.find("\n## ", idx + 1)
+        old = old[:idx] + (old[nxt + 1:] if nxt != -1 else "")
+    if not old.endswith("\n"):
+        old += "\n"
+    with open("SCALING.md", "w") as f:
+        f.write(old + "\n" + note)
+    print(note)
+
+
+if __name__ == "__main__":
+    main()
