@@ -50,3 +50,35 @@ def duck_h31(col: str) -> str:
         f" h31_nib -> CAST(strpos('0123456789abcdef', substr(md5({col}), h31_nib, 1)) - 1 AS BIGINT))),"
         f" (h31_acc, h31_c) -> h31_acc * 16 + h31_c) % {H31_P}"
     )
+
+
+# ---------------------------------------------------------------------------
+# 62-bit fingerprints for EQUALITY semantics (round-10 sf≈10 finding)
+# ---------------------------------------------------------------------------
+# The 31-bit space is fine for SKETCH uses (MinHash signatures, KMV
+# order statistics, bloom audits — collisions are part of the model),
+# but fingerprints whose EQUALITY is taken as text identity saturate
+# it: the second stress decade measured 10.1% false-positive duplicate
+# window-hashes at ~30M distinct 8-token windows (birthday-quadratic:
+# 1.1% at ~3M), which would have q_dedup_span_strip deleting real text
+# on hash noise at 100 TB. Identity fingerprints therefore compose TWO
+# independent 31-bit hashes (the second salted) into a < 2^62 BIGINT:
+# expected FP pairs at N windows ≈ N²/2^63 — ~0.05 at N=1e9.
+
+
+def spark_h62(col: str) -> str:
+    """Collision-safe identity fingerprint (Spark SQL form): two
+    independent h31 values (second salted with 'h62:') composed as
+    a·P + b < 2^62. Lambda-free like spark_h31 — safe at any nesting
+    depth."""
+    salted = spark_h31(f"concat('h62:', {col})")
+    return f"(({spark_h31(col)}) * CAST({H31_P} AS BIGINT) + ({salted}))"
+
+
+def duck_h62(col: str) -> str:
+    """Same value in DuckDB SQL. The two embedded duck_h31 folds are
+    SIBLING expressions (never nested inside each other), so their
+    shared h31_-prefixed lambda names cannot shadow each other — and
+    remain safe inside an outer query lambda per the h31 rule."""
+    salted = duck_h31(f"'h62:' || ({col})")
+    return f"(({duck_h31(col)}) * CAST({H31_P} AS BIGINT) + ({salted}))"

@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_to_parquet_spark.functions.hashes import H31_P, duck_h31, spark_h31
+from kafka_to_parquet_spark.functions.hashes import (
+    H31_P,
+    duck_h31,
+    duck_h62,
+    spark_h31,
+    spark_h62,
+)
 from kafka_to_parquet_spark.functions.rounding import int_units
 from kafka_to_parquet_spark.functions.text import _STOP_SQL, _TOKENS_SQL, tokens_col
 from kafka_to_parquet_spark.registry import query
@@ -1011,7 +1017,7 @@ def _novelty_oracle() -> str:
     # Trigram hash on a PLAIN column (i comes from an unnest, not a
     # lambda) — the q_dedup_span_strip oracle structure, so duck_h31's
     # inner lambda can never shadow an outer binding.
-    th = duck_h31(f"array_to_string(t[i:i+{NOVELTY_N - 1}], ' ')")
+    th = duck_h62(f"array_to_string(t[i:i+{NOVELTY_N - 1}], ' ')")
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
 tri AS MATERIALIZED (
@@ -1041,7 +1047,8 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard memorization screen run before eval-set construction.
 
     Both engines share the 31-bit md5 trigram-hash universe
-    (spark_h31 ↔ duck_h31), so a collision merges the same two
+    (spark_h62 ↔ duck_h62, widened from 31 bits after the round-10
+    sf≈10 collision measurement), so any residual collision merges the same two
     trigrams on both sides and every output column is an integer.
 
     Shape: explode to (doc, trigram-hash) longs — hashes, never
@@ -1058,7 +1065,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(toks) - {NOVELTY_N} + 1), i -> "
-                    + spark_h31(f"concat_ws(' ', slice(toks, i, {NOVELTY_N}))")
+                    + spark_h62(f"concat_ws(' ', slice(toks, i, {NOVELTY_N}))")
                     + ")"
                 )
             ).alias("th"),

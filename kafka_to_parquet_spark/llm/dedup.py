@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.cache import register_cache
-from kafka_to_parquet_spark.functions.hashes import duck_h31, spark_h31
+from kafka_to_parquet_spark.functions.hashes import (
+    duck_h31,
+    duck_h62,
+    spark_h31,
+    spark_h62,
+)
 from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
 from kafka_to_parquet_spark.functions.text import tokens_col, _TOKENS_SQL
 from kafka_to_parquet_spark.functions.vectors import duck_cosine
@@ -848,7 +853,7 @@ def _window_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(
                 F.expr(
                     f"transform(sequence(1, size(toks) - {SUBSTR_W} + 1),"
-                    f" i -> {spark_h31(window_text)})"
+                    f" i -> {spark_h62(window_text)})"
                 )
             ).alias("pos0", "wh"),
         )
@@ -879,7 +884,7 @@ def _substring_oracle() -> str:
     # 45 vs Spark's correct 47. duck_h31 now uses h31_-prefixed lambda
     # variables (functions/hashes.py) and tests/test_hashes.py pins
     # exactly this nesting; renaming alone flips the oracle to 47.
-    wh = duck_h31(f"array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')")
+    wh = duck_h62(f"array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')")
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
 win AS MATERIALIZED (
@@ -915,10 +920,13 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/licence spans or drop mostly-copied documents, which
     doc-level dedup (q_dedup_exact .. q_dedup_minhash) cannot see.
 
-    Both engines work over the SAME 31-bit md5 window-hash universe
-    (spark_h31 ↔ duck_h31, the q_dedup_jaccard_prefix precedent), so a
-    hash collision merges the same two windows on both sides and the
-    driver's value check stays exact; all output columns are integers.
+    Both engines work over the SAME 62-bit md5 window-hash universe
+    (spark_h62 ↔ duck_h62 — widened from 31 bits after the round-10
+    sf≈10 stress measured 10.1% false-positive dup hashes at ~30M
+    windows; at 2^62 the expected FP pair count stays <1 up to ~10^9
+    windows), so any residual collision merges the same two windows
+    on both sides and the driver's value check stays exact; all
+    output columns are integers.
 
     100 TB shape: explode to (doc, window-hash) longs — never window
     STRINGS, an 8-word string shuffle would be ~50× the bytes — then
@@ -999,7 +1007,7 @@ def _span_strip_oracle() -> str:
     # Window hash computed on a PLAIN column (i comes from an unnest,
     # not a lambda), so duck_h31 composes with no nesting at all —
     # the restructure the round-4 ADVICE suggested for this family.
-    wh = duck_h31(f"array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')")
+    wh = duck_h62(f"array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')")
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
 win AS MATERIALIZED (

@@ -101,7 +101,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_to_parquet_spark.cache import RoundLoop
-from kafka_to_parquet_spark.functions.hashes import H31_P, duck_h31, spark_h31
+from kafka_to_parquet_spark.functions.hashes import (
+    H31_P,
+    duck_h31,
+    duck_h62,
+    spark_h31,
+    spark_h62,
+)
 from kafka_to_parquet_spark.functions.text import _TOKENS_SQL, tokens_col
 from kafka_to_parquet_spark.llm.corpus_stats import KMV_K as _KMV_K
 from kafka_to_parquet_spark.registry import query
@@ -472,7 +478,7 @@ WIN_MAX_DF = 32  # drop fingerprints shared by more than this many
 WITH {_PROX_POSTINGS},
 kg AS (
   SELECT p1.doc_id, p1.pos,
-         {duck_h31("p1.word || ' ' || p2.word || ' ' || p3.word")} AS kh
+         {duck_h62("p1.word || ' ' || p2.word || ' ' || p3.word")} AS kh
   FROM post p1
   JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
   JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
@@ -553,7 +559,7 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p1.doc_id").alias("doc_id"),
             F.col("p1.pos").alias("pos"),
             F.expr(
-                spark_h31(
+                spark_h62(
                     "concat(p1.word, ' ', p2.word, ' ', p3.word)"
                 )
             ).alias("kh"),

@@ -913,10 +913,10 @@ def q_lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _span_maximal_oracle() -> str:
-    from kafka_to_parquet_spark.functions.hashes import duck_h31
+    from kafka_to_parquet_spark.functions.hashes import duck_h62
     from kafka_to_parquet_spark.llm.dedup import SUBSTR_W
 
-    wh = duck_h31(f"array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')")
+    wh = duck_h62(f"array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')")
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
 win AS MATERIALIZED (
@@ -1951,9 +1951,9 @@ LEAK_W = 8  # tokens per fingerprint window
 
 
 def _ngram_leak_oracle() -> str:
-    from kafka_to_parquet_spark.functions.hashes import duck_h31
+    from kafka_to_parquet_spark.functions.hashes import duck_h62
 
-    h = duck_h31(f"array_to_string(toks[ng_i:ng_i+{LEAK_W - 1}], ' ')")
+    h = duck_h62(f"array_to_string(toks[ng_i:ng_i+{LEAK_W - 1}], ' ')")
     return f"""
 WITH t AS (
   SELECT source, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
@@ -1994,11 +1994,11 @@ def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
     holding it (≤|sources|, independent of corpus size — the reason
     no hot-fingerprint cap is needed here, unlike the doc-granularity
     joins); the report is |sources|² cells at most."""
-    from kafka_to_parquet_spark.functions.hashes import spark_h31
+    from kafka_to_parquet_spark.functions.hashes import spark_h62
 
     d = load(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
-    h = spark_h31(f"concat_ws(' ', slice(toks, ng_i, {LEAK_W}))")
+    h = spark_h62(f"concat_ws(' ', slice(toks, ng_i, {LEAK_W}))")
     g = (
         d.select("source", toks.alias("toks"))
         .filter(F.size("toks") >= LEAK_W)

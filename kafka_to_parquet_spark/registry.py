@@ -214,9 +214,17 @@ CERTIFIED: set[str] = {
 # r−1) — results are value-identical by construction, but the changed
 # loop body must earn a fresh driver row rather than coast on the
 # pre-helper certification.
+# Round-10 second batch: identity fingerprints widened 31→62 bits
+# (functions/hashes.py spark_h62/duck_h62) after the sf≈10 stress
+# measured 10.1% false-positive duplicate window-hashes at ~30M
+# windows — the substring/span dedup family, trigram novelty, and
+# winnowing fingerprints changed VALUES (both engines in lockstep) and
+# must earn fresh driver rows.
 RECERTIFY: set[str] = {
     "q_sssp_weighted", "q_graph_modularity", "q_text_textrank",
     "q_bpe_learn_k", "q_bpe_apply",
+    "q_dedup_substring", "q_dedup_span_strip", "q_ngram_novelty",
+    "q_winnowing_fingerprint",
 }
 
 

@@ -89,3 +89,35 @@ def test_duck_h31_fragment_reserves_no_common_lambda_names(bad):
     for m in re.finditer(r"\((\w+),\s*(\w+)\)\s*->", frag):
         bound.update(m.groups())
     assert bad not in bound, f"duck_h31 binds common name {bad!r}: {sorted(bound)}"
+
+
+def py_h62(s: str) -> int:
+    return py_h31(s) * H31_P + py_h31("h62:" + s)
+
+
+def test_h62_matches_python_reference_both_engines(spark):
+    from kafka_to_parquet_spark.functions.hashes import duck_h62, spark_h62
+
+    con = duckdb.connect()
+    for w in WORDS:
+        expect = py_h62(w)
+        assert con.sql(f"SELECT {duck_h62(f'{w!r}')} AS h").fetchone()[0] == expect
+        assert spark.sql(f"SELECT {spark_h62(f'{w!r}')} AS h").collect()[0][0] == expect
+        assert 0 <= expect < 2**62
+
+
+def test_duck_h62_inside_outer_i_lambda():
+    """h62 composes two sibling h31 folds; embedded inside an outer
+    lambda that binds ``i`` (the sliding-window oracle shape) it must
+    hash each window, not a shadowed chimera — the round-4 class."""
+    from kafka_to_parquet_spark.functions.hashes import duck_h62
+
+    con = duckdb.connect()
+    arr = "['" + "','".join(WORDS) + "']"
+    got = con.sql(
+        "SELECT list_transform(range(1, 4), i -> "
+        + duck_h62(f"array_to_string(({arr})[i:i+2], ' ')")
+        + ") AS hs"
+    ).fetchone()[0]
+    expect = [py_h62(" ".join(WORDS[i : i + 3])) for i in range(3)]
+    assert list(got) == expect

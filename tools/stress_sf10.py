@@ -11,13 +11,20 @@ Interpretation discipline (carried from stress_big):
 
 - RELATIONAL / ITERATIVE-GRAPH rows measure engine scaling: facts and
   edge multiplicity grow 10×, dimension/node sets stay fixed.
-- DOCUMENT-PAIR rows are dup-density-bound BY CONSTRUCTION: a 100-way
-  exact-duplicate family holds 4,950 intra-family pairs vs 45 at
-  10-way (~110× answer mass for 10× rows) — unless the hot-bucket /
-  triage caps engage, which is exactly the behavior under test. Each
-  pair query therefore reports its OUTPUT row count at both scales:
-  time growing ~with output = output-bound (sound); time growing past
-  output = a real super-linearity.
+- DOCUMENT-PAIR rows run on UNIQUE-TEXT replication (every copy's
+  tokens carry a copy suffix): intra-copy near-dup structure mirrors
+  the fixture exactly, cross-copy shingle overlap is zero, so pair
+  mass and candidate buckets grow LINEARLY with the corpus — "10×
+  more unique data", the question a second decade should ask. Plain
+  replication is the wrong corpus for this class at 100-way density:
+  the first attempt ran the minhash family on 100-way exact families
+  (4,950 intra-family pairs each, ~110× answer mass) and the verify
+  leg's candidate-pair × shingle-array shuffle SPILLED THE DISK PAST
+  80 GB — the measured, terminal form of the answer-bound blowup the
+  split-leakage ordering note prices, and exactly why production runs
+  exact dedup before any near-dup audit (SCALING.md round-10 note).
+  Each pair query still reports its OUTPUT row count at both scales:
+  time growing ~with output = output-bound (sound).
 - EMBEDDING rows run on ×10-replicated vectors (vec_id offset): Lloyd
   / grid-density iterations are linear-per-round in n, so replication
   is a legitimate scale axis here (unlike the blocked pairwise ops,
@@ -44,6 +51,11 @@ from kafka_to_parquet_spark.session import get_spark  # noqa: E402
 
 SF1 = "/tmp/ktps_sf1"
 SF10 = "/tmp/ktps_sf10"
+# Unique-text twins for the pair class: N suffixed copies of the
+# sf0.1 documents (other tables symlinked from sf0.1 — the pair
+# queries only read documents).
+SF1P = "/tmp/ktps_sf1p"
+SF10P = "/tmp/ktps_sf10p"
 COPIES = 10
 
 # sf≈1 keys were offset by i*10M from sf0.1; the second decade steps
@@ -122,6 +134,43 @@ def build(spark) -> None:
             os.symlink(f"/root/testdata/sf0.1/{t}.parquet", link)
 
 
+def build_pair_corpora(spark) -> None:
+    """Unique-text replication for the pair class: copy i of a
+    document suffixes EVERY token with 'q{i}', so Jaccard within a
+    copy equals the fixture's, cross-copy shingle overlap is zero, and
+    near-dup pair mass grows linearly with the corpus."""
+    src = "/root/testdata/sf0.1/documents.parquet"
+    for out_dir, copies in ((SF1P, COPIES), (SF10P, COPIES * 10)):
+        os.makedirs(out_dir, exist_ok=True)
+        out = f"{out_dir}/documents.parquet"
+        if not _stale(out, src):
+            continue
+        base = spark.read.parquet(src)
+        parts = []
+        for i in range(copies):
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                    F.expr(
+                        "array_join(transform(split(text, '\\\\s+'),"
+                        f" t -> concat(t, 'q{i}')), ' ')"
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(out)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            link = f"{out_dir}/{t}.parquet"
+            if not os.path.exists(link):
+                os.symlink(f"/root/testdata/sf0.1/{t}.parquet", link)
+
+
 def main() -> None:
     import argparse
 
@@ -144,8 +193,14 @@ def main() -> None:
 
     build_sf1(spark)
     build(spark)
+    build_pair_corpora(spark)
     n_li = spark.read.parquet(f"{SF10}/lineitem.parquet").count()
     print(f"sf10 lineitem rows: {n_li:,}")
+
+    cls = dict(QUERIES)
+
+    def dirs_for(name: str) -> tuple[str, str]:
+        return (SF1P, SF10P) if cls[name] == "pairs" else (SF1, SF10)
 
     def run_once(name: str, where: str) -> float:
         """noop-sink execution — same timing discipline as stress_big,
@@ -156,11 +211,12 @@ def main() -> None:
             "overwrite").save()
         return time.time() - t0
 
-    cells = [(n, w) for n, _ in queries for w in (SF1, SF10)]
+    cells = [(n, w) for n, _ in queries for w in dirs_for(n)]
     clear_result_caches(spark)
     outs: dict[tuple[str, str], int] = {}
     for name, where in cells:  # warm-up pass doubles as the n_out probe
         outs[(name, where)] = registry.QUERIES[name](spark, where).count()
+        print(f"warm {name} @ {where}: {outs[(name, where)]:,} rows", flush=True)
     samples: dict[tuple[str, str], list[float]] = {c: [] for c in cells}
     for _ in range(args.sweeps):
         clear_result_caches(spark)
@@ -176,11 +232,13 @@ def main() -> None:
     lines = [
         SECTION, "",
         f"lineitem = {n_li:,} rows (10× the sf≈1 replica, 1B key offsets);",
-        "documents are 100-way exact-duplicate families; embeddings ×10",
-        f"(20k vectors). Median of {args.sweeps} interleaved sweeps after a",
-        "warm-up pass; `.count()` actions (same row-scan discipline both",
-        "scales). `n_out` columns expose answer-bound growth for the pair",
-        "class (see tool docstring for the per-class interpretation).", "",
+        "rel/graph/text classes ride plain replication (100-way duplicate",
+        "documents, ×10 edge multiplicity); the PAIR class rides unique-",
+        "text suffixed replication (ktps_sf1p/sf10p — linear pair mass;",
+        "plain 100-way replication disk-spills the verify leg, see tool",
+        "docstring); embeddings ×10 (20k vectors). Median of",
+        f"{args.sweeps} interleaved noop-sink sweeps after a count warm-up.",
+        "`n_out` columns expose output growth per class.", "",
     ]
     if noisy:
         lines.append("Resampled (base spread >2x, 5-sample median): "
@@ -188,13 +246,14 @@ def main() -> None:
         lines.append("")
     lines += ["| query | class | t(sf≈1) | t(sf≈10) | ratio | n_out sf≈1 | n_out sf≈10 |",
               "|---|---|---|---|---|---|---|"]
-    for name, cls in queries:
-        t1 = statistics.median(samples[(name, SF1)])
-        t10 = statistics.median(samples[(name, SF10)])
+    for name, c in queries:
+        lo, hi = dirs_for(name)
+        t1 = statistics.median(samples[(name, lo)])
+        t10 = statistics.median(samples[(name, hi)])
         lines.append(
-            f"| {name} | {cls} | {t1:.2f}s | {t10:.2f}s | {t10 / t1:.1f}× |"
-            f" {outs[(name, SF1)]:,} | {outs[(name, SF10)]:,} |")
-        print(lines[-1])
+            f"| {name} | {c} | {t1:.2f}s | {t10:.2f}s | {t10 / t1:.1f}× |"
+            f" {outs[(name, lo)]:,} | {outs[(name, hi)]:,} |")
+        print(lines[-1], flush=True)
 
     note = "\n".join(lines) + "\n"
     with open("SCALING.md") as f:
