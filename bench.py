@@ -431,7 +431,7 @@ def main() -> None:
     # Stdout line (see module docstring): every query present under its
     # CANONICAL q_* name (round-6 verdict item 5), no queries_omitted —
     # 1-dp values (integral values as ints: 3.0 -> 3) and the trimmed
-    # 87-entry list keep the line inside the tail budget. Per-query
+    # 86-entry list keep the line inside the tail budget. Per-query
     # precision below 0.1 s is noise at sf0.1 anyway; BENCH_LOCAL.json
     # keeps 3-dp and the iters count.
     out["queries"] = {n: compact_val(t) for n, t in timings.items()}

@@ -67,11 +67,20 @@ def _evict(
             if sf_dir is not None and k_dir != sf_dir:
                 continue
             value = cache.pop(key)
-            if isinstance(value, DataFrame):
-                try:
-                    value.unpersist()
-                except Exception:
-                    pass
+            # A cache entry may hold one DataFrame or a LIST of them
+            # (a deferred RoundLoop's superseded rounds).
+            frames = value if isinstance(value, list) else [value]
+            for v in frames:
+                if isinstance(v, DataFrame):
+                    try:
+                        # blocking: the timing tools call this between
+                        # samples precisely so the NEXT sample doesn't
+                        # run against lingering storage — an async
+                        # unpersist would leave the blocks dropping
+                        # during the sample it was meant to protect.
+                        v.unpersist(blocking=True)
+                    except Exception:
+                        pass
             n += 1
     return n
 
@@ -108,45 +117,72 @@ def registered_entry_count() -> int:
     return sum(len(c) for c in _REGISTERED)
 
 
+# Superseded rounds of deferred RoundLoops, keyed like every other
+# cache: clear_result_caches (bench/stress between samples) and
+# clear_caches (teardown) unpersist them at the session's natural
+# cleanup points. result_level: the rounds back a finished answer.
+_DEFERRED_ROUNDS: dict[tuple[SparkSession, str], Any] = register_cache(
+    {}, result_level=True
+)
+
+
 class RoundLoop:
     """Per-round cache discipline for iterative kernels (SSSP, LPA,
-    TextRank, the BPE merge chain): ``step(df)`` persists round r's
-    relation, eagerly materializes it, then releases round r−1's
-    now-superseded blocks — so the loop holds at most TWO rounds of
-    executor storage instead of O(rounds).
+    TextRank, the BPE merge chain). Two release policies:
 
-    Why materialize before releasing: an ``InMemoryRelation`` whose
-    blocks were never computed recomputes its child plan on demand, so
-    unpersisting a round while a later round's plan (which references
-    it twice — union + join) is still lazy would re-trigger exactly the
-    exponential-lineage recompute the per-round persist exists to
-    prevent (SSSP was 83 shuffles without the persists; round-8 plan
-    audit). The eager ``count()`` is the round's own job scheduled now
-    instead of inside the final action — these relations are node- /
-    vocabulary-sized by design, so the extra scheduling is bounded by
-    rounds, not data (llm/components.py's per-round convergence collect
-    is the precedent).
+    **eager** — ``step(df)`` persists round r, materializes it with a
+    ``count()`` job, then unpersists round r−1: the loop holds at most
+    TWO rounds of executor storage at any moment. Materialize-before-
+    release is mandatory: an ``InMemoryRelation`` whose blocks were
+    never computed recomputes its child on demand, so unpersisting a
+    round while a later round's plan (which references it twice —
+    union + join) is still lazy re-triggers exactly the exponential-
+    lineage recompute the per-round persist prevents (SSSP was 83
+    shuffles without it; round-8 plan audit). This is the policy for
+    loops whose round count GROWS (convergence iterations): the 2×
+    bound is worth a scheduler round-trip per round.
 
-    The FINAL round's relation intentionally stays persisted: the plan
-    the query returns reads it, and the caller's action happens after
-    the operator function returns. It is freed by LRU / session
-    teardown like any feature cache; at 100 TB the loop's storage
-    footprint is now 2 node-sized relations instead of rounds×.
+    **deferred** (``RoundLoop(spark, sf_dir)``) — for FIXED-small-round
+    kernels (the four call sites run 3–5 rounds by constant): rounds
+    persist lazily, the whole chain executes as ONE job at the
+    caller's action (in-job block reuse already defeats the double-
+    reference recompute), and the superseded rounds are parked in a
+    registered result-level cache released by ``clear_result_caches``
+    / ``clear_caches`` — no leak across samples/queries, O(const)
+    in-flight storage. Chosen after round 10's cross-artifact bench
+    guard flagged the eager policy's cost on these kernels: the
+    per-round materialization jobs put q_bpe_learn_k at 6.2s isolated
+    vs its 1.6s pre-RoundLoop SCALING figure (and q_text_textrank at
+    2.5×) — a storage bound that is already O(1) for constant-round
+    loops is not worth 4× latency.
+
+    The FINAL round's relation intentionally stays persisted in both
+    policies: the returned plan reads it; the caller's action happens
+    after the operator function returns.
     """
 
-    def __init__(self) -> None:
+    def __init__(
+        self, spark: SparkSession | None = None, sf_dir: str | None = None
+    ) -> None:
+        """No args → eager policy; (spark, sf_dir) → deferred policy
+        parked under that cache key."""
         self._prev: DataFrame | None = None
+        self._key = (spark, sf_dir) if spark is not None else None
 
     def step(self, df: DataFrame) -> DataFrame:
-        """Persist + materialize ``df`` (round r), release round r−1."""
+        """Persist ``df`` (round r); release round r−1 per policy."""
         df = df.persist()
-        df.count()
-        if self._prev is not None:
-            try:
-                self._prev.unpersist()
-            except Exception:
-                # A stopped/restarted session mid-loop: storage dies
-                # with the session; never fail the kernel over cleanup.
-                pass
+        if self._key is None:
+            df.count()
+            if self._prev is not None:
+                try:
+                    self._prev.unpersist()
+                except Exception:
+                    # A stopped/restarted session mid-loop: storage
+                    # dies with the session; never fail the kernel
+                    # over cleanup.
+                    pass
+        elif self._prev is not None:
+            _DEFERRED_ROUNDS.setdefault(self._key, []).append(self._prev)
         self._prev = df
         return df

@@ -893,7 +893,7 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = nodes.agg(F.min("node").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
-    loop = RoundLoop()
+    loop = RoundLoop(spark, sf_dir)  # deferred: fixed-round kernel
     for _ in range(SSSP_ROUNDS):
         relaxed = edges.join(r, edges.src == r.node).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
@@ -1047,7 +1047,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("lab")
     )
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab").asc())
-    loop = RoundLoop()
+    loop = RoundLoop(spark, sf_dir)  # deferred: fixed-round kernel
     for _ in range(MOD_LPA_ROUNDS):
         freq = (
             edges.join(labels, edges.src == labels.node)
@@ -1659,10 +1659,11 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("wf"))
     )
-    # The per-round segmentation is vocabulary-sized; RoundLoop keeps
-    # only the live round cached (the 1-row `best` frames below stay
+    # The per-round segmentation is vocabulary-sized; the deferred
+    # RoundLoop parks superseded rounds for release at the next
+    # clear_result_caches (the 1-row `best` frames below stay
     # persisted — all K are consumed by the final merge table).
-    loop = RoundLoop()
+    loop = RoundLoop(spark, sf_dir)  # deferred: fixed-round kernel
     v = loop.step(
         tf.select(
             "word", F.regexp_replace("word", "(.)", "\x1f$1\x1f").alias("s"), "wf"
@@ -2509,7 +2510,7 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = tnodes.crossJoin(F.broadcast(tpar)).select(
         "node", F.col("r_init").alias("r")
     )
-    loop = RoundLoop()
+    loop = RoundLoop(spark, sf_dir)  # deferred: fixed-round kernel
     for _ in range(TR_ROUNDS):
         contrib = (
             edges_s.join(r, edges_s.src == r.node)

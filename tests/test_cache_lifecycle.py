@@ -106,10 +106,13 @@ def test_result_level_clear_targets_only_result_caches():
         assert feat == {("s", "d"): "feature-value"}
     finally:
         # Deregister the throwaway dicts so later lifecycle tests'
-        # entry counts aren't affected.
+        # entry counts aren't affected. By IDENTITY, not list.remove:
+        # dicts compare by CONTENT, so remove(<emptied dict>) deletes
+        # the first EMPTY registered cache — round 10 this silently
+        # deregistered cache._DEFERRED_ROUNDS (empty at that moment)
+        # and broke every later result-level eviction in the session.
         from kafka_to_parquet_spark.cache import _REGISTERED
 
         feat.clear()
-        _REGISTERED.remove(feat)
-        _REGISTERED.remove(res)
-        _RESULT_LEVEL.remove(res)
+        _REGISTERED[:] = [c for c in _REGISTERED if c is not feat and c is not res]
+        _RESULT_LEVEL[:] = [c for c in _RESULT_LEVEL if c is not res]
