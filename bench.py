@@ -217,6 +217,8 @@ BENCH_OMITTED = {
     # round-10 batch9:
     "q_pii_scrub": "one regex scan + per-source agg ⊂ q_text_quality shape",
     "q_pad_waste_buckets": "one tokenize pass + 3-row report ⊂ q_text_quality shape",
+    "q_dedup_url": "per-row canonicalize map + one digest-keyed agg ⊂ q_agg_groupby shape",
+    "q_quality_ensemble": "one tokenize pass + ≤5-row report ⊂ q_text_quality shape",
     "q_changepoint_cusum": "daily calendar collapse + tiny-series scan ⊂ q_stl_decompose's daily collapse",
 }
 

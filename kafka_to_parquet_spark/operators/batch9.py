@@ -2032,3 +2032,268 @@ def q_source_ngram_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (crawl-frontier hygiene)
+# ---------------------------------------------------------------------------
+
+def _url_raw_sql(concat: str, str_ty: str, doc_id: str = "doc_id",
+                 intdiv: str = "DIV") -> str:
+    """Synthesized raw URL per document (in-plan, the q_pii_scrub
+    discipline: the fixture stays untouched and both engines recompute
+    the same inputs). Six variants per group g = doc_id DIV 6 exercise
+    every canonicalization rule: case, default port, trailing slash,
+    fragment, tracking params, unsorted real params."""
+    g = f"CAST({doc_id} {intdiv} 6 AS {str_ty})"
+    base = f"{concat}('https://ex', {g}, '.com/p/', {g})"
+    return (
+        f"CASE {doc_id} % 6"
+        f" WHEN 0 THEN {base}"
+        f" WHEN 1 THEN upper({base})"
+        f" WHEN 2 THEN {concat}('https://ex', {g}, '.com:443/p/', {g})"
+        f" WHEN 3 THEN {concat}('https://ex', {g}, '.com/p/', {g}, '/')"
+        f" WHEN 4 THEN {concat}({base}, '?utm_source=feed&utm_campaign=c', {g})"
+        f" ELSE {concat}({base}, '?b=2&a=1#frag')"
+        f" END"
+    )
+
+
+def _url_canon_sql(url: str, *, duck: bool) -> str:
+    """Canonical form of ``url``: strip fragment, lowercase scheme and
+    host, drop default ports (http:80 / https:443), strip trailing
+    path slashes (empty path → '/'), drop utm_* tracking params, sort
+    the surviving query params. Same value in both engines — only the
+    lambda/array spellings differ."""
+    u = f"split_part({url}, '#', 1)"
+    scheme = f"lower(split_part({u}, '://', 1))"
+    rest = f"split_part({u}, '://', 2)"
+    hostport = f"split_part({rest}, '/', 1)"
+    pathq = f"substr({rest}, length({hostport}) + 1)"
+    host = f"lower(split_part({hostport}, ':', 1))"
+    port = f"split_part({hostport}, ':', 2)"
+    keep_port = (
+        f"CASE WHEN {port} = '' THEN ''"
+        f" WHEN {scheme} = 'https' AND {port} = '443' THEN ''"
+        f" WHEN {scheme} = 'http' AND {port} = '80' THEN ''"
+        f" ELSE concat(':', {port}) END"
+    )
+    rawpath = f"split_part({pathq}, '?', 1)"
+    path = (
+        f"CASE WHEN regexp_replace({rawpath}, '/+$', '') = '' THEN '/'"
+        f" ELSE regexp_replace({rawpath}, '/+$', '') END"
+    )
+    query = f"split_part({pathq}, '?', 2)"
+    if duck:
+        params = (
+            f"array_to_string(list_sort(list_filter(string_split({query}, '&'),"
+            f" url_p -> NOT starts_with(url_p, 'utm_') AND url_p <> '')), '&')"
+        )
+    else:
+        params = (
+            f"array_join(sort_array(filter(split({query}, '&'),"
+            f" url_p -> NOT startswith(url_p, 'utm_') AND url_p <> '')), '&')"
+        )
+    # DuckDB's array_to_string over an EMPTY list yields NULL (Spark's
+    # array_join yields '') — coalesce so the no-params case is ''
+    # in both engines instead of a dangling '?'.
+    params = f"coalesce({params}, '')"
+    qpart = f"CASE WHEN {params} = '' THEN '' ELSE concat('?', {params}) END"
+    return f"concat({scheme}, '://', {host}, {keep_port}, {path}, {qpart})"
+
+
+def _dedup_url_oracle() -> str:
+    raw = _url_raw_sql("concat", "VARCHAR", intdiv="//")
+    canon = _url_canon_sql("raw_url", duck=True)
+    return f"""
+WITH u AS (SELECT doc_id, {raw} AS raw_url FROM documents),
+c AS (SELECT doc_id, raw_url, {canon} AS canon_url FROM u),
+g AS (
+  SELECT canon_url,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+         CAST(min(doc_id) AS BIGINT) AS keeper
+  FROM c GROUP BY canon_url
+)
+SELECT canon_url, n_urls, n_raw_forms, keeper
+FROM g WHERE n_urls >= 2
+ORDER BY canon_url
+"""
+
+
+@query("q_dedup_url", oracle=_dedup_url_oracle())
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier hygiene pass
+    that collapses scheme/host case, default ports, trailing slashes,
+    fragments, and utm_* tracking params before fetch scheduling or
+    recrawl-dedup (every large crawl's first dedup is BY URL, before
+    any content hash exists). Groups with ≥2 members are reported with
+    their keeper (min doc_id) and the number of distinct raw spellings
+    collapsed.
+
+    Canonicalization is one shared SQL recipe rendered per engine
+    (_url_canon_sql); URLs are synthesized in-plan from doc_id (the
+    q_pii_scrub discipline), six spelling variants per group so every
+    rule is exercised and the oracle recomputes identical inputs.
+
+    Scale shape: canonicalize is a pure per-row map (no UDF — split/
+    regexp/array built-ins, whole-stage codegen); the only exchange
+    is the canon-keyed group-by, and at 100 TB the canon strings can
+    be swapped for their h62 digests in the shuffle with the report
+    joining the string back on the keeper row only."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    raw = _url_raw_sql("concat", "STRING")
+    canon = _url_canon_sql("raw_url", duck=False)
+    return (
+        d.select("doc_id", F.expr(raw).alias("raw_url"))
+        .select("doc_id", "raw_url", F.expr(canon).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("raw_url").cast("long").alias("n_raw_forms"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+        .filter(F.col("n_urls") >= 2)
+        .orderBy("canon_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ensemble attribution (which rule does the killing?)
+# ---------------------------------------------------------------------------
+
+# Integer-exact kill rules (thresholds in integer cross-multiplied
+# form so no ratio is ever materialized as a float):
+#   len   — fewer than QE_MIN_TOKENS tokens
+#   ttr   — unique/total below QE_TTR_BP basis points (templated text)
+#   stop  — stopword share below QE_STOP_BP bp (gibberish / non-prose)
+#   digit — digit characters above QE_DIGIT_BP bp of chars (tables/ids)
+QE_MIN_TOKENS = 15
+QE_TTR_BP = 3000
+QE_STOP_BP = 500
+QE_DIGIT_BP = 2000
+
+_QE_RULES = ["len", "ttr", "stop", "digit"]
+
+
+def _qe_flags_sql(duck: bool) -> str:
+    """Per-doc rule booleans as INTEGER 0/1 columns, one shared recipe
+    rendered per engine (only the list-function spellings differ)."""
+    from kafka_to_parquet_spark.functions.text import _STOP_SQL, _TOKENS_SQL
+
+    if duck:
+        toks = _TOKENS_SQL
+        n = f"len({toks})"
+        nu = f"len(list_distinct({toks}))"
+        nstop = f"len(list_filter({toks}, qe_t -> qe_t IN {_STOP_SQL}))"
+        ndigit = "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+    else:
+        toks = "filter(split(lower(text), '\\\\s+'), qe_x -> qe_x <> '')"
+        n = f"size({toks})"
+        nu = f"size(array_distinct({toks}))"
+        stop_arr = "array('the', 'a', 'of', 'and', 'to')"
+        nstop = f"size(filter({toks}, qe_t -> array_contains({stop_arr}, qe_t)))"
+        ndigit = "length(regexp_replace(text, '[^0-9]', ''))"
+    return (
+        f"SELECT doc_id,"
+        f" CASE WHEN {n} < {QE_MIN_TOKENS} THEN 1 ELSE 0 END AS f_len,"
+        f" CASE WHEN {nu} * 10000 < {n} * {QE_TTR_BP} THEN 1 ELSE 0 END AS f_ttr,"
+        f" CASE WHEN {nstop} * 10000 < {n} * {QE_STOP_BP} THEN 1 ELSE 0 END AS f_stop,"
+        f" CASE WHEN {ndigit} * 10000 > length(text) * {QE_DIGIT_BP} THEN 1 ELSE 0 END"
+        f" AS f_digit"
+        f" FROM documents"
+    )
+
+
+def _quality_ensemble_oracle() -> str:
+    flags = _qe_flags_sql(duck=True)
+    rule_rows = "\nUNION ALL\n".join(
+        f"SELECT '{r}' AS rule, f_{r} AS flagged, nf FROM f" for r in _QE_RULES
+    )
+    return f"""
+WITH f0 AS ({flags}),
+f AS (SELECT *, f_len + f_ttr + f_stop + f_digit AS nf FROM f0),
+per AS ({rule_rows}),
+rules AS (
+  SELECT rule,
+         CAST(sum(flagged) AS BIGINT) AS n_flagged,
+         CAST(sum(CASE WHEN flagged = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_solo,
+         CAST(sum(flagged) * 10000 // count(*) AS BIGINT) AS flagged_bp
+  FROM per GROUP BY rule
+),
+anyr AS (
+  SELECT 'any' AS rule,
+         CAST(sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         CAST(sum(CASE WHEN nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_solo,
+         CAST(sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+           AS flagged_bp
+  FROM f
+)
+SELECT rule, n_flagged, n_solo, flagged_bp FROM rules
+UNION ALL SELECT rule, n_flagged, n_solo, flagged_bp FROM anyr
+ORDER BY rule
+"""
+
+
+@query("q_quality_ensemble", oracle=_quality_ensemble_oracle())
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ensemble attribution: for each kill rule of a cheap
+    quality ensemble (length / type-token ratio / stopword share /
+    digit share — integer cross-multiplied thresholds, no float
+    ratios), how many documents it flags, how many it ALONE flags
+    (its unique contribution — the number you lose by dropping the
+    rule), and its flag rate in bp; plus the 'any' row (union kill
+    rate, solo = docs killed by exactly one rule). This is the table a
+    curation team reads before touching a threshold — a rule with
+    n_solo ≈ 0 is redundant with the rest of the ensemble, a rule
+    owning most of 'any' is the one to re-tune first.
+
+    Scale shape: one corpus pass computes the four 0/1 flags map-side;
+    the per-rule rows come from a 4-way stack of those integers (rows
+    = rules, not docs, after the aggregate); everything downstream is
+    a ≤5-row table."""
+    d = load(spark, sf_dir, "documents")
+    f = d.select("doc_id", "text")
+    # Same recipe as _qe_flags_sql's duck branch, in Spark spellings —
+    # inlined via selectExpr so no temp view is registered.
+    toks = "filter(split(lower(text), '\\\\s+'), qe_x -> qe_x <> '')"
+    n = f"size({toks})"
+    nu = f"size(array_distinct({toks}))"
+    stop_arr = "array('the', 'a', 'of', 'and', 'to')"
+    nstop = f"size(filter({toks}, qe_t -> array_contains({stop_arr}, qe_t)))"
+    ndigit = "length(regexp_replace(text, '[^0-9]', ''))"
+    f = f.selectExpr(
+        "doc_id",
+        f"CASE WHEN {n} < {QE_MIN_TOKENS} THEN 1 ELSE 0 END AS f_len",
+        f"CASE WHEN {nu} * 10000 < {n} * {QE_TTR_BP} THEN 1 ELSE 0 END AS f_ttr",
+        f"CASE WHEN {nstop} * 10000 < {n} * {QE_STOP_BP} THEN 1 ELSE 0 END AS f_stop",
+        f"CASE WHEN {ndigit} * 10000 > length(text) * {QE_DIGIT_BP} THEN 1 ELSE 0 END AS f_digit",
+    ).withColumn("nf", F.expr("f_len + f_ttr + f_stop + f_digit"))
+    per = None
+    for r in _QE_RULES:
+        leg = f.select(
+            F.lit(r).alias("rule"),
+            F.col(f"f_{r}").alias("flagged"),
+            "nf",
+        )
+        per = leg if per is None else per.unionByName(leg)
+    rules = per.groupBy("rule").agg(
+        F.sum("flagged").cast("long").alias("n_flagged"),
+        F.sum(F.when((F.col("flagged") == 1) & (F.col("nf") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_solo"),
+        F.expr("CAST(sum(flagged) * 10000 DIV count(*) AS BIGINT)").alias(
+            "flagged_bp"
+        ),
+    )
+    anyr = f.agg(
+        F.lit("any").alias("rule"),
+        F.sum(F.when(F.col("nf") > 0, 1).otherwise(0)).cast("long").alias("n_flagged"),
+        F.sum(F.when(F.col("nf") == 1, 1).otherwise(0)).cast("long").alias("n_solo"),
+        F.expr(
+            "CAST(sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END) * 10000 DIV count(*)"
+            " AS BIGINT)"
+        ).alias("flagged_bp"),
+    )
+    return rules.unionByName(anyr).orderBy("rule")

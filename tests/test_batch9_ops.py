@@ -124,3 +124,43 @@ def test_ngram_leak_symmetric_and_bounded(run):
     for r in rows:
         assert 0 < r["n_shared"] <= r["n_fp_a"]
         assert 0 < r["leak_bp"] <= 10000 or r["n_shared"] * 10000 < r["n_fp_a"]
+
+
+BATCH9_D = ["q_dedup_url", "q_quality_ensemble"]
+
+
+@pytest.mark.parametrize("name", BATCH9_D)
+def test_batch9_group_d_runs(run, name):
+    df = run(name)
+    assert df.columns and len(df.collect()) > 0, name
+
+
+def test_dedup_url_groups_collapse_expected_variants(run):
+    """By construction every FULL synthesis group of 6 collapses its
+    plain/port/slash/utm spellings (4 distinct raw forms) onto the
+    v0 canonical URL, while the upper-cased-path and real-params
+    variants stay distinct — so each reported group has exactly 4
+    members, all raw-distinct, keeper = the v0 doc (doc_id % 6 == 0)."""
+    rows = run("q_dedup_url").collect()
+    assert rows, "no dup groups reported"
+    for r in rows:
+        assert r["n_urls"] >= 2
+        assert r["n_raw_forms"] == r["n_urls"], "raw spellings must all differ"
+        assert r["keeper"] % 6 == 0, "keeper must be the group's v0 doc"
+    full = [r for r in rows if r["n_urls"] == 4]
+    assert len(full) >= len(rows) - 1  # only a tail partial group may differ
+
+
+def test_quality_ensemble_attribution_identities(run):
+    rows = {r["rule"]: r for r in run("q_quality_ensemble").collect()}
+    assert set(rows) == {"any", "len", "ttr", "stop", "digit"}
+    any_row = rows.pop("any")
+    per = list(rows.values())
+    # union bounds: max single rule <= any <= sum of rules
+    assert max(r["n_flagged"] for r in per) <= any_row["n_flagged"]
+    assert any_row["n_flagged"] <= sum(r["n_flagged"] for r in per)
+    # a doc with exactly one flag is solo for exactly one rule
+    assert sum(r["n_solo"] for r in per) == any_row["n_solo"]
+    for r in list(per) + [any_row]:
+        assert 0 <= r["n_solo"] <= r["n_flagged"]
+        assert 0 <= r["flagged_bp"] <= 10000

@@ -126,6 +126,7 @@ SINGLE_PART_OK: dict[str, str] = {
     "q_profile_table": _SP_SCALAR,
     "q_psi_drift": _sp_bounded("value-range-bounded PSI buckets"),
     "q_quality_checks": _SP_SCALAR,
+    "q_quality_ensemble": _SP_SCALAR,
     "q_rate_spike": _sp_bounded("(type, hour) grid"),
     "q_repurchase_gaps": _sp_bounded("calendar-bounded gap histogram"),
     "q_rfm_segments": _SP_SCALAR,
