@@ -186,6 +186,15 @@ QUERIES = [
     ("q_token_fertility", "documents"),
     ("q_decontaminate_embed", "embeddings"),
     ("q_stream_topk", "events"),
+    # round-10 batch9 additions
+    ("q_suffix_lrs", "documents"),
+    ("q_cluster_dbscan_grid", "embeddings"),
+    ("q_select_budget", "documents"),
+    ("q_coreset_kcenter", "embeddings"),
+    ("q_pack_sequences", "documents"),
+    ("q_source_ngram_leak", "documents"),
+    ("q_dedup_url", "documents"),
+    ("q_quality_ensemble", "documents"),
 ]
 
 
