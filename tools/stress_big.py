@@ -186,7 +186,19 @@ QUERIES = ["q_agg_groupby", "q_tpch_q6", "q_win_running", "q_win_running_scalabl
            # rides the unreplicated embeddings (stability check, the
            # silhouette argument).
            "q_suffix_lrs", "q_dedup_span_maximal", "q_stream_minhash_incr",
-           "q_select_budget", "q_source_ngram_leak", "q_cluster_dbscan_grid"]
+           "q_select_budget", "q_source_ngram_leak", "q_cluster_dbscan_grid",
+           # round-10 xguard coverage: the most expensive HEADLINE
+           # queries previously WITHOUT a stress-table t(sf0.1) figure
+           # (bench.py's cross-artifact guard can only triangulate
+           # covered queries). Document-riding rows meet 10-way dup
+           # families (banding/posting load test); the embeddings-
+           # riding rows (lsh_recall, semdedup, embedding_lsh, kmeans3,
+           # rerank_mmr, ann_recall) ride the UNREPLICATED vectors —
+           # stability checks, the round-5 bucket-granularity argument.
+           "q_lsh_recall", "q_dedup_jaccard_prefix", "q_graph_pagerank",
+           "q_dedup_minhash_lsh", "q_semdedup", "q_copurchase_pmi",
+           "q_dedup_embedding_lsh", "q_dedup_containment", "q_kmeans3",
+           "q_dedup_ngram_jaccard", "q_rerank_mmr", "q_pipeline_yield"]
 
 OFFSETS = {
     "lineitem": {"l_orderkey": 10_000_000},
