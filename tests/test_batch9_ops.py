@@ -164,3 +164,32 @@ def test_quality_ensemble_attribution_identities(run):
     for r in list(per) + [any_row]:
         assert 0 <= r["n_solo"] <= r["n_flagged"]
         assert 0 <= r["flagged_bp"] <= 10000
+
+
+def test_url_canon_recipe_edge_cases_match_across_engines(spark):
+    """The shared canonicalization recipe must agree between engines
+    on edges the synthesized corpus doesn't fully exercise: http:80,
+    non-default port KEPT, mixed utm+real params, bare host, deep
+    trailing slashes, fragment-only suffix."""
+    import duckdb
+
+    from kafka_to_parquet_spark.operators.batch9 import _url_canon_sql
+
+    cases = {
+        "http://Host.COM:80/a": "http://host.com/a",
+        "https://h.com:8443/a": "https://h.com:8443/a",
+        "https://h.com/a?utm_x=1&z=9&a=2": "https://h.com/a?a=2&z=9",
+        "https://h.com": "https://h.com/",
+        "https://h.com/a///": "https://h.com/a",
+        "https://h.com/a#sec": "https://h.com/a",
+        "HTTP://H.COM/A/b?utm_source=s": "http://h.com/A/b",
+    }
+    con = duckdb.connect()
+    for raw, want in cases.items():
+        got_duck = con.execute(
+            "SELECT " + _url_canon_sql(f"'{raw}'", duck=True)
+        ).fetchone()[0]
+        got_spark = spark.sql(
+            "SELECT " + _url_canon_sql(f"'{raw}'", duck=False)
+        ).collect()[0][0]
+        assert got_duck == got_spark == want, (raw, got_duck, got_spark, want)
