@@ -192,6 +192,17 @@ CERTIFIED: set[str] = {
     "q_sssp_weighted", "q_stl_decompose", "q_text_rake",
     "q_text_textrank", "q_ts_anomaly_stl", "q_ts_spectral_dow",
     "q_winnowing_fingerprint",
+    # round 10 (CORRECTNESS_r10.json): 50 accepted rows — the 18
+    # first-time batch9 rows below, the 9 RECERTIFY re-verifications
+    # (RoundLoop'd kernels + h62-widened fingerprint family, already
+    # listed above; entries cleared at round-11 start), and rotation
+    # re-certifications.
+    "q_changepoint_cusum", "q_cluster_dbscan_grid", "q_coreset_kcenter",
+    "q_dedup_span_maximal", "q_dedup_url", "q_entropy_filter",
+    "q_knn_classify", "q_link_adamic_adar", "q_lm_bigram_logprob",
+    "q_mix_curriculum", "q_pack_sequences", "q_pad_waste_buckets",
+    "q_pii_scrub", "q_quality_ensemble", "q_select_budget",
+    "q_source_ngram_leak", "q_stream_minhash_incr", "q_suffix_lrs",
 }
 
 # Certified queries whose implementation (or a shared helper on their
@@ -209,23 +220,10 @@ CERTIFIED: set[str] = {
 # and were cleared at round-8 start.)
 # (round-8 entry — q_token_fertility — landed a green row in
 # CORRECTNESS_r08.json and was cleared at round-9 start.)
-# Round-10 entries: the iterative kernels now run their per-round
-# persists through cache.RoundLoop (eager materialize + release round
-# r−1) — results are value-identical by construction, but the changed
-# loop body must earn a fresh driver row rather than coast on the
-# pre-helper certification.
-# Round-10 second batch: identity fingerprints widened 31→62 bits
-# (functions/hashes.py spark_h62/duck_h62) after the sf≈10 stress
-# measured 10.1% false-positive duplicate window-hashes at ~30M
-# windows — the substring/span dedup family, trigram novelty, and
-# winnowing fingerprints changed VALUES (both engines in lockstep) and
-# must earn fresh driver rows.
-RECERTIFY: set[str] = {
-    "q_sssp_weighted", "q_graph_modularity", "q_text_textrank",
-    "q_bpe_learn_k", "q_bpe_apply",
-    "q_dedup_substring", "q_dedup_span_strip", "q_ngram_novelty",
-    "q_winnowing_fingerprint",
-}
+# (round-10 entries — the RoundLoop'd iterative kernels and the
+# h62-widened fingerprint family — all landed green rows in
+# CORRECTNESS_r10.json and were cleared at round-11 start.)
+RECERTIFY: set[str] = set()
 
 
 def _round_number() -> int:
