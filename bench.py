@@ -129,7 +129,6 @@ HEADLINE = [
     "q_join_dpp",          # dynamic partition pruning star join
     "q_dedup_containment", # asymmetric prefix×full-posting subset join
     "q_ann_recall",        # IVF-vs-brute recall audit (both ANN plans)
-    "q_dedup_substring",   # sliding-window fingerprint dup profile
     "q_dedup_span_strip",  # duplicated-span removal (cleaned corpus)
     "q_join_bucketed",     # zero-exchange bucketed SMJ
     "q_lsh_recall",        # banded-LSH recall audit per J-decile
@@ -176,7 +175,12 @@ FAMILY_REPS = {
     "q_win_running_scalable": ["q_win_running",
                                "q_select_budget"],  # banded two-level prefix sum
     "q_dedup_components": ["q_dup_cluster_stats"],
-    "q_dedup_substring": ["q_dedup_bag"],
+    # round-11 fold (stdout budget for common_set_ratio): substring's
+    # plan is the shared _window_hashes relation + the dup-window
+    # predicate, both of which span_strip executes before its
+    # island-merge — the rep strictly supersets the folded member.
+    "q_dedup_span_strip": ["q_dedup_span_maximal", "q_dedup_substring",
+                           "q_dedup_bag"],
     # round-8 folds (freeing stdout budget for the batch8 entries):
     "q_mann_whitney": ["q_chi2_independence"],   # tiny stat-screen aggregations
     "q_sample_temperature": ["q_sample_weighted", "q_mix_curriculum"],  # deterministic sampling/mixing family
@@ -197,7 +201,6 @@ FAMILY_REPS = {
     # round-10 batch9 folds:
     "q_sim_topk": ["q_knn_classify"],            # broadcast-seed scan + per-vec top-k window
     "q_ngram_novelty": ["q_source_ngram_leak"],  # hash-postings digest-join topology
-    "q_dedup_span_strip": ["q_dedup_span_maximal"],  # shared window-hash relation + island merge
     "q_copurchase_pmi": ["q_link_adamic_adar"],  # co-purchase pair topology
     "q_pack_greedy": ["q_pack_sequences"],       # source-partitioned packing family
 }
@@ -279,6 +282,41 @@ def xguard_suspects(timings: dict[str, float],
         n for n, t in timings.items()
         if n in figs and t > XGUARD_RATIO * figs[n] and t - figs[n] > XGUARD_ABS
     )
+
+
+def latest_bench_queries() -> dict[str, float]:
+    """Per-query timings from the newest BENCH_r{N}.json on disk (the
+    prior round's driver record) — {} when none exists or the newest
+    one failed to parse (round 4's BENCH_r04.json is literally the
+    string "null")."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(
+        p for p in os.listdir(root) if re.fullmatch(r"BENCH_r\d+\.json", p)
+    )
+    if not paths:
+        return {}
+    try:
+        with open(os.path.join(root, paths[-1])) as f:
+            data = json.load(f)
+        return dict(data.get("queries") or {})
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return {}
+
+
+def common_set_ratio(
+    timings: dict[str, float], prior: dict[str, float]
+) -> tuple[float, int] | None:
+    """(this_total / prior_total over the COMMON query names, size of
+    that common set) — the like-for-like round-over-round number the
+    round-10 verdict had to compute by hand because headline-set
+    composition changes (new entries, family folds) move the raw total
+    without any query regressing. None when there is no usable prior
+    or the common set is empty/zero-time."""
+    common = [n for n in timings if n in prior]
+    prior_total = sum(prior[n] for n in common)
+    if not common or prior_total <= 0:
+        return None
+    return round(sum(timings[n] for n in common) / prior_total, 2), len(common)
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:
@@ -389,6 +427,16 @@ def main() -> None:
         "iters": iters,
         "sf": sf,
     }
+    # Like-for-like guard (round-10 verdict item 6): the raw total
+    # moves whenever the headline set's composition changes, so also
+    # report this run vs the prior BENCH_r{N}.json on the COMMON query
+    # names — a set-swap can't mask a real regression behind "the list
+    # changed". Only at the driver's scale (prior rounds ran sf0.1).
+    if sf_dir.rstrip("/").endswith("sf0.1"):
+        csr = common_set_ratio(timings, latest_bench_queries())
+        if csr is not None:
+            # common_set_n goes to BENCH_LOCAL only (stdout budget).
+            out["common_set_ratio"], out["common_set_n"] = csr
     if noisy:
         # Which queries earned extra samples (full sample lists are in
         # BENCH_LOCAL.json) — lets a reader see where contention hit.
@@ -429,6 +477,7 @@ def main() -> None:
     # xguard triangulation detail is BENCH_LOCAL-only; the stdout line
     # keeps just the confirmed-regression name list (usually absent).
     out.pop("xguard", None)
+    out.pop("common_set_n", None)  # BENCH_LOCAL-only (stdout budget)
 
     # Stdout line (see module docstring): every query present under its
     # CANONICAL q_* name (round-6 verdict item 5), no queries_omitted —

@@ -1046,7 +1046,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     of me is copied", this one "how much of me is mine"), and the
     standard memorization screen run before eval-set construction.
 
-    Both engines share the 31-bit md5 trigram-hash universe
+    Both engines share the 62-bit md5 trigram-hash universe
     (spark_h62 ↔ duck_h62, widened from 31 bits after the round-10
     sf≈10 collision measurement), so any residual collision merges the same two
     trigrams on both sides and every output column is an integer.

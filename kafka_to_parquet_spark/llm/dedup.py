@@ -835,7 +835,7 @@ _WINDOW_CACHE: dict[tuple[SparkSession, str], DataFrame] = register_cache({})
 
 
 def _window_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, i, wh) — one 31-bit fingerprint per consecutive
+    """(doc_id, i, wh) — one 62-bit fingerprint per consecutive
     SUBSTR_W-token window (stride 1, 1-based start position i) of
     every document with ≥ SUBSTR_W tokens. Shared by
     q_dedup_substring (ignores i) and q_dedup_span_strip (maps i back

@@ -909,6 +909,8 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
         )
+    loop.finish()  # park the final round for sweep-boundary eviction
+    loop.park(edges)
     reached = r.groupBy("dist").agg(F.count("*").cast("long").alias("n_nodes"))
     unreached = (
         nodes.join(r, "node", "left_anti")
@@ -1065,6 +1067,8 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", "lab")
         )
+    loop.finish()  # park the final round for sweep-boundary eviction
+    loop.park(edges)
     m = edges.agg(F.count("*").cast("long").alias("m_dir"))
     la = labels.select(F.col("node").alias("src"), F.col("lab").alias("community"))
     lb = labels.select(F.col("node").alias("dst"), F.col("lab").alias("lab_b"))
@@ -1661,8 +1665,9 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
     )
     # The per-round segmentation is vocabulary-sized; the deferred
     # RoundLoop parks superseded rounds for release at the next
-    # clear_result_caches (the 1-row `best` frames below stay
-    # persisted — all K are consumed by the final merge table).
+    # clear_result_caches. The 1-row `best` frames below are parked
+    # too (all K are consumed by the final merge table, which the
+    # caller's action materializes before any boundary eviction).
     loop = RoundLoop(spark, sf_dir)  # deferred: fixed-round kernel
     v = loop.step(
         tf.select(
@@ -1689,6 +1694,7 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
             .limit(1)
             .persist()
         )
+        loop.park(best)
         merges.append(best)
         v = loop.step(
             v.crossJoin(F.broadcast(best))
@@ -1701,6 +1707,7 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
                 "wf",
             )
         )
+    loop.finish()  # park the final segmentation for boundary eviction
     return v, merges
 
 
@@ -2530,6 +2537,8 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("base + (85 * COALESCE(c, 0)) DIV 100").alias("r"),
             )
         )
+    loop.finish()  # park the final ranks for sweep-boundary eviction
+    loop.park(edges_s)
     return (
         r.select(F.col("node").alias("word"), F.col("r").cast("long").alias("rank_units"))
         .orderBy(F.desc("rank_units"), "word")

@@ -1038,6 +1038,17 @@ def q_dedup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every document must hold fewer than SFX_PACK tokens (the fixture max
 # is ~120; the guard below raises loudly rather than mislabel).
 SFX_PACK = 2048
+# Batched-probe fan-out ceiling (rows = dup positions × bracket
+# width): under it, ONE job answers every candidate length at once;
+# over it (long documents and/or a fat dup slice at scale), fall back
+# to O(log bracket) binary-search probes on the dup slice.
+SFX_BATCH_CAP = 50_000_000
+# Direct-seed level: the sparse table starts at the 2^SFX_START-gram
+# classes built straight off the token arrays (see the in-function
+# comment). 3 → 8-token grams: the seed shuffles ≤ 8 tokens of text
+# per position once, instead of 3 doubling rounds × ~3 corpus-wide
+# shuffles each.
+SFX_START = 3
 
 
 def _suffix_lrs_oracle() -> str:
@@ -1092,16 +1103,45 @@ def q_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
        O(log maxlen) probes, each a scalar collect (the
        llm/components.py convergence-check precedent).
 
-    Levels persist because every probe reuses them (the sparse-table
-    cost: ⌈log2 maxlen⌉ position-sized relations); all but the final
+    Round-11 cost cuts (verdict item 5 — 6.5 s → ≤3.5 s at sf0.1),
+    all exact:
+    - Every level is stored FILTERED to its duplicated-class
+      positions (cnt >= 2, with cnt free out of the same groupBy that
+      canonicalizes the class). Lossless for every consumer: a
+      repeated ℓ-gram's level-k halves each repeat by definition, so
+      the next doubling round (both join sides), every length probe,
+      and the extraction only ever need dup positions — and a
+      surviving (f1, f2) group's membership, count, and min-rep are
+      exactly preserved. Real corpora collapse geometrically per
+      level, so the sparse table shrinks instead of staying
+      corpus-sized × log L.
+    - Doubling STOPS at the first duplication-free level — every
+      higher level is provably useless since no 2^k-gram repeats —
+      which brackets the answer into [2^k_dup, 2^(k_dup+1)-1]
+      instead of [1, maxlen].
+    - Within the bracket, ONE batched job replaces the per-length
+      probes (each dup position explodes into its candidate
+      back-offsets; max repeating offset = the LRS by monotonicity)
+      whenever dup-slice × bracket-width fits SFX_BATCH_CAP;
+      otherwise binary search, each probe on the dup slice only.
+    - The table is SEEDED at level SFX_START by a direct gram build
+      (explode each doc's 2^k_start-grams, canonicalize the gram
+      string — exact), so levels 0..k_start−1 are never built at all;
+      one bounded-width explode+agg replaces the k_start most
+      expensive (corpus-widest) doubling rounds.
+
+    Levels persist because the probes reuse them (the sparse-table
+    cost: ≤⌈log2 LRS⌉+1 dup-slice relations); all but the final
     extraction level are released before the result plan is returned.
 
-    100 TB shape: O(log L) levels × (join + agg) with all exchanges
-    hash-partitioned on (doc, p) or class pairs — positions-sized,
-    well-distributed, no SinglePartition anywhere; the driver round
-    trips are ~20 scalar collects. The oracle is the O(Σ L²) brute
-    force — tractable at oracle scale, and the point: the Spark plan
-    is the one that survives 100×."""
+    100 TB shape: O(log LRS) levels × (join + agg) with all exchanges
+    hash-partitioned on (doc, p) or class pairs — at worst
+    positions-sized, geometrically shrinking in practice, no
+    SinglePartition anywhere; the driver round trips are one count
+    per level plus ONE batched probe (or ~log bracket probes past
+    the cap). The oracle is the O(Σ L²) brute force — tractable at
+    oracle scale, and the point: the Spark plan is the one that
+    survives 100×."""
     d = load(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", tokens_col(F.col("text")).alias("t"))
@@ -1134,31 +1174,111 @@ def q_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planner time at sf0.001). The eager checkpoint makes each level
     # a leaf, so every level plans in O(1). (llm/components.py's
     # pointer-jumping made the same call for the same reason.)
-    lev0 = (
-        pos.groupBy("tok")
-        .agg(F.expr(f"min({pack})").alias("rk"))
-        .join(pos, "tok")
-        .select("doc_id", "p", "rk")
-        .localCheckpoint(eager=True)
-    )
-    levels = [lev0]
+    # Every level is stored FILTERED to its duplicated-class positions
+    # (cnt >= 2): every consumer — the next doubling round, the length
+    # probes, the extraction — provably only reads dup positions (see
+    # docstring), and real corpora collapse geometrically per level,
+    # so the sparse table shrinks instead of staying corpus-sized ×
+    # log L. n_dup per level (a cached-block count) doubles as the
+    # early-stop signal and the probe-batching size estimate.
+    # The table is SEEDED by a direct gram build at k_start =
+    # min(SFX_START, ⌊log2 maxlen⌋): the 2^k_start-gram equality
+    # classes come straight off the token arrays (explode each doc's
+    # grams, canonicalize by min-pack over the gram STRING — exact,
+    # concat_ws(' ') is injective on whitespace-free tokens), so
+    # levels 0..k_start-1 are never built. Cheaper at every scale:
+    # one explode+agg+join-back shuffling ≤ 2^k_start·token bytes per
+    # position replaces k_start doubling rounds of ~3 corpus-wide
+    # shuffles + checkpoint each. If the seed level has no duplicated
+    # class, LRS < 2^k_start and the seed retries one level down
+    # (each retry is the same single cheap build); k_start == 0 means
+    # only the 1-token corner remains. Doubling then continues only
+    # while the latest level still HAS duplicated classes: a
+    # duplication-free level k proves LRS < 2^k and caps both the
+    # sparse table and the search bracket.
+    levels: dict[int, DataFrame] = {}
+    n_dup: dict[int, int] = {}
     k_max = maxlen.bit_length() - 1  # ⌊log2 maxlen⌋
-    for k in range(1, k_max + 1):
+    k_seed = min(SFX_START, k_max)
+    k_start = k_seed
+    while k_start >= 1:
+        glen = 1 << k_start
+        grams = toks.filter(F.size("t") >= glen).select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {glen} + 1),"
+                    f" sfx_i -> concat_ws(' ', slice(t, sfx_i, {glen})))"
+                )
+            ).alias("p0", "g"),
+        ).select("doc_id", (F.col("p0") + 1).alias("p"), "g")
+        grp = grams.groupBy("g").agg(
+            F.expr(f"min({pack})").alias("rep"),
+            F.count("*").alias("cnt"),
+        )
+        seed = (
+            grams.join(grp.filter(F.col("cnt") >= 2), "g")
+            .select("doc_id", "p", F.col("rep").alias("rk"), "cnt")
+            .localCheckpoint(eager=True)
+        )
+        n = seed.count()
+        if n > 0:
+            levels[k_start] = seed
+            n_dup[k_start] = n
+            break
+        k_start -= 1
+
+    if not levels:
+        # No bigram repeats anywhere (or maxlen == 1): LRS is 1 if any
+        # token repeats, else the report is empty — one aggregate over
+        # `pos` answers both, through the shared extraction tail.
+        best = 1
+        groups = (
+            pos.groupBy("tok")
+            .agg(
+                F.count("*").cast("long").alias("n_occ"),
+                F.expr(f"min({pack})").alias("rep"),
+            )
+            .filter(F.col("n_occ") >= 2)
+            .select(
+                F.expr(f"rep DIV {SFX_PACK}").alias("rep_doc"),
+                (F.col("rep") % SFX_PACK).alias("rep_p"),
+                "n_occ",
+            )
+        )
+        return _sfx_extract(groups, toks, best)
+
+    # A seed that had to retry below k_seed already proved the level
+    # above it duplication-free — doubling upward would rebuild that
+    # empty level, so it only runs off a first-try seed.
+    for k in range(k_start + 1, (k_max + 1) if k_start == k_seed else 0):
         off = 1 << (k - 1)
-        prev = levels[-1]
+        prev = levels[k - 1]
+        a = prev.select("doc_id", "p", "rk")
         b = prev.select(
             "doc_id", (F.col("p") - off).alias("p"), F.col("rk").alias("rk2")
         )
-        pairs = prev.join(b, ["doc_id", "p"])
-        grp = pairs.groupBy("rk", "rk2").agg(F.expr(f"min({pack})").alias("rep"))
+        pairs = a.join(b, ["doc_id", "p"])
+        grp = pairs.groupBy("rk", "rk2").agg(
+            F.expr(f"min({pack})").alias("rep"),
+            F.count("*").alias("cnt"),
+        )
         lev = (
-            pairs.join(grp, ["rk", "rk2"])
-            .select("doc_id", "p", F.col("rep").alias("rk"))
+            pairs.join(grp.filter(F.col("cnt") >= 2), ["rk", "rk2"])
+            .select("doc_id", "p", F.col("rep").alias("rk"), "cnt")
             .localCheckpoint(eager=True)
         )
-        levels.append(lev)
+        n = lev.count()
+        if n == 0:
+            break
+        levels[k] = lev
+        n_dup[k] = n
+    k_dup = max(levels)
 
     def fingerprints(length: int) -> DataFrame:
+        """(doc, p, f1, f2) for every position opening an ℓ-gram whose
+        halves both sit in duplicated classes (lossless — see
+        docstring; the stored levels are already the dup slice)."""
         k = length.bit_length() - 1
         off2 = length - (1 << k)
         lv = levels[k]
@@ -1184,20 +1304,53 @@ def q_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return hits > 0
 
-    lo, hi, best = 1, maxlen, 0
-    while lo <= hi:
-        mid = (lo + hi) // 2
-        if exists_dup(mid):
-            best = mid
-            lo = mid + 1
-        else:
-            hi = mid - 1
-    if best == 0:
-        # checkpointed RDD blocks are reclaimed by the ContextCleaner
-        # once the references drop
-        levels.clear()
-        toks.unpersist()
-        return empty
+    # LRS ∈ [2^k_dup, hi]: a duplicated level-k_dup class IS a
+    # repeated 2^k-gram, and level k_dup+1 being empty (or past
+    # maxlen) bounds it above.
+    best = 1 << k_dup
+    lo = best + 1
+    hi = min(maxlen, (1 << (k_dup + 1)) - 1)
+    m = hi - lo + 1  # candidate lengths in the bracket
+    if m > 0 and n_dup[k_dup] * m <= SFX_BATCH_CAP:
+        # Batched probe (round-10 verdict item 5): ONE job evaluates
+        # every candidate ℓ — explode each dup position into its
+        # (ℓ − 2^k_dup) back-offsets, join once on (doc, p), and take
+        # the max offset whose (off2, f1, f2) pair repeats.
+        # Monotonicity makes that max THE LRS within the bracket.
+        lv = levels[k_dup]
+        b_all = lv.select(
+            "doc_id", "p", F.col("rk").alias("f2")
+        ).select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, {hi - lo + 1})")).alias("off2"),
+            (F.col("p") - F.col("off2")).alias("p"),
+            "f2",
+        )
+        probe = (
+            lv.select("doc_id", "p", F.col("rk").alias("f1"))
+            .join(b_all, ["doc_id", "p"])
+            .groupBy("off2", "f1", "f2")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .agg(F.max("off2").alias("mo"))
+            .collect()
+        )
+        max_off = probe[0]["mo"]
+        if max_off is not None:
+            best = (1 << k_dup) + max_off
+    else:
+        # Scale fallback: the batched fan-out (dup positions × bracket
+        # width) would exceed the cap, so binary-search the bracket —
+        # O(log bracket) probes, each on the dup slice only.
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if exists_dup(mid):
+                best = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+    # best >= 2 by construction here: levels nonempty means some
+    # bigram repeats (the LRS-1 corner returned above).
     k_best = best.bit_length() - 1
     # Release every level except the one the extraction plan reads —
     # the references drop and the ContextCleaner reclaims the blocks.
@@ -1216,6 +1369,12 @@ def q_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_occ",
         )
     )
+    return _sfx_extract(groups, toks, best)
+
+
+def _sfx_extract(groups: DataFrame, toks: DataFrame, best: int) -> DataFrame:
+    """Shared extraction tail: map each surviving group's min-pack
+    representative back to its document and slice the phrase out."""
     return (
         groups.join(toks, groups.rep_doc == toks.doc_id)
         .select(
@@ -1666,13 +1825,21 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gonzalez — each pick needs the current max of dmin), each pass a
     broadcast of ONE center row + a map-side distance update; the
     argmax is a pair of 1-row global reduces (max, then min vec_id at
-    that max), never a sort. At 100 TB: same plan with K·2 scalar
-    reduces; sub-sample or IVF-route the candidate pool first if K
-    grows past tens (the q_knn_classify routing note).
+    that max), never a sort. The per-round ``dmin`` relation is
+    persisted through the deferred RoundLoop — round r's blocks serve
+    round r's scalar reduces AND round r+1's update, so each round
+    scans the vectors once (without the persist the chained lineage
+    re-executed every prior round per reduce: ~K²/2 corpus passes, 80
+    exchanges in the round-10 plan audit; the SSSP 808d751 pattern).
+    At 100 TB: same plan with K·2 scalar reduces; sub-sample or
+    IVF-route the candidate pool first if K grows past tens (the
+    q_knn_classify routing note).
 
     Reference: extension tier (SURVEY §2 X-rows) — the reference ETL
     (src/main.rs) has no analytics; coreset/diversity selection is the
     data-efficient-training step of a curation pipeline."""
+    from kafka_to_parquet_spark.cache import RoundLoop
+
     uv = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> " + _KNN_UNIT.format(x="x") + ")").alias(
@@ -1683,11 +1850,14 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = uv.join(F.broadcast(seed), uv.vec_id == F.col("cid")).select(
         "cid", F.col("uvec").alias("carr")
     )
-    d = uv.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "uvec",
-        F.col("cid").alias("cur_cid"),
-        F.expr(_D_SPARK.format(a="uvec", b="carr")).alias("dmin"),
+    loop = RoundLoop(spark, sf_dir)  # deferred: fixed-round kernel
+    d = loop.step(
+        uv.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "uvec",
+            F.col("cid").alias("cur_cid"),
+            F.expr(_D_SPARK.format(a="uvec", b="carr")).alias("dmin"),
+        )
     )
     steps = [
         d.agg(
@@ -1705,13 +1875,15 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = uv.join(F.broadcast(cand), uv.vec_id == F.col("cid")).select(
             "cid", F.col("uvec").alias("carr")
         )
-        d = d.crossJoin(F.broadcast(cent)).select(
-            "vec_id",
-            "uvec",
-            F.col("cid").alias("cur_cid"),
-            F.least(
-                F.col("dmin"), F.expr(_D_SPARK.format(a="uvec", b="carr"))
-            ).alias("dmin"),
+        d = loop.step(
+            d.crossJoin(F.broadcast(cent)).select(
+                "vec_id",
+                "uvec",
+                F.col("cid").alias("cur_cid"),
+                F.least(
+                    F.col("dmin"), F.expr(_D_SPARK.format(a="uvec", b="carr"))
+                ).alias("dmin"),
+            )
         )
         steps.append(
             d.agg(
@@ -1720,6 +1892,7 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("dmin").alias("radius_sq"),
             )
         )
+    loop.finish()  # park the final dmin round for sweep-boundary eviction
     out = steps[0]
     for s in steps[1:]:
         out = out.unionByName(s)
@@ -2042,19 +2215,36 @@ def _url_raw_sql(concat: str, str_ty: str, doc_id: str = "doc_id",
                  intdiv: str = "DIV") -> str:
     """Synthesized raw URL per document (in-plan, the q_pii_scrub
     discipline: the fixture stays untouched and both engines recompute
-    the same inputs). Six variants per group g = doc_id DIV 6 exercise
-    every canonicalization rule: case, default port, trailing slash,
-    fragment, tracking params, unsorted real params."""
-    g = f"CAST({doc_id} {intdiv} 6 AS {str_ty})"
+    the same inputs). Eight variants per group g = doc_id DIV 8, built
+    so the ORACLE GROUP STRUCTURE pins every canonicalization rule
+    (round-11 advisor fix — the old six-variant fixture sent the
+    whole-URL-uppercase and unsorted-params spellings to singleton
+    groups the n_urls >= 2 filter discarded, leaving the host-case and
+    param-sort rules pinned only by the local unit test):
+
+    - 0 base, 1 scheme+HOST uppercased (path untouched — joins the
+      base group ONLY if the engine lowercases scheme/host),
+    - 2 default :443 port, 3 trailing slash, 4 utm_* tracking params
+      — all collapse into the base group (n_urls = 5),
+    - 5 '?b=2&a=1#frag' and 6 '?a=1&b=2' — a pair sharing the same
+      sorted param set, its own 2-member group ONLY if the engine
+      sorts params (and strips the fragment),
+    - 7 whole-URL upper() — the uppercased PATH is case-SENSITIVE, so
+      this stays a singleton; an engine that over-canonicalizes by
+      lowercasing paths would merge it into the base group and change
+      that group's counts."""
+    g = f"CAST({doc_id} {intdiv} 8 AS {str_ty})"
     base = f"{concat}('https://ex', {g}, '.com/p/', {g})"
     return (
-        f"CASE {doc_id} % 6"
+        f"CASE {doc_id} % 8"
         f" WHEN 0 THEN {base}"
-        f" WHEN 1 THEN upper({base})"
+        f" WHEN 1 THEN {concat}('HTTPS://EX', {g}, '.COM/p/', {g})"
         f" WHEN 2 THEN {concat}('https://ex', {g}, '.com:443/p/', {g})"
         f" WHEN 3 THEN {concat}('https://ex', {g}, '.com/p/', {g}, '/')"
         f" WHEN 4 THEN {concat}({base}, '?utm_source=feed&utm_campaign=c', {g})"
-        f" ELSE {concat}({base}, '?b=2&a=1#frag')"
+        f" WHEN 5 THEN {concat}({base}, '?b=2&a=1#frag')"
+        f" WHEN 6 THEN {concat}({base}, '?a=1&b=2')"
+        f" ELSE upper({base})"
         f" END"
     )
 
@@ -2133,8 +2323,11 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Canonicalization is one shared SQL recipe rendered per engine
     (_url_canon_sql); URLs are synthesized in-plan from doc_id (the
-    q_pii_scrub discipline), six spelling variants per group so every
-    rule is exercised and the oracle recomputes identical inputs.
+    q_pii_scrub discipline), eight spelling variants per group laid
+    out so the oracle's group structure pins every rule — including
+    host-case and param-sort, each of which lands a >=2-member group
+    only when its rule fires (see _url_raw_sql) — and an uppercase-
+    path singleton that guards against OVER-canonicalization.
 
     Scale shape: canonicalize is a pure per-row map (no UDF — split/
     regexp/array built-ins, whole-stage codegen); the only exchange

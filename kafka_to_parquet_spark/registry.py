@@ -223,7 +223,21 @@ CERTIFIED: set[str] = {
 # (round-10 entries — the RoundLoop'd iterative kernels and the
 # h62-widened fingerprint family — all landed green rows in
 # CORRECTNESS_r10.json and were cleared at round-11 start.)
-RECERTIFY: set[str] = set()
+# Round-11 entries:
+# - q_coreset_kcenter: per-round dmin relation now persists through
+#   the deferred RoundLoop (round-10 verdict item 2 — the K² chained-
+#   lineage recompute, 80 exchanges → 11). Values unchanged by
+#   construction, but the rewritten loop body must earn a fresh row.
+# - q_dedup_url: fixture widened 6 → 8 variants per group so the
+#   oracle's group structure pins host-case and param-sort (round-11
+#   advisor item 3) — output VALUES changed (both engines in
+#   lockstep), so it must earn a fresh driver row.
+# - q_suffix_lrs: rewritten level pipeline (dup-filtered levels,
+#   direct gram seed at SFX_START, batched bracket probe — round-10
+#   verdict item 5, 6.5 s → ~3.2 s at sf0.1). Values unchanged by
+#   construction (corner pins in tests/test_batch9_ops.py), but the
+#   new pipeline must earn a fresh driver row.
+RECERTIFY: set[str] = {"q_coreset_kcenter", "q_dedup_url", "q_suffix_lrs"}
 
 
 def _round_number() -> int:

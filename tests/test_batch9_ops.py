@@ -136,19 +136,26 @@ def test_batch9_group_d_runs(run, name):
 
 
 def test_dedup_url_groups_collapse_expected_variants(run):
-    """By construction every FULL synthesis group of 6 collapses its
-    plain/port/slash/utm spellings (4 distinct raw forms) onto the
-    v0 canonical URL, while the upper-cased-path and real-params
-    variants stay distinct — so each reported group has exactly 4
-    members, all raw-distinct, keeper = the v0 doc (doc_id % 6 == 0)."""
+    """By construction every FULL synthesis group of 8 reports TWO
+    groups: the base group — plain/HOST-case/port/slash/utm spellings
+    (5 distinct raw forms) onto the v0 canonical URL — and the
+    params pair ('?b=2&a=1#frag' + '?a=1&b=2', 2 raw forms, pinning
+    fragment-strip + param-sort), while the upper-cased-PATH variant
+    stays a filtered singleton. keeper of a base group is the v0 doc
+    (doc_id % 8 == 0); keeper of a params group is its v5 doc."""
     rows = run("q_dedup_url").collect()
     assert rows, "no dup groups reported"
     for r in rows:
         assert r["n_urls"] >= 2
         assert r["n_raw_forms"] == r["n_urls"], "raw spellings must all differ"
-        assert r["keeper"] % 6 == 0, "keeper must be the group's v0 doc"
-    full = [r for r in rows if r["n_urls"] == 4]
-    assert len(full) >= len(rows) - 1  # only a tail partial group may differ
+        assert r["keeper"] % 8 in (0, 5), "keeper must be the v0 or v5 doc"
+    base = [r for r in rows if r["n_urls"] == 5]
+    pairs = [r for r in rows if r["n_urls"] == 2 and "?a=1&b=2" in r["canon_url"]]
+    # only a tail partial group may deviate from the 5+2 structure
+    assert len(base) + len(pairs) >= len(rows) - 1
+    assert pairs, "param-sort pair groups missing — sort rule unpinned"
+    for r in pairs:
+        assert "#" not in r["canon_url"], "fragment survived canonicalization"
 
 
 def test_quality_ensemble_attribution_identities(run):
@@ -193,3 +200,49 @@ def test_url_canon_recipe_edge_cases_match_across_engines(spark):
             "SELECT " + _url_canon_sql(f"'{raw}'", duck=False)
         ).collect()[0][0]
         assert got_duck == got_spark == want, (raw, got_duck, got_spark, want)
+
+
+def test_suffix_lrs_corner_corpora(spark, tmp_path, monkeypatch):
+    """round-11 rewrite (seeded levels + batched bracket probe) corner
+    coverage the fixture can't reach: LRS below the seed gram length
+    (seed retries downward), LRS == 1 (only a token repeats), and a
+    corpus with no repeat at all (empty report). Values are pinned by
+    a hand-computable corpus; the sf fixtures pin the big-path hash
+    via the driver oracle."""
+    import os
+
+    from kafka_to_parquet_spark.operators.batch9 import q_suffix_lrs
+
+    def write_docs(rows, name):
+        p = str(tmp_path / name)
+        os.makedirs(p, exist_ok=True)
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(p, "documents.parquet"))
+        return p
+
+    # LRS = 3 ("b c d" twice) < 8 = 2^SFX_START: the k=3 and k=2 seeds
+    # are empty, the k=1 seed carries it.
+    sf1 = write_docs(
+        [(1, "a b c d x"), (2, "y b c d")], "lrs3"
+    )
+    got = {(r.lrs_len, r.phrase, r.n_occ) for r in q_suffix_lrs(spark, sf1).collect()}
+    assert got == {(3, "b c d", 2)}
+
+    # LRS = 1: no bigram repeats, token "q" repeats twice.
+    sf2 = write_docs([(1, "q w e"), (2, "r q t")], "lrs1")
+    got = {(r.lrs_len, r.phrase, r.n_occ) for r in q_suffix_lrs(spark, sf2).collect()}
+    assert got == {(1, "q", 2)}
+
+    # No repeat at all: empty report, stable schema.
+    sf3 = write_docs([(1, "a b"), (2, "c d")], "lrs0")
+    df = q_suffix_lrs(spark, sf3)
+    assert df.columns == ["lrs_len", "phrase", "n_occ"]
+    assert df.count() == 0
+
+    # LRS spanning a doubling round above the seed: 17-token repeat
+    # needs level 4 (16) + offset 1.
+    seq = " ".join(f"t{i}" for i in range(17))
+    sf4 = write_docs([(1, seq + " u1"), (2, seq + " u2")], "lrs17")
+    got = {(r.lrs_len, r.phrase, r.n_occ) for r in q_suffix_lrs(spark, sf4).collect()}
+    assert got == {(17, seq, 2)}

@@ -389,3 +389,39 @@ def test_graph_jaccard_broadcasts_degrees_and_takes_ordered(run):
     plan = plan_of(run("q_graph_jaccard"))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_coreset_kcenter_rounds_are_persisted(run):
+    """round-11 verdict item 2: q_coreset_kcenter's per-round dmin
+    relation must go through the deferred RoundLoop. Without the
+    persist each of the K rounds' 2-3 scalar reduces re-executes every
+    prior round's crossJoin chain (~K²/2 corpus passes — 80 exchanges
+    in the round-10 full-plan audit; 11 with it). Pin both properties
+    so a regression reintroducing the chained lineage fails here, the
+    same way SSSP's shape is pinned by its bounded-storage test."""
+    import re
+
+    from kafka_to_parquet_spark.cache import clear_result_caches
+    from kafka_to_parquet_spark.operators.batch9 import CORESET_K
+
+    # Evict rounds parked by any EARLIER test's invocation first: the
+    # CacheManager would plan-match them into this build, and the
+    # formatted explain of an InMemoryRelation also prints its cached
+    # child's exchanges, inflating the count.
+    clear_result_caches()
+    df = run("q_coreset_kcenter")
+    plan = plan_of(df)
+    # The persisted rounds surface as in-memory scans in the plan.
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
+        "per-round dmin relation is not persisted — the K² lineage "
+        "recompute is back"
+    )
+    # Each Gonzalez round contributes a bounded number of scalar
+    # reduces (max dmin, argmin vec_id, step row); the K² chained shape
+    # blew past 3 exchanges per round (80 total at K=4).
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 3 * CORESET_K + 2, (
+        f"{n_ex} exchanges for K={CORESET_K} — expected <= {3 * CORESET_K + 2}; "
+        "the per-round persist likely regressed"
+    )
+    clear_result_caches(df.sparkSession)

@@ -179,6 +179,7 @@ def test_bench_stdout_line_fits_driver_tail():
         "unit": "sec",
         "queries": {n: compact_val(9.94) for n in HEADLINE},
         "sf": 0.1,
+        "common_set_ratio": 1.23,
     }
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= 1930, (
@@ -186,6 +187,30 @@ def test_bench_stdout_line_fits_driver_tail():
         f"{len(HEADLINE)} headline queries — retire entries or shrink "
         "the encoding before adding more (bench.py docstring)"
     )
+
+
+def test_bench_common_set_ratio_tracks_like_for_like():
+    """round-10 verdict item 6: bench.py must report this run vs the
+    prior BENCH_r{N}.json over the COMMON query names, so a headline
+    set-swap can't mask a real regression behind composition change.
+    Pin the pure ratio math and that the prior-round loader actually
+    reads the newest driver artifact on disk."""
+    from bench import HEADLINE, common_set_ratio, latest_bench_queries
+
+    # pure math: common set {a, b}; 3.0/2.0 = 1.5; c/d ignored
+    got = common_set_ratio(
+        {"a": 1.0, "b": 2.0, "c": 99.0}, {"a": 1.0, "b": 1.0, "d": 5.0}
+    )
+    assert got == (1.5, 2)
+    assert common_set_ratio({"a": 1.0}, {}) is None  # no prior
+    assert common_set_ratio({}, {"a": 1.0}) is None  # empty run
+    # the loader reads the newest BENCH_r*.json the driver wrote
+    prior = latest_bench_queries()
+    if prior:  # absent only on a pristine checkout
+        assert set(prior) & set(HEADLINE), (
+            "prior-round bench queries share no names with HEADLINE — "
+            "the like-for-like comparison would silently be None"
+        )
 
 
 def test_bench_family_reps_cover_folded_queries():

@@ -126,3 +126,39 @@ def test_roundloop_deferred_parks_rounds_for_sweep_release(spark):
     assert cleared >= 1 and key not in _DEFERRED_ROUNDS
     for s in steps[:-1]:
         assert not s.storageLevel.useMemory, "superseded round still persisted"
+
+
+def test_roundloop_finish_parks_final_round(spark):
+    """round-11 advisor fix: without finish(), the FINAL round stayed
+    persisted and registered nowhere, so Spark's CacheManager matched
+    the identical rebuilt plan on the next timed sample and served the
+    memoized answer. finish() (and park() for auxiliary frames) put it
+    under the registered result-level cache, so the sweep-boundary
+    eviction forces real recomputation."""
+    from kafka_to_parquet_spark.cache import (
+        _DEFERRED_ROUNDS,
+        clear_result_caches,
+    )
+
+    key = (spark, "/tmp/_roundloop_finish_test")
+    loop = RoundLoop(*key)
+    df = spark.range(64).select(F.col("id"), F.lit(0).alias("v"))
+    for i in range(3):
+        df = loop.step(
+            df.groupBy((F.col("id") % 8).alias("id")).agg(
+                (F.sum("v") + F.lit(i)).alias("v")
+            )
+        )
+    aux = spark.range(4).persist()
+    loop.park(aux)
+    final = loop.finish()
+    assert final is df and loop.finish() is None  # idempotent
+    assert len(_DEFERRED_ROUNDS.get(key, [])) == 4  # 2 superseded + aux + final
+    assert final.count() == 8
+    assert final.storageLevel.useMemory  # still live for the caller's action
+    clear_result_caches(spark, key[1])
+    assert key not in _DEFERRED_ROUNDS
+    assert not final.storageLevel.useMemory, "final round survived eviction"
+    assert not aux.storageLevel.useMemory, "parked aux frame survived eviction"
+    # and the answer recomputes correctly without the cache
+    assert final.count() == 8
