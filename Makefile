@@ -1,6 +1,6 @@
 SF_DIR ?= /root/testdata/sf0.01
 
-.PHONY: test verify verify-plain bench plans smoke scaling stress
+.PHONY: test verify verify-plain bench plans smoke scaling stress kafka-smoke
 
 test:
 	python -m pytest tests/ -x -q
@@ -22,6 +22,12 @@ scaling:  # regenerates SCALING.md's machine-owned table (run on a quiet host)
 
 stress:  # sf~1 replicated stress; replaces SCALING.md's 10x section
 	python tools/stress_big.py
+
+kafka-smoke:  # needs Docker + network (see TESTDATA.md "Kafka broker smoke")
+	docker compose -f compose-kafka.yml up -d --wait
+	KTPS_KAFKA_BROKERS=localhost:9092 KTPS_KAFKA_TOPIC=smoke \
+		python -m pytest tests/test_kafka_broker.py -v
+	docker compose -f compose-kafka.yml down
 
 smoke:  # the driver's t1 check through the real contract surface
 	python -c "import sys; sys.path.insert(0, '.'); \
