@@ -223,6 +223,14 @@ BENCH_OMITTED = {
     "q_dedup_url": "per-row canonicalize map + one digest-keyed agg ⊂ q_agg_groupby shape",
     "q_quality_ensemble": "one tokenize pass + ≤5-row report ⊂ q_text_quality shape",
     "q_changepoint_cusum": "daily calendar collapse + tiny-series scan ⊂ q_stl_decompose's daily collapse",
+    # round-11 batch10 (the two data-heavy ones carry stress_sf10 rows
+    # instead — tools/stress_sf10.py QUERIES):
+    "q_contamination_attrib": "broadcast-bench gram join ⊂ q_decontaminate shape (benched)",
+    "q_contamination_ladder": "4 parametric legs of the q_decontaminate shape",
+    "q_repetition_windows": "per-row HOF chunking + source agg ⊂ q_text_quality shape",
+    "q_fertility_bytes": "per-row regex counts + (lang,source) agg ⊂ q_text_quality shape",
+    "q_dup_width_curve": "4 parametric legs of the q_ngram_novelty hash-postings shape; stress row instead",
+    "q_filter_venn": "digest groupBy + broadcast-bench join composition of benched shapes; stress row instead",
 }
 
 

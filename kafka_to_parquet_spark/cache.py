@@ -154,7 +154,13 @@ class RoundLoop:
     per-round materialization jobs put q_bpe_learn_k at 6.2s isolated
     vs its 1.6s pre-RoundLoop SCALING figure (and q_text_textrank at
     2.5×) — a storage bound that is already O(1) for constant-round
-    loops is not worth 4× latency.
+    loops is not worth 4× latency. Re-measured round 11 AFTER the
+    finish() fix below (the original comparison's warm samples read a
+    CacheManager-matched cached answer): with honest per-sample
+    eviction the deferred policy runs q_bpe_learn_k at ~2.2-2.7 s and
+    q_graph_modularity at ~2.5 s warm at sf0.01 — still well under
+    the eager policy's materialization cost, so the policy stands on
+    uncontaminated numbers.
 
     The FINAL round's relation stays persisted when the operator
     returns (the returned plan reads it; the caller's action happens

@@ -54,6 +54,8 @@ q_keyness / q_collocation_llr fencing), never accumulated as floats.
 
 from __future__ import annotations
 
+import gc
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1130,9 +1132,13 @@ def q_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
       one bounded-width explode+agg replaces the k_start most
       expensive (corpus-widest) doubling rounds.
 
-    Levels persist because the probes reuse them (the sparse-table
-    cost: ≤⌈log2 LRS⌉+1 dup-slice relations); all but the final
-    extraction level are released before the result plan is returned.
+    Only the LATEST level stays checkpointed (every later consumer —
+    the next doubling round, the bracket probes, the extraction —
+    reads k_dup alone), so the loop holds TWO dup-slice relations of
+    storage, not ⌈log2 LRS⌉ (the sf≈100 stress found the full
+    sparse-table retention holding ~90 GB on a fully-duplicated
+    corpus); the final level is released with the other caches once
+    the result plan is consumed.
 
     100 TB shape: O(log LRS) levels × (join + agg) with all exchanges
     hash-partitioned on (doc, p) or class pairs — at worst
@@ -1273,6 +1279,17 @@ def q_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         levels[k] = lev
         n_dup[k] = n
+        # Only the LATEST level is ever read again (the next doubling
+        # round, every bracket probe, and the extraction all use
+        # k_dup = max(levels)) — drop the predecessor's reference so
+        # the ContextCleaner reclaims its checkpoint blocks and the
+        # loop holds TWO levels of storage, not ⌈log2 LRS⌉. Found at
+        # the sf≈100 stress: a fully-duplicated corpus keeps every
+        # level corpus-sized, and retaining all of them held ~90 GB
+        # of checkpoints at 460M positions (round-11 SCALING note).
+        if k - 1 in levels:
+            del levels[k - 1]
+            gc.collect()  # py4j refs drop -> JVM ContextCleaner runs
     k_dup = max(levels)
 
     def fingerprints(length: int) -> DataFrame:

@@ -333,3 +333,5 @@ def load_all() -> None:
     # batch9 (round-10 session additions) registers LAST so its
     # never-certified names queue behind every earlier declaration.
     from kafka_to_parquet_spark.operators import batch9  # noqa: F401
+    # batch10 (round-11 session additions): same last-in-line rule.
+    from kafka_to_parquet_spark.operators import batch10  # noqa: F401

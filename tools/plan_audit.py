@@ -91,6 +91,11 @@ SINGLE_PART_OK: dict[str, str] = {
     "q_churn_flags": _SP_SCALAR,
     "q_cluster_dbscan_grid": _SP_SCALAR,
     "q_collocation_llr": _SP_SCALAR,
+    "q_contamination_attrib": _sp_bounded(
+        "benchmark-sized attribution report (eval suites don't scale"
+        " with the corpus)"
+    ),
+    "q_contamination_ladder": _SP_SCALAR,
     "q_cooccur_pmi": _SP_SCALAR,
     "q_copurchase_pmi": _SP_SCALAR,
     "q_coreset_kcenter": _SP_SCALAR,
@@ -98,6 +103,9 @@ SINGLE_PART_OK: dict[str, str] = {
     "q_corpus_shuffle": _sp_bounded("SHUFFLE_BUCKETS per-bucket offset rows"),
     "q_corr_matrix": _SP_SCALAR,
     "q_dsir_logratio": _SP_SCALAR,
+    "q_dup_width_curve": _SP_SCALAR,
+    "q_fertility_bytes": _SP_SCALAR,
+    "q_filter_venn": _SP_SCALAR,
     "q_funnel": _SP_SCALAR,
     "q_gini_tokens": _sp_bounded(
         "vocabulary-sized rank pass (documented bound: per-shard past ~1M types)"
@@ -128,6 +136,7 @@ SINGLE_PART_OK: dict[str, str] = {
     "q_quality_checks": _SP_SCALAR,
     "q_quality_ensemble": _SP_SCALAR,
     "q_rate_spike": _sp_bounded("(type, hour) grid"),
+    "q_repetition_windows": _SP_SCALAR,
     "q_repurchase_gaps": _sp_bounded("calendar-bounded gap histogram"),
     "q_rfm_segments": _SP_SCALAR,
     "q_rocchio_expand": _SP_SCALAR,

@@ -93,6 +93,10 @@ QUERIES: list[tuple[str, str]] = [
     ("q_suffix_lrs", "text"),
     ("q_kmeans3", "embed"),
     ("q_cluster_dbscan_grid", "embed"),
+    # round-11 batch10 data-heavy additions (bench folds them to
+    # BENCH_OMITTED; their scale evidence lives here):
+    ("q_dup_width_curve", "pairs"),
+    ("q_filter_venn", "pairs"),
 ]
 
 SECTION = "## 100× stress (sf≈10, built by tools/stress_sf10.py)"

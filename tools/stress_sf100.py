@@ -1,0 +1,238 @@
+"""1000× stress: the THIRD decade (round-10 verdict item 4) for the
+four kernels whose second-decade ratios exceeded 4× —
+q_win_running_scalable (5.2×, output itself 10×), q_suffix_lrs
+(5.1×), q_dedup_components (4.9×), q_dedup_jaccard_prefix (4.3×).
+Two decades of sub-linear is good; a third closes the 100 TB claim
+for the heaviest kernels (or surfaces the blowup while it is still a
+/tmp-sized problem — the h62 precedent).
+
+Corpus design chains the stress_sf10 classes one more decade:
+
+- REL rows: sf≈100 lineitem = the sf≈10 replica ×10 with 100B key
+  offsets (600M rows) — no offset scheme collision (sf≈1 stepped by
+  10M, sf≈10 by 1B).
+- PAIR rows (unique-text): sf≈100p documents = the sf≈10p corpus ×10
+  with every token RE-suffixed 'r{j}' per copy — intra-copy near-dup
+  structure mirrors sf10p exactly, cross-copy shingle overlap is
+  zero, pair mass stays LINEAR in the corpus (the second decade's
+  lesson: plain replication disk-spills the pair class).
+- q_suffix_lrs moves to the PAIR corpus at this decade (its
+  second-decade row rode plain replication): a 1000-way-duplicated
+  corpus makes EVERY position's class duplicated, so the level
+  dup-filter keeps nothing and each checkpointed level is
+  corpus-sized — the first sf≈100 attempt held ~33 GB of level
+  checkpoints before the fully-retained sparse table was even half
+  built (the retention bug this stress surfaced and round 11 fixed:
+  only the latest level is kept now). Post-exact-dedup corpora — the
+  only thing a production pipeline feeds this operator (SCALING.md
+  split-leakage ordering note) — look like the unique-text corpus,
+  which is therefore the scale axis measured here; the t(sf≈10)
+  column re-measures on sf≈10p so the ratio is like-for-like.
+
+Usage: python tools/stress_sf100.py [--only q_a,q_b] [--sweeps 2]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_to_parquet_spark import registry  # noqa: E402
+from kafka_to_parquet_spark.cache import clear_result_caches  # noqa: E402
+from kafka_to_parquet_spark.session import get_spark  # noqa: E402
+
+from stress_sf10 import (  # noqa: E402
+    SF10,
+    SF10P,
+    build as build_sf10,
+    build_pair_corpora,
+)
+
+SF100 = "/tmp/ktps_sf100"
+SF100P = "/tmp/ktps_sf100p"
+COPIES = 10
+
+# Third-decade key offsets: 100B steps (sf≈1 used 10M, sf≈10 used 1B).
+# Only lineitem replicates ×10 — every document-reading row rides the
+# unique-text pair corpus (see docstring), so plain sf≈100 documents
+# would be dead weight.
+OFFSETS = {
+    "lineitem": {"l_orderkey": 100_000_000_000},
+}
+
+QUERIES: list[tuple[str, str]] = [
+    ("q_win_running_scalable", "rel"),
+    ("q_suffix_lrs", "pairs"),  # see module docstring: post-dedup axis
+    ("q_dedup_components", "pairs"),
+    ("q_dedup_jaccard_prefix", "pairs"),
+]
+
+SECTION = "## 1000× stress (sf≈100, built by tools/stress_sf100.py)"
+
+
+def _stale(out: str, src: str) -> bool:
+    return (not os.path.exists(out)
+            or os.path.getmtime(out) < os.path.getmtime(src))
+
+
+def build(spark) -> None:
+    """sf≈100 = sf≈10 ×10 for the two tables these kernels read;
+    everything else symlinks to sf≈10 (itself symlinked/real)."""
+    os.makedirs(SF100, exist_ok=True)
+    for table, offs in OFFSETS.items():
+        out = f"{SF100}/{table}.parquet"
+        src = f"{SF10}/{table}.parquet"
+        if not _stale(out, src):
+            continue
+        base = spark.read.parquet(src)
+        parts = []
+        for i in range(COPIES):
+            df = base
+            for col, step in offs.items():
+                df = df.withColumn(col, F.col(col) + F.lit(i * step))
+            parts.append(df)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(out)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "events", "embeddings", "documents"):
+        link = f"{SF100}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SF10}/{t}.parquet", link)
+
+
+def build_pair_corpus(spark) -> None:
+    """sf≈100p = sf≈10p ×10, copy j re-suffixing every token with
+    'r{j}' — unique text across copies at both suffix levels."""
+    os.makedirs(SF100P, exist_ok=True)
+    src = f"{SF10P}/documents.parquet"
+    out = f"{SF100P}/documents.parquet"
+    if _stale(out, src):
+        base = spark.read.parquet(src)
+        parts = []
+        for j in range(COPIES):
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(j * 1_000_000_000)).alias("doc_id"),
+                    F.expr(
+                        "array_join(transform(split(text, '\\\\s+'),"
+                        f" t -> concat(t, 'r{j}')), ' ')"
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(out)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        link = f"{SF100P}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", link)
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--sweeps", type=int, default=2)
+    args = ap.parse_args()
+    queries = QUERIES
+    if args.only:
+        only = set(args.only.split(","))
+        unknown = only - {n for n, _ in QUERIES}
+        if unknown:
+            raise SystemExit(f"--only names not in sf100 QUERIES: {sorted(unknown)}")
+        queries = [(n, c) for n, c in QUERIES if n in only]
+
+    registry.load_all()
+    spark = get_spark("stress_sf100")
+
+    # Shared staleness chain: sf≈1 -> sf≈10 (+ pair corpora) -> sf≈100.
+    from stress_big import build as build_sf1
+
+    build_sf1(spark)
+    build_sf10(spark)
+    build_pair_corpora(spark)
+    build(spark)
+    build_pair_corpus(spark)
+    n_li = spark.read.parquet(f"{SF100}/lineitem.parquet").count()
+    n_docp = spark.read.parquet(f"{SF100P}/documents.parquet").count()
+    print(f"sf100 lineitem {n_li:,} pair-docs {n_docp:,}", flush=True)
+
+    cls = dict(QUERIES)
+
+    def dirs_for(name: str) -> tuple[str, str]:
+        return (SF10P, SF100P) if cls[name] == "pairs" else (SF10, SF100)
+
+    def run_once(name: str, where: str) -> float:
+        t0 = time.time()
+        registry.QUERIES[name](spark, where).write.format("noop").mode(
+            "overwrite").save()
+        return time.time() - t0
+
+    cells = [(n, w) for n, _ in queries for w in dirs_for(n)]
+    clear_result_caches(spark)
+    outs: dict[tuple[str, str], int] = {}
+    for name, where in cells:  # warm-up pass doubles as the n_out probe
+        t0 = time.time()
+        outs[(name, where)] = registry.QUERIES[name](spark, where).count()
+        print(f"warm {name} @ {where}: {outs[(name, where)]:,} rows "
+              f"[{time.time() - t0:.1f}s]", flush=True)
+    samples: dict[tuple[str, str], list[float]] = {c: [] for c in cells}
+    for s in range(args.sweeps):
+        clear_result_caches(spark)
+        for name, where in cells:
+            samples[(name, where)].append(run_once(name, where))
+            print(f"sweep{s} {name} @ {where}: "
+                  f"{samples[(name, where)][-1]:.1f}s", flush=True)
+
+    lines = [
+        SECTION, "",
+        f"lineitem = {n_li:,} rows; unique-text pair corpus = {n_docp:,}",
+        "docs (sf≈10p ×10, tokens re-suffixed per copy — linear pair",
+        "mass). q_suffix_lrs rides the pair corpus at this decade (the",
+        "post-exact-dedup axis; plain 1000-way replication held ~33 GB",
+        "of corpus-sized level checkpoints before the retention fix —",
+        f"tool docstring). Median of {args.sweeps} interleaved noop-sink",
+        "sweeps after a count warm-up; the t(sf≈10) columns re-measure",
+        "the same cells as the second-decade table for a like-for-like",
+        "ratio on current code.", "",
+        "| query | class | t(sf≈10) | t(sf≈100) | ratio | n_out sf≈10 | n_out sf≈100 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, c in queries:
+        lo, hi = dirs_for(name)
+        t10 = statistics.median(samples[(name, lo)])
+        t100 = statistics.median(samples[(name, hi)])
+        lines.append(
+            f"| {name} | {c} | {t10:.2f}s | {t100:.2f}s | {t100 / t10:.1f}× |"
+            f" {outs[(name, lo)]:,} | {outs[(name, hi)]:,} |")
+        print(lines[-1], flush=True)
+
+    note = "\n".join(lines) + "\n"
+    with open("SCALING.md") as f:
+        old = f.read()
+    idx = old.find(SECTION)
+    if idx != -1:
+        nxt = old.find("\n## ", idx + 1)
+        old = old[:idx] + (old[nxt + 1:] if nxt != -1 else "")
+    if not old.endswith("\n"):
+        old += "\n"
+    with open("SCALING.md", "w") as f:
+        f.write(old + "\n" + note)
+
+
+if __name__ == "__main__":
+    main()
