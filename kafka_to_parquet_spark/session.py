@@ -33,6 +33,16 @@ def get_spark(app_name: str = "kafka_to_parquet_spark", cpus: int | None = None)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Reduce-side granularity must scale with DATA, not cores: with
+        # a fixed 32 partitions a 600M-row shuffle hands each reduce
+        # task ~19M rows, and 32 such tasks sharing one local-mode heap
+        # OOM'd the sf≈100 stress. AQE plans from this higher initial
+        # count and coalesces small stages back down, so tiny queries
+        # keep ~core-count tasks while big shuffles fan out.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(cpus * 8, 128)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -34,6 +34,7 @@ Usage: python tools/stress_sf100.py [--only q_a,q_b] [--sweeps 2]
 
 from __future__ import annotations
 
+import gc
 import os
 import statistics
 import sys
@@ -157,6 +158,10 @@ def main() -> None:
         queries = [(n, c) for n, c in QUERIES if n in only]
 
     registry.load_all()
+    # Third-decade working sets want the heap headroom the host has
+    # (the default 48g OOM'd on concurrent reduce tasks pre the
+    # initialPartitionNum fix; 96g gives the sweeps margin either way).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "96g")
     spark = get_spark("stress_sf100")
 
     # Shared staleness chain: sf≈1 -> sf≈10 (+ pair corpora) -> sf≈100.
@@ -176,25 +181,51 @@ def main() -> None:
     def dirs_for(name: str) -> tuple[str, str]:
         return (SF10P, SF100P) if cls[name] == "pairs" else (SF10, SF100)
 
+    def reclaim() -> None:
+        """Release the previous cell's shuffle files NOW. A third-decade
+        cell writes tens of GB of shuffle; in a long-lived app those
+        files are only deleted when the JVM garbage-collects the
+        now-unreachable ShuffleDependency objects, and the first sf≈100
+        run filled the disk with five cells' accumulated spill before
+        GC ever ran. Explicit python + JVM GC between cells keeps the
+        working set to ONE cell's shuffle."""
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     def run_once(name: str, where: str) -> float:
         t0 = time.time()
         registry.QUERIES[name](spark, where).write.format("noop").mode(
             "overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        reclaim()  # after the timer stops: cleanup isn't the query's cost
+        return dt
 
     cells = [(n, w) for n, _ in queries for w in dirs_for(n)]
     clear_result_caches(spark)
     outs: dict[tuple[str, str], int] = {}
     for name, where in cells:  # warm-up pass doubles as the n_out probe
         t0 = time.time()
-        outs[(name, where)] = registry.QUERIES[name](spark, where).count()
-        print(f"warm {name} @ {where}: {outs[(name, where)]:,} rows "
-              f"[{time.time() - t0:.1f}s]", flush=True)
+        try:
+            outs[(name, where)] = registry.QUERIES[name](spark, where).count()
+            print(f"warm {name} @ {where}: {outs[(name, where)]:,} rows "
+                  f"[{time.time() - t0:.1f}s]", flush=True)
+        except Exception as exc:  # noqa: BLE001 — keep the other cells
+            outs[(name, where)] = -1
+            print(f"warm {name} @ {where}: FAILED "
+                  f"{type(exc).__name__}: {str(exc)[:100]}", flush=True)
+        reclaim()
     samples: dict[tuple[str, str], list[float]] = {c: [] for c in cells}
     for s in range(args.sweeps):
         clear_result_caches(spark)
         for name, where in cells:
-            samples[(name, where)].append(run_once(name, where))
+            if outs[(name, where)] < 0:
+                continue
+            try:
+                samples[(name, where)].append(run_once(name, where))
+            except Exception as exc:  # noqa: BLE001
+                print(f"sweep{s} {name} @ {where}: FAILED "
+                      f"{type(exc).__name__}: {str(exc)[:100]}", flush=True)
+                continue
             print(f"sweep{s} {name} @ {where}: "
                   f"{samples[(name, where)][-1]:.1f}s", flush=True)
 
@@ -214,6 +245,11 @@ def main() -> None:
     ]
     for name, c in queries:
         lo, hi = dirs_for(name)
+        if not samples[(name, lo)] or not samples[(name, hi)]:
+            lines.append(f"| {name} | {c} | failed | failed | — | "
+                         f"{outs[(name, lo)]:,} | {outs[(name, hi)]:,} |")
+            print(lines[-1], flush=True)
+            continue
         t10 = statistics.median(samples[(name, lo)])
         t100 = statistics.median(samples[(name, hi)])
         lines.append(
