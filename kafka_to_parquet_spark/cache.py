@@ -67,9 +67,16 @@ def _evict(
             if sf_dir is not None and k_dir != sf_dir:
                 continue
             value = cache.pop(key)
-            # A cache entry may hold one DataFrame or a LIST of them
-            # (a deferred RoundLoop's superseded rounds).
-            frames = value if isinstance(value, list) else [value]
+            # A cache entry may hold one DataFrame, a LIST of them (a
+            # deferred RoundLoop's superseded rounds), or a DICT of
+            # them (per-variant feature tables, e.g. the PPJoin
+            # postings keyed by prefix expression).
+            if isinstance(value, list):
+                frames = value
+            elif isinstance(value, dict):
+                frames = list(value.values())
+            else:
+                frames = [value]
             for v in frames:
                 if isinstance(v, DataFrame):
                     try:

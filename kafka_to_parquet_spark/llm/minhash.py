@@ -253,6 +253,20 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# PPJoin posting tables per (session, sf_dir) — a DICT per key: the
+# 'full' postings plus one 'prefix:<expr>' entry per caller threshold.
+# PERSISTING THESE IS LOAD-BEARING, not a convenience: the Jaccard
+# self-join references the prefix relation through TWO aliases, and
+# without the persist each alias re-executes the entire
+# explode → df-join → per-doc window → size-join pipeline — at the
+# sf≈100 stress that doubled ~3 corpus-sized shuffles into ~65 GB of
+# scratch and filled the disk. With the persist the pipeline runs once
+# and both join sides read the cached blocks (in-job block reuse).
+_POSTINGS_CACHE: dict[tuple[SparkSession, str], dict[str, DataFrame]] = (
+    register_cache({})
+)
+
+
 def _prefix_postings(spark: SparkSession, sf_dir: str, prefix_len_sql: str):
     """Shared PPJoin-family machinery for the prefix-filtered joins:
     returns (hashed-shingle table, full postings with set size, prefix
@@ -263,23 +277,29 @@ def _prefix_postings(spark: SparkSession, sf_dir: str, prefix_len_sql: str):
     (the token's 1-based canonical position) so callers can apply the
     PPJoin positional filter. One definition so the canonical
     ordering and df computation can never drift between the Jaccard
-    and containment joins."""
+    and containment joins; both tables persist through the registered
+    feature cache above."""
     from pyspark.sql import Window
 
     hsh = _hashed_shingles(spark, sf_dir)
+    inner = _POSTINGS_CACHE.setdefault((spark, sf_dir), {})
     ex = hsh.select("doc_id", F.explode("hs").alias("h"))
-    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "h")
     sized = hsh.select("doc_id", F.size("hs").alias("n"))
-    full = ex.join(sized, "doc_id")
-    prefix = (
-        ex.join(dfreq, "h")
-        .withColumn("rk", F.row_number().over(w))
-        .join(sized, "doc_id")
-        .filter(F.col("rk") <= F.expr(prefix_len_sql))
-        .select("doc_id", "h", "n", "rk")
-    )
-    return hsh, full, prefix
+    if "full" not in inner:
+        inner["full"] = ex.join(sized, "doc_id").persist()
+    pk = f"prefix:{prefix_len_sql}"
+    if pk not in inner:
+        dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("doc_id").orderBy("df", "h")
+        inner[pk] = (
+            ex.join(dfreq, "h")
+            .withColumn("rk", F.row_number().over(w))
+            .join(sized, "doc_id")
+            .filter(F.col("rk") <= F.expr(prefix_len_sql))
+            .select("doc_id", "h", "n", "rk")
+            .persist()
+        )
+    return hsh, inner["full"], inner[pk]
 
 
 @query(

@@ -237,7 +237,15 @@ CERTIFIED: set[str] = {
 #   verdict item 5, 6.5 s → ~3.2 s at sf0.1). Values unchanged by
 #   construction (corner pins in tests/test_batch9_ops.py), but the
 #   new pipeline must earn a fresh driver row.
-RECERTIFY: set[str] = {"q_coreset_kcenter", "q_dedup_url", "q_suffix_lrs"}
+# - q_dedup_jaccard_prefix / q_dedup_containment: the shared PPJoin
+#   posting tables now persist through a registered feature cache
+#   (minhash._POSTINGS_CACHE) — without it the Jaccard self-join's two
+#   aliases re-executed the whole postings pipeline (~65 GB scratch at
+#   sf≈100, disk-fatal). Values unchanged; plan changed.
+RECERTIFY: set[str] = {
+    "q_coreset_kcenter", "q_dedup_url", "q_suffix_lrs",
+    "q_dedup_jaccard_prefix", "q_dedup_containment",
+}
 
 
 def _round_number() -> int:

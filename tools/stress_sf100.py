@@ -257,6 +257,11 @@ def main() -> None:
             f" {outs[(name, lo)]:,} | {outs[(name, hi)]:,} |")
         print(lines[-1], flush=True)
 
+    if args.only:
+        # isolated re-measure (e.g. a cell that needs the whole disk to
+        # itself): rows print above for hand-merging into the table —
+        # don't clobber the full-section artifact.
+        return
     note = "\n".join(lines) + "\n"
     with open("SCALING.md") as f:
         old = f.read()
