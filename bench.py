@@ -306,7 +306,11 @@ def latest_bench_queries() -> dict[str, float]:
     try:
         with open(os.path.join(root, paths[-1])) as f:
             data = json.load(f)
-        return dict(data.get("queries") or {})
+        # The driver wraps bench's stdout line: {"n", "rc", "tail",
+        # "parsed": {...the line...}}; older/local copies may be the
+        # bare line itself.
+        inner = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
+        return dict((inner or {}).get("queries") or {})
     except (OSError, json.JSONDecodeError, AttributeError):
         return {}
 

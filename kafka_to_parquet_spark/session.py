@@ -36,12 +36,17 @@ def get_spark(app_name: str = "kafka_to_parquet_spark", cpus: int | None = None)
         # Reduce-side granularity must scale with DATA, not cores: with
         # a fixed 32 partitions a 600M-row shuffle hands each reduce
         # task ~19M rows, and 32 such tasks sharing one local-mode heap
-        # OOM'd the sf≈100 stress. AQE plans from this higher initial
-        # count and coalesces small stages back down, so tiny queries
-        # keep ~core-count tasks while big shuffles fan out.
+        # OOM'd the sf≈100 stress. The big-data tools raise
+        # $SPARK_GRAFT_INIT_PARTITIONS (stress_sf100 uses 256) so AQE
+        # plans from that count and coalesces small stages back down.
+        # The DEFAULT stays core-scaled: an unconditional 8× was
+        # A/B-measured costing ~2× on many-round iterative kernels at
+        # sf0.1 (task-count overhead per round: q_graph_triangles 1.1s
+        # → 2.1s, q_dedup_components 2.8s → 5.1s) — pure loss below
+        # the memory cliff the higher count exists to avoid.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(cpus * 8, 128)),
+            os.environ.get("SPARK_GRAFT_INIT_PARTITIONS", str(cpus)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

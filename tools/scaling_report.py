@@ -21,6 +21,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# Artifact path is cwd-independent (the sf100 run from tools/ crashed
+# at the final write with a relative path).
+_SCALING_PATH = "/root/repo/SCALING.md"
+
 from kafka_to_parquet_spark import registry  # noqa: E402
 from kafka_to_parquet_spark.session import get_spark  # noqa: E402
 
@@ -287,14 +291,14 @@ def main() -> None:
     # regenerations: only the table itself is machine-owned.
     footer = ""
     try:
-        with open("SCALING.md") as f:
+        with open(_SCALING_PATH) as f:
             old = f.read()
         idx = old.find("\n## ")
         if idx != -1:
             footer = old[idx:]
     except FileNotFoundError:
         pass
-    with open("SCALING.md", "w") as f:
+    with open(_SCALING_PATH, "w") as f:
         f.write("\n".join(lines) + "\n" + footer)
     print("wrote SCALING.md")
 

@@ -15,6 +15,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# Artifact path is cwd-independent (the sf100 run from tools/ crashed
+# at the final write with a relative path).
+_SCALING_PATH = "/root/repo/SCALING.md"
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from kafka_to_parquet_spark import registry  # noqa: E402
@@ -334,7 +338,7 @@ def main() -> None:
         lines.append(f"| {name} | {t_small:.2f}s | {t_big:.2f}s | {t_big / t_small:.1f}× |")
         print(lines[-1])
 
-    with open("SCALING.md") as f:
+    with open(_SCALING_PATH) as f:
         old = f.read()
     idx = old.find("\n## 10× stress")
 
@@ -370,7 +374,7 @@ def main() -> None:
             sec_lines.insert(max(first_pipe - 1, 0), note)
         merged = "\n".join(sec_lines)
         out = old[:idx] + merged + (old[nxt:] if nxt != -1 else "")
-        with open("SCALING.md", "w") as f:
+        with open(_SCALING_PATH, "w") as f:
             f.write(out)
         print(f"merged {len(queries)} stress rows into SCALING.md")
         return
@@ -386,7 +390,7 @@ def main() -> None:
         nxt = old.find("\n## ", idx + 1)
         base = old[:idx]
         tail = old[nxt:] if nxt != -1 else ""
-    with open("SCALING.md", "w") as f:
+    with open(_SCALING_PATH, "w") as f:
         f.write(base + "\n".join(lines) + "\n" + tail)
     print("wrote stress section to SCALING.md")
 

@@ -34,6 +34,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# Artifact path is cwd-independent (the sf100 run from tools/ crashed
+# at the final write with a relative path).
+_SCALING_PATH = "/root/repo/SCALING.md"
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from kafka_to_parquet_spark import registry  # noqa: E402
@@ -175,7 +179,7 @@ def main() -> None:
         ]
     note = "\n".join(lines) + "\n"
 
-    with open("SCALING.md") as f:
+    with open(_SCALING_PATH) as f:
         old = f.read()
     idx = old.find(SECTION)
     if idx != -1:
@@ -183,7 +187,7 @@ def main() -> None:
         old = old[:idx] + (old[nxt + 1:] if nxt != -1 else "")
     if not old.endswith("\n"):
         old += "\n"
-    with open("SCALING.md", "w") as f:
+    with open(_SCALING_PATH, "w") as f:
         f.write(old + "\n" + note)
     print(note)
 

@@ -43,6 +43,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# Artifact path is cwd-independent (the sf100 run from tools/ crashed
+# at the final write with a relative path).
+_SCALING_PATH = "/root/repo/SCALING.md"
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from kafka_to_parquet_spark import registry  # noqa: E402
@@ -260,7 +264,7 @@ def main() -> None:
         print(lines[-1], flush=True)
 
     note = "\n".join(lines) + "\n"
-    with open("SCALING.md") as f:
+    with open(_SCALING_PATH) as f:
         old = f.read()
     idx = old.find(SECTION)
     if idx != -1:
@@ -282,13 +286,13 @@ def main() -> None:
             for qn in [q for q, _ in queries if q in new_rows]:
                 last += 1
                 sec_lines.insert(last, new_rows[qn])
-            with open("SCALING.md", "w") as f:
+            with open(_SCALING_PATH, "w") as f:
                 f.write(old[:idx] + "\n".join(sec_lines) + ("\n" + rest if rest else ""))
             return
         old = old[:idx] + rest
     if not old.endswith("\n"):
         old += "\n"
-    with open("SCALING.md", "w") as f:
+    with open(_SCALING_PATH, "w") as f:
         f.write(old + "\n" + note)
 
 

@@ -42,6 +42,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# Artifact path is cwd-independent (the sf100 run from tools/ crashed
+# at the final write with a relative path).
+_SCALING_PATH = "/root/repo/SCALING.md"
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from kafka_to_parquet_spark import registry  # noqa: E402
@@ -162,6 +166,11 @@ def main() -> None:
     # (the default 48g OOM'd on concurrent reduce tasks pre the
     # initialPartitionNum fix; 96g gives the sweeps margin either way).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "96g")
+    # Reduce granularity scaled to third-decade data (see session.py:
+    # 32 reduce tasks × ~19M rows of a 600M-row exchange OOM'd the
+    # shared heap; the default stays core-scaled because the high
+    # count costs ~2× on small-data iterative kernels).
+    os.environ.setdefault("SPARK_GRAFT_INIT_PARTITIONS", "256")
     spark = get_spark("stress_sf100")
 
     # Shared staleness chain: sf≈1 -> sf≈10 (+ pair corpora) -> sf≈100.
@@ -263,7 +272,7 @@ def main() -> None:
         # don't clobber the full-section artifact.
         return
     note = "\n".join(lines) + "\n"
-    with open("SCALING.md") as f:
+    with open(_SCALING_PATH) as f:
         old = f.read()
     idx = old.find(SECTION)
     if idx != -1:
@@ -271,7 +280,7 @@ def main() -> None:
         old = old[:idx] + (old[nxt + 1:] if nxt != -1 else "")
     if not old.endswith("\n"):
         old += "\n"
-    with open("SCALING.md", "w") as f:
+    with open(_SCALING_PATH, "w") as f:
         f.write(old + "\n" + note)
 
 
