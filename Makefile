@@ -1,9 +1,15 @@
 SF_DIR ?= /root/testdata/sf0.01
 
-.PHONY: test verify verify-plain bench plans smoke scaling stress kafka-smoke
+.PHONY: test verify verify-plain bench plans smoke scaling stress kafka-smoke certify closeout
 
 test:
 	python -m pytest tests/ -x -q
+
+certify:  # exits 1 until registry.CERTIFIED/RECERTIFY match driver rows on disk
+	python tools/certify.py
+
+closeout: certify test  # end-of-round ritual: snapshot commit must be green
+	@echo "closeout OK — safe to snapshot"
 
 verify:
 	python tools/verify_oracle.py --sf $(SF_DIR) --rows-only-too

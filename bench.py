@@ -298,8 +298,12 @@ def latest_bench_queries() -> dict[str, float]:
     one failed to parse (round 4's BENCH_r04.json is literally the
     string "null")."""
     root = os.path.dirname(os.path.abspath(__file__))
+    # Sort by the PARSED round number, not lexicographically — with
+    # mixed digit widths "BENCH_r100" < "BENCH_r99" as strings, which
+    # would silently compare against the wrong round.
     paths = sorted(
-        p for p in os.listdir(root) if re.fullmatch(r"BENCH_r\d+\.json", p)
+        (p for p in os.listdir(root) if re.fullmatch(r"BENCH_r\d+\.json", p)),
+        key=lambda p: int(re.search(r"\d+", p).group()),
     )
     if not paths:
         return {}

@@ -53,6 +53,11 @@ def register_cache(
     return cache
 
 
+# Sentinel "dataset" for eager (keyless) RoundLoop frames — matched by
+# EVERY sf_dir-scoped eviction (see _evict), not only exact-dir ones.
+_EAGER_SENTINEL = "<eager-roundloop>"
+
+
 def _evict(
     caches: list[dict[tuple[SparkSession, str], Any]],
     spark: SparkSession | None,
@@ -64,7 +69,16 @@ def _evict(
             k_spark, k_dir = key
             if spark is not None and k_spark is not spark:
                 continue
-            if sf_dir is not None and k_dir != sf_dir:
+            # Eager (keyless) RoundLoop frames park under the
+            # session-scoped sentinel dir: they belong to no dataset,
+            # so ANY dataset-scoped eviction may (and must) reach
+            # them — otherwise a bench's clear_caches(spark, sf_dir)
+            # would leave them persisted until session teardown.
+            if (
+                sf_dir is not None
+                and k_dir != sf_dir
+                and k_dir != _EAGER_SENTINEL
+            ):
                 continue
             value = cache.pop(key)
             # A cache entry may hold one DataFrame, a LIST of them (a
@@ -122,6 +136,27 @@ def clear_result_caches(
 def registered_entry_count() -> int:
     """Total live entries across all registered caches (test hook)."""
     return sum(len(c) for c in _REGISTERED)
+
+
+def park_frame(
+    df: DataFrame, spark: SparkSession | None = None, sf_dir: str | None = None
+) -> DataFrame:
+    """Register a persisted/checkpointed frame that a RETURNED plan
+    still reads, for eviction at the next cache boundary
+    (:func:`clear_result_caches` between timed samples, or
+    :func:`clear_caches` at teardown) — the standalone twin of
+    :meth:`RoundLoop.park` for kernels that persist scratch relations
+    without running a round loop (e.g. q_suffix_lrs's token arrays).
+    With no (spark, sf_dir) the frame parks under the session-scoped
+    eager sentinel, which every sf_dir-scoped eviction also matches.
+    Returns ``df``."""
+    key = (
+        (spark, sf_dir)
+        if spark is not None and sf_dir is not None
+        else (df.sparkSession, _EAGER_SENTINEL)
+    )
+    _DEFERRED_ROUNDS.setdefault(key, []).append(df)
+    return df
 
 
 # Superseded rounds of deferred RoundLoops, keyed like every other
@@ -218,7 +253,7 @@ class RoundLoop:
         """
         df, self._prev = self._prev, None
         if df is not None:
-            key = self._key or (df.sparkSession, "<eager-roundloop>")
+            key = self._key or (df.sparkSession, _EAGER_SENTINEL)
             _DEFERRED_ROUNDS.setdefault(key, []).append(df)
         return df
 
@@ -226,6 +261,6 @@ class RoundLoop:
         """Register an auxiliary persisted frame (not a loop round — e.g.
         the BPE chain's 1-row ``best`` frames) for the same boundary
         eviction, without touching the round chain. Returns ``df``."""
-        key = self._key or (df.sparkSession, "<eager-roundloop>")
+        key = self._key or (df.sparkSession, _EAGER_SENTINEL)
         _DEFERRED_ROUNDS.setdefault(key, []).append(df)
         return df

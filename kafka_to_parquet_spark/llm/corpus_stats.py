@@ -1756,7 +1756,11 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer function of the data).
 
     Engine stability: hash values are the shared 31-bit md5 fold
-    (functions/hashes.py), ranks are integer row_numbers over the
+    (functions/hashes.py) — SKETCH-TIER BY DESIGN per hashes.py:58:
+    KMV is a cardinality sketch, so the 31-bit space is the point
+    (collisions bias the estimate, and the audit columns MEASURE that
+    bias against the exact count; identity fingerprints elsewhere use
+    the 62-bit ``h62``). Ranks are integer row_numbers over the
     (source, hash) total order, and the estimate (K−1)·M // h_K and
     error are BIGINT divisions — no float exists in the plan.
     Saturated strata (fewer than K distinct hashes) fall back to their

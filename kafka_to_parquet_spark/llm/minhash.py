@@ -346,12 +346,16 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined filter loses nothing.
 
     Everything runs over 31-bit md5 shingle hashes, not shingle
-    strings: postings, the df table, the candidate join key, and the
-    verification arrays are all ints — the posting shuffle is ~3x
-    narrower and the verification intersect compares longs. Jaccard is
-    thus defined over the hashed distinct-shingle universe (declared
-    semantics, identical in both engines — a hash collision merges the
-    same two shingles on both sides).
+    strings — SKETCH-TIER BY DESIGN (functions/hashes.py:58: the
+    31-bit space is for set-similarity sketches, NOT identity
+    fingerprints; identity uses the 62-bit ``h62``): postings, the df
+    table, the candidate join key, and the verification arrays are
+    all ints — the posting shuffle is ~3x narrower and the
+    verification intersect compares longs. Jaccard is thus defined
+    over the hashed distinct-shingle universe (declared semantics,
+    identical in both engines — a hash collision merges the same two
+    shingles on both sides, perturbing similarity by at most one
+    shingle's weight, never inventing a false document identity).
 
     Scale shape: candidate generation moves only prefix postings (the
     rarest half at tau=0.5 — hot boilerplate shingles land OUTSIDE the

@@ -59,6 +59,7 @@ import gc
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_to_parquet_spark.cache import park_frame
 from kafka_to_parquet_spark.functions.text import _TOKENS_SQL, tokens_col
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
@@ -1149,10 +1150,17 @@ def q_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle scale, and the point: the Spark plan is the one that
     survives 100×."""
     d = load(spark, sf_dir, "documents")
-    toks = (
+    # Parked (not just persisted): every return path's plan reads toks
+    # (the extraction join slices phrases from it), so it cannot be
+    # unpersisted here — the boundary eviction in cache.py releases it
+    # between timed samples / at teardown instead of leaking a
+    # corpus-sized relation per invocation in a long-lived session.
+    toks = park_frame(
         d.select("doc_id", tokens_col(F.col("text")).alias("t"))
         .filter(F.size("t") > 0)
-        .persist()
+        .persist(),
+        spark,
+        sf_dir,
     )
     maxlen_row = toks.agg(F.max(F.size("t"))).collect()
     maxlen = maxlen_row[0][0] or 0

@@ -203,6 +203,13 @@ CERTIFIED: set[str] = {
     "q_mix_curriculum", "q_pack_sequences", "q_pad_waste_buckets",
     "q_pii_scrub", "q_quality_ensemble", "q_select_budget",
     "q_source_ngram_leak", "q_stream_minhash_incr", "q_suffix_lrs",
+    # round 11 (CORRECTNESS_r11.json): 50 accepted rows — the 6
+    # first-time batch10 rows below, the 5 RECERTIFY re-verifications
+    # (suffix-LRS rewrite, coreset RoundLoop, PPJoin persisted
+    # postings, widened URL fixture — already listed above; entries
+    # cleared at round-12 start), and rotation re-certifications.
+    "q_contamination_attrib", "q_contamination_ladder", "q_dup_width_curve",
+    "q_fertility_bytes", "q_filter_venn", "q_repetition_windows",
 }
 
 # Certified queries whose implementation (or a shared helper on their
@@ -242,10 +249,10 @@ CERTIFIED: set[str] = {
 #   (minhash._POSTINGS_CACHE) — without it the Jaccard self-join's two
 #   aliases re-executed the whole postings pipeline (~65 GB scratch at
 #   sf≈100, disk-fatal). Values unchanged; plan changed.
-RECERTIFY: set[str] = {
-    "q_coreset_kcenter", "q_dedup_url", "q_suffix_lrs",
-    "q_dedup_jaccard_prefix", "q_dedup_containment",
-}
+# (round-11 entries — q_coreset_kcenter, q_dedup_url, q_suffix_lrs,
+# q_dedup_jaccard_prefix, q_dedup_containment — all landed green rows
+# in CORRECTNESS_r11.json and were cleared at round-12 start.)
+RECERTIFY: set[str] = set()
 
 
 def _round_number() -> int:

@@ -116,3 +116,41 @@ def test_result_level_clear_targets_only_result_caches():
         feat.clear()
         _REGISTERED[:] = [c for c in _REGISTERED if c is not feat and c is not res]
         _RESULT_LEVEL[:] = [c for c in _RESULT_LEVEL if c is not res]
+
+
+def test_eager_sentinel_frames_match_sf_dir_scoped_eviction(spark):
+    """Frames parked under the eager-RoundLoop sentinel belong to no
+    dataset, so an sf_dir-scoped eviction (bench's clear_caches(spark,
+    sf_dir) between scale factors) must reach them too — otherwise
+    they'd survive every dataset-scoped cleanup until teardown."""
+    from kafka_to_parquet_spark.cache import (
+        _DEFERRED_ROUNDS,
+        _EAGER_SENTINEL,
+        clear_caches,
+        park_frame,
+    )
+
+    clear_caches(spark)
+    df = spark.range(5).persist()
+    park_frame(df)  # no (spark, sf_dir): parks under the sentinel
+    assert (spark, _EAGER_SENTINEL) in _DEFERRED_ROUNDS
+    # A DIFFERENT dataset's scoped eviction still evicts the sentinel.
+    assert clear_caches(spark, "/no/such/sf_dir") >= 1
+    assert (spark, _EAGER_SENTINEL) not in _DEFERRED_ROUNDS
+    assert df.storageLevel.useMemory is False
+
+
+def test_park_frame_keys_by_sf_dir_when_known(spark):
+    from kafka_to_parquet_spark.cache import (
+        _DEFERRED_ROUNDS,
+        clear_caches,
+        park_frame,
+    )
+
+    clear_caches(spark)
+    df = spark.range(5).persist()
+    park_frame(df, spark, SF_A)
+    assert (spark, SF_A) in _DEFERRED_ROUNDS
+    clear_caches(spark, SF_A)
+    assert (spark, SF_A) not in _DEFERRED_ROUNDS
+    assert df.storageLevel.useMemory is False

@@ -1,0 +1,149 @@
+"""Attribute the r10→r11 common-set bench inflation kernel by kernel
+(round-11 verdict item 2).
+
+Round 11's cache.py ``finish()``/``park()`` made every bench sample
+re-execute iterative kernels for real; before it, a deferred (and, for
+eager loops, the final-round) persisted frame survived between samples
+and Spark's CacheManager plan-matched the SECOND-and-later samples onto
+the memoized relation — so BENCH_r10 recorded memoized medians for
+those kernels. This tool measures BOTH regimes on the CURRENT tree:
+
+* **honest** — ``clear_result_caches`` before every sample (bench.py's
+  current protocol): median of ``--iters`` samples.
+* **memoized** — re-run the same kernel WITHOUT clearing, so parked
+  frames stay persisted and the CacheManager matches the plan (the
+  exact r10 sample-2+ condition): median of ``--iters`` samples.
+
+For each mover q, r10→r11 delta is then classified:
+
+* ``honest-timing`` — the honest−memoized gap explains ≥60% of the
+  recorded delta: r10's number was the memoized artifact; nothing
+  regressed.
+* ``noise`` — |delta| within 25% of the honest figure AND the honest
+  figure reproduces r11's number within the same band: host-load
+  variance, no cache story.
+* ``regression?`` — anything else: flagged for manual audit.
+
+Usage::
+
+    python tools/attribute_honest.py [--sf /root/testdata/sf0.1]
+        [--iters 3] [--out ATTRIBUTION_r12.json]
+
+Writes a JSON table and prints a markdown table for SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_to_parquet_spark import registry  # noqa: E402
+from kafka_to_parquet_spark.cache import (  # noqa: E402
+    clear_caches,
+    clear_result_caches,
+)
+from kafka_to_parquet_spark.session import get_spark  # noqa: E402
+
+
+def _bench_queries(path: str) -> dict[str, float]:
+    with open(path) as f:
+        data = json.load(f)
+    inner = (
+        data.get("parsed")
+        if isinstance(data, dict) and isinstance(data.get("parsed"), dict)
+        else data
+    )
+    return dict((inner or {}).get("queries") or {})
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    fn = registry.QUERIES[name]
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--min-delta", type=float, default=0.3)
+    ap.add_argument("--out", default="ATTRIBUTION_r12.json")
+    args = ap.parse_args()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r10 = _bench_queries(os.path.join(root, "BENCH_r10.json"))
+    r11 = _bench_queries(os.path.join(root, "BENCH_r11.json"))
+    movers = sorted(
+        (q for q in set(r10) & set(r11) if r11[q] - r10[q] > args.min_delta),
+        key=lambda q: r10[q] - r11[q],
+    )
+    print(f"# {len(movers)} positive movers > {args.min_delta}s", flush=True)
+
+    registry.load_all()
+    spark = get_spark("attribute-honest")
+    # JIT/codegen warm-up at the smallest sf, then free its storage.
+    for q in movers:
+        try:
+            run_one(spark, q, "/root/testdata/sf0.001")
+        except Exception:
+            pass
+    clear_caches(spark, "/root/testdata/sf0.001")
+
+    rows: dict[str, dict] = {}
+    for q in movers:
+        honest, memo = [], []
+        for _ in range(args.iters):
+            clear_result_caches(spark)
+            honest.append(run_one(spark, q, args.sf))
+            # No clear: parked frames survive, CacheManager matches.
+            memo.append(run_one(spark, q, args.sf))
+        clear_result_caches(spark)
+        h = statistics.median(honest)
+        m = statistics.median(memo)
+        delta = r11[q] - r10[q]
+        gap = h - m
+        if delta > 0 and gap >= 0.6 * delta:
+            verdict = "honest-timing"
+        elif (
+            abs(delta) <= max(0.35, 0.25 * h)
+            and abs(h - r11[q]) <= max(0.35, 0.25 * h)
+        ):
+            verdict = "noise"
+        else:
+            verdict = "regression?"
+        rows[q] = {
+            "r10": r10[q],
+            "r11": r11[q],
+            "delta": round(delta, 2),
+            "honest": round(h, 2),
+            "memoized": round(m, 2),
+            "gap": round(gap, 2),
+            "verdict": verdict,
+        }
+        print(
+            f"{q:32s} r10={r10[q]:5.2f} r11={r11[q]:5.2f} "
+            f"honest={h:5.2f} memo={m:5.2f} gap={gap:+5.2f} -> {verdict}",
+            flush=True,
+        )
+
+    with open(os.path.join(root, args.out), "w") as f:
+        json.dump({"sf": args.sf, "iters": args.iters, "rows": rows}, f, indent=1)
+    print(f"\nwrote {args.out}")
+    print("\n| query | r10 | r11 | honest | memoized | gap | attribution |")
+    print("|---|---|---|---|---|---|---|")
+    for q, r in sorted(rows.items(), key=lambda kv: -kv[1]["delta"]):
+        print(
+            f"| {q} | {r['r10']:.2f} | {r['r11']:.2f} | {r['honest']:.2f} "
+            f"| {r['memoized']:.2f} | {r['gap']:+.2f} | {r['verdict']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,7 @@ def main() -> None:
     if not to_add and not landed_recert:
         print("CERTIFIED and RECERTIFY are up to date.")
         return
+    exit_code = 1
     for rnd, names in to_add.items():
         print(f"# {rnd}: {len(names)} accepted rows to certify")
         for i in range(0, len(names), 3):
@@ -62,6 +63,7 @@ def main() -> None:
         )
         for n in sorted(landed_recert):
             print(f"#   {n}")
+    sys.exit(exit_code)
 
 
 if __name__ == "__main__":
