@@ -28,6 +28,7 @@ surface; this is part of the mandated LLM-pipeline extension
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -302,6 +303,56 @@ def _prefix_postings(spark: SparkSession, sf_dir: str, prefix_len_sql: str):
     return hsh, inner["full"], inner[pk]
 
 
+def ppjoin_shards() -> int:
+    """Posting-universe shard count for the PPJoin candidate joins —
+    ``$KTPS_PPJOIN_SHARDS``, default 1 (single-pass, the plan every
+    fixture decade runs).
+
+    Why the knob exists: the sf≈100 stress measured the prefix join
+    spill-bound — candidates and output stayed exactly LINEAR (the
+    lossless filters hold), but the ~450M-row posting tables plus the
+    sort-merge scratch crossed the host's memory and the cell ran
+    32.8× instead of ~10× (SCALING.md third-decade table). Sharding
+    the token universe by ``pmod(h, S)`` is an EXACT partition of the
+    equi-join's match space (both sides of a match carry the same
+    ``h``), so running the join once per shard and unioning candidate
+    pairs is lossless — and each pass sorts only ~1/S of the postings,
+    keeping the working set under the memory cliff. Read at call time
+    so stress tools can set it per cell."""
+    return max(1, int(os.environ.get("KTPS_PPJOIN_SHARDS", "1")))
+
+
+def _sharded_candidates(spark: SparkSession, build) -> DataFrame:
+    """Run ``build(shard_filter)`` once (S=1: unchanged single-pass
+    plan) or once per token-universe shard, SEQUENTIALLY.
+
+    ``build`` receives a function that filters a postings frame to the
+    current shard on its hash column (identity when S=1) and returns
+    the shard's DISTINCT candidate-pair frame. Sequencing is forced by
+    an eager ``localCheckpoint`` per shard — shard s's sort/spill
+    scratch is released (session.reclaim) before shard s+1 starts, so
+    peak scratch is ONE shard's join, not the whole universe. A pair
+    matching on hashes in two different shards appears twice across
+    shards, so the union re-distincts — over pair rows only, orders of
+    magnitude smaller than postings."""
+    shards = ppjoin_shards()
+    if shards <= 1:
+        return build(lambda df, col="h": df)
+    from kafka_to_parquet_spark.session import reclaim
+
+    parts: list[DataFrame] = []
+    for s in range(shards):
+        def shard_filter(df: DataFrame, col: str = "h", s: int = s) -> DataFrame:
+            return df.filter(F.pmod(F.col(col), F.lit(shards)) == s)
+
+        parts.append(build(shard_filter).localCheckpoint(eager=True))
+        reclaim(spark)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
 @query(
     "q_dedup_jaccard_prefix",
     oracle=f"""
@@ -367,38 +418,49 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     common canonical token always survives, so the filter is lossless;
     measured 310k → 125k candidates at sf0.1 on this fixture);
     verification joins the int hash arrays onto the (far smaller)
-    candidate set only."""
+    candidate set only. When the posting universe outgrows executor
+    memory (the sf≈100 stress's spill-bound 32.8× cell),
+    ``$KTPS_PPJOIN_SHARDS`` runs this candidate join per token-universe
+    shard — see :func:`ppjoin_shards`; run exact dedup upstream first
+    regardless, it shrinks the universe for free."""
     hsh, _, prefix = _prefix_postings(
         spark, sf_dir, "n - ((n + 1) DIV 2) + 1"
     )
-    x, y = prefix.alias("x"), prefix.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.h") == F.col("y.h"))
-            & (F.col("x.doc_id") < F.col("y.doc_id"))
-            # length filter: J >= 1/2 forces |a| <= 2|b| and |b| <= 2|a|
-            & (F.col("x.n") <= 2 * F.col("y.n"))
-            & (F.col("y.n") <= 2 * F.col("x.n"))
-            # positional filter: overlap reachable from this match's
-            # suffixes (1 + min remaining) must cover alpha =
-            # ceil((na+nb)/3); for integer ub that is 3*ub >= na+nb —
-            # pure integer cross-multiplication, no division anywhere
-            & (
-                3
-                * (
-                    1
-                    + F.least(
-                        F.col("x.n") - F.col("x.rk"),
-                        F.col("y.n") - F.col("y.rk"),
+
+    def build(shard_filter) -> DataFrame:
+        sliced = shard_filter(prefix)
+        x, y = sliced.alias("x"), sliced.alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.h") == F.col("y.h"))
+                & (F.col("x.doc_id") < F.col("y.doc_id"))
+                # length filter: J >= 1/2 forces |a| <= 2|b|, |b| <= 2|a|
+                & (F.col("x.n") <= 2 * F.col("y.n"))
+                & (F.col("y.n") <= 2 * F.col("x.n"))
+                # positional filter: overlap reachable from this match's
+                # suffixes (1 + min remaining) must cover alpha =
+                # ceil((na+nb)/3); for integer ub that is 3*ub >= na+nb —
+                # pure integer cross-multiplication, no division anywhere
+                & (
+                    3
+                    * (
+                        1
+                        + F.least(
+                            F.col("x.n") - F.col("x.rk"),
+                            F.col("y.n") - F.col("y.rk"),
+                        )
                     )
-                )
-                >= F.col("x.n") + F.col("y.n")
-            ),
+                    >= F.col("x.n") + F.col("y.n")
+                ),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+
+    cand = _sharded_candidates(spark, build)
     inter = F.expr("CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)")
     union = F.expr("size(sa.hs) + size(sb.hs) - size(array_intersect(sa.hs, sb.hs))")
     return (
@@ -464,17 +526,22 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = full_raw.select(
         F.col("doc_id").alias("b_id"), F.col("h").alias("bh"), F.col("n").alias("bn")
     )
-    cand = (
-        prefix.join(
-            full,
-            (F.col("h") == F.col("bh"))
-            & (F.col("doc_id") != F.col("b_id"))
-            # |b| >= tau*|a| or the intersection can't reach tau*|a|
-            & (F.col("bn") * CONT_TAU_DEN >= F.col("n") * CONT_TAU_NUM),
+
+    def build(shard_filter) -> DataFrame:
+        return (
+            shard_filter(prefix)
+            .join(
+                shard_filter(full, "bh"),
+                (F.col("h") == F.col("bh"))
+                & (F.col("doc_id") != F.col("b_id"))
+                # |b| >= tau*|a| or the intersection can't reach tau*|a|
+                & (F.col("bn") * CONT_TAU_DEN >= F.col("n") * CONT_TAU_NUM),
+            )
+            .select(F.col("doc_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+            .distinct()
         )
-        .select(F.col("doc_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
-        .distinct()
-    )
+
+    cand = _sharded_candidates(spark, build)
     inter = F.expr("size(array_intersect(sa.hs, sb.hs))")
     return (
         cand.join(hsh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

@@ -868,27 +868,33 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation exchanges per round; weighted edges stream through. At
     100 TB this is textbook distributed Bellman-Ford (the Pregel SSSP
     kernel); Dijkstra's priority queue does not distribute."""
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .agg(F.count("*").cast("long").alias("n_txn"))
-    )
-    with_w = e0.select("src", "dst", F.expr(f"CAST({_SSSP_W_SPARK} AS BIGINT)").alias("w"))
-    edges = (
-        with_w.unionByName(
-            with_w.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+    from kafka_to_parquet_spark.operators.graph import edge_feature
+
+    def _build() -> DataFrame:
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        e0 = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
             )
+            .agg(F.count("*").cast("long").alias("n_txn"))
         )
-        .repartition(F.col("src"))
-        .sortWithinPartitions("src")
-        .persist()
-    )
+        with_w = e0.select(
+            "src", "dst", F.expr(f"CAST({_SSSP_W_SPARK} AS BIGINT)").alias("w")
+        )
+        return (
+            with_w.unionByName(
+                with_w.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+                )
+            )
+            .repartition(F.col("src"))
+            .sortWithinPartitions("src")
+        )
+
+    edges = edge_feature(spark, sf_dir, "trade_sym_weighted", _build)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     r = nodes.agg(F.min("node").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
@@ -910,7 +916,6 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("long").alias("dist"))
         )
     loop.finish()  # park the final round for sweep-boundary eviction
-    loop.park(edges)
     reached = r.groupBy("dist").agg(F.count("*").cast("long").alias("n_nodes"))
     unreached = (
         nodes.join(r, "node", "left_anti")
@@ -1034,17 +1039,27 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     label relation; the within-community count is two hash joins of
     edges against node-sized labels; degree mass is map-side
     combinable. Nothing is community-quadratic."""
-    from kafka_to_parquet_spark.operators.graph import MIN_SUP, _part_pairs
+    from kafka_to_parquet_spark.operators.graph import (
+        MIN_SUP,
+        _part_pairs,
+        edge_feature,
+    )
 
-    ce = _part_pairs(spark, sf_dir).filter(F.col("support") >= MIN_SUP).select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    )
-    edges = (
-        ce.unionByName(ce.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(F.col("src"))
-        .sortWithinPartitions("src")
-        .persist()
-    )
+    def _build() -> DataFrame:
+        ce = (
+            _part_pairs(spark, sf_dir)
+            .filter(F.col("support") >= MIN_SUP)
+            .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        )
+        return (
+            ce.unionByName(
+                ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .repartition(F.col("src"))
+            .sortWithinPartitions("src")
+        )
+
+    edges = edge_feature(spark, sf_dir, "copurchase_sym", _build)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
@@ -1068,7 +1083,6 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "lab")
         )
     loop.finish()  # park the final round for sweep-boundary eviction
-    loop.park(edges)
     m = edges.agg(F.count("*").cast("long").alias("m_dir"))
     la = labels.select(F.col("node").alias("src"), F.col("lab").alias("community"))
     lb = labels.select(F.col("node").alias("dst"), F.col("lab").alias("lab_b"))
@@ -2463,52 +2477,58 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank round exchanges only the vocabulary-sized rank relation
     (edges persist pre-hashed on src). Vocabulary-bound end to end —
     the corpus is touched once, by the postings explode."""
-    docs = load(spark, sf_dir, "documents")
-    post = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-        ).alias("pos0", "word"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
-    tdf = post.groupBy("word").agg(
-        F.countDistinct("doc_id").cast("long").alias("dfreq")
-    )
-    stopw = tdf.orderBy(F.desc("dfreq"), "word").limit(TR_STOP_K).select("word")
-    fpost = (
-        post.join(F.broadcast(stopw), "word", "left_anti")
-        .withColumn(
-            "fpos",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    from kafka_to_parquet_spark.operators.graph import edge_feature
+
+    def _build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        post = docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("pos0", "word"),
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+        tdf = post.groupBy("word").agg(
+            F.countDistinct("doc_id").cast("long").alias("dfreq")
         )
-        .select("doc_id", "word", "fpos")
-    )
-    a, b = fpost.alias("a"), fpost.alias("b")
-    wedge = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.fpos") - F.col("a.fpos")).between(1, TR_WINDOW)
-            & (F.col("a.word") != F.col("b.word")),
+        stopw = (
+            tdf.orderBy(F.desc("dfreq"), "word").limit(TR_STOP_K).select("word")
         )
-        .groupBy(F.col("a.word").alias("wa"), F.col("b.word").alias("wb"))
-        .agg(F.count("*").cast("long").alias("w"))
-    )
-    edges = (
-        wedge.unionByName(
-            wedge.select(
-                F.col("wb").alias("wa"), F.col("wa").alias("wb"), "w"
+        fpost = (
+            post.join(F.broadcast(stopw), "word", "left_anti")
+            .withColumn(
+                "fpos",
+                F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
             )
+            .select("doc_id", "word", "fpos")
         )
-        .groupBy(F.col("wa").alias("src"), F.col("wb").alias("dst"))
-        .agg(F.sum("w").cast("long").alias("w"))
-    )
-    strength = edges.groupBy("src").agg(F.sum("w").cast("long").alias("s"))
-    edges_s = (
-        edges.join(strength, "src")
-        .repartition(F.col("src"))
-        .sortWithinPartitions("src")
-        .persist()
-    )
+        a, b = fpost.alias("a"), fpost.alias("b")
+        wedge = (
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("b.fpos") - F.col("a.fpos")).between(1, TR_WINDOW)
+                & (F.col("a.word") != F.col("b.word")),
+            )
+            .groupBy(F.col("a.word").alias("wa"), F.col("b.word").alias("wb"))
+            .agg(F.count("*").cast("long").alias("w"))
+        )
+        edges = (
+            wedge.unionByName(
+                wedge.select(
+                    F.col("wb").alias("wa"), F.col("wa").alias("wb"), "w"
+                )
+            )
+            .groupBy(F.col("wa").alias("src"), F.col("wb").alias("dst"))
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+        strength = edges.groupBy("src").agg(F.sum("w").cast("long").alias("s"))
+        return (
+            edges.join(strength, "src")
+            .repartition(F.col("src"))
+            .sortWithinPartitions("src")
+        )
+
+    edges_s = edge_feature(spark, sf_dir, "textrank_cooc", _build)
     tnodes = edges_s.select(F.col("src").alias("node")).distinct()
     tpar = tnodes.agg(
         F.expr(f"{_TR_T} DIV count(*) AS r_init"),
@@ -2538,7 +2558,6 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     loop.finish()  # park the final ranks for sweep-boundary eviction
-    loop.park(edges_s)
     return (
         r.select(F.col("node").alias("word"), F.col("r").cast("long").alias("rank_units"))
         .orderBy(F.desc("rank_units"), "word")

@@ -252,7 +252,33 @@ CERTIFIED: set[str] = {
 # (round-11 entries — q_coreset_kcenter, q_dedup_url, q_suffix_lrs,
 # q_dedup_jaccard_prefix, q_dedup_containment — all landed green rows
 # in CORRECTNESS_r11.json and were cleared at round-12 start.)
-RECERTIFY: set[str] = set()
+# Round-12 entries:
+# - q_dedup_jaccard_prefix / q_dedup_containment: candidate generation
+#   now routes through minhash._sharded_candidates so the
+#   $KTPS_PPJOIN_SHARDS knob can bound the posting-universe working
+#   set (round-11 verdict item 3 — the sf≈100 spill-bound cell's
+#   mitigation is now code, not docstring). Default S=1 keeps the
+#   single-pass plan; values unchanged by construction (sharding by
+#   pmod(h, S) partitions the equi-join's match space exactly; pinned
+#   by tests/test_prefix_lossless.py), but the restructured path must
+#   earn a fresh driver row.
+# - q_suffix_lrs: the persisted token relation is now parked in the
+#   registered cache (round-11 advisor item 3 — both return paths'
+#   plans read it, so it leaked per-invocation in a long-lived
+#   session). Values unchanged; lifecycle changed.
+# - q_sssp_weighted / q_text_textrank / q_graph_modularity /
+#   q_graph_pagerank: their decorated edge relations moved into the
+#   graph.edge_feature feature-level cache (round-11 verdict item 4 —
+#   honest per-sample cost is now rounds+audits, graph construction
+#   amortizes like the other shared feature tables; sssp 4.5→3.4 s,
+#   textrank 4.7→2.0 s, modularity 3.2→1.6 s at sf0.1). Values
+#   unchanged by construction (same plans, cached), but the
+#   restructured path must earn a fresh driver row.
+RECERTIFY: set[str] = {
+    "q_dedup_jaccard_prefix", "q_dedup_containment", "q_suffix_lrs",
+    "q_sssp_weighted", "q_text_textrank", "q_graph_modularity",
+    "q_graph_pagerank",
+}
 
 
 def _round_number() -> int:

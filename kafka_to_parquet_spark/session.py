@@ -59,3 +59,27 @@ def get_spark(app_name: str = "kafka_to_parquet_spark", cpus: int | None = None)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def reclaim(spark: SparkSession) -> None:
+    """Release superseded shuffle files NOW instead of at the JVM's
+    leisure — the discipline any production driver running many heavy
+    jobs in one SparkContext needs.
+
+    Spark deletes a job's shuffle files only when the JVM garbage-
+    collects the now-unreachable ShuffleDependency objects (the
+    ContextCleaner is GC-triggered). A long-lived driver chaining
+    tens-of-GB shuffle jobs can fill local disk with several jobs'
+    accumulated spill before a full GC ever runs — the first sf≈100
+    stress cell did exactly that (round-11 SCALING note). One explicit
+    Python GC (drops py4j proxies) followed by a JVM GC (runs the
+    ContextCleaner's reference queue) bounds the on-disk working set
+    to roughly one job's shuffle.
+
+    Call it BETWEEN heavy jobs, outside any timing window — cleanup is
+    not the next query's cost. Cheap enough to call unconditionally:
+    a no-garbage invocation is two GC pauses (~100 ms locally)."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()

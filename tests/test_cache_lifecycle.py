@@ -154,3 +154,17 @@ def test_park_frame_keys_by_sf_dir_when_known(spark):
     clear_caches(spark, SF_A)
     assert (spark, SF_A) not in _DEFERRED_ROUNDS
     assert df.storageLevel.useMemory is False
+
+
+def test_reclaim_is_a_package_util(spark):
+    """session.reclaim — the between-heavy-jobs shuffle-file release
+    discipline the sf≈100 stress proved necessary — must live in the
+    package (round-11 verdict item 6), run against a live session
+    without error, and leave the session usable."""
+    from pyspark.sql import functions as F
+
+    from kafka_to_parquet_spark.session import reclaim
+
+    spark.range(1000).groupBy(F.col("id") % 7).count().collect()
+    reclaim(spark)
+    assert spark.range(3).count() == 3

@@ -122,3 +122,31 @@ def test_containment_is_lossless_on_adversarial_corpus(spark, adversarial_dir):
     ]
     for small, large in itertools.combinations(chain, 2):
         assert (small, large) in got
+
+
+@pytest.mark.parametrize(
+    "qname,keycols",
+    [
+        ("q_dedup_jaccard_prefix", ("doc_a", "doc_b", "jaccard")),
+        ("q_dedup_containment", ("doc_a", "doc_b", "containment")),
+    ],
+)
+def test_ppjoin_shard_knob_is_lossless(
+    spark, adversarial_dir, monkeypatch, qname, keycols
+):
+    """KTPS_PPJOIN_SHARDS partitions the candidate join by token-
+    universe shard (the sf≈100 spill-bound mitigation, round-11
+    verdict item 3); sharding must change ONLY the execution shape —
+    the verified pair set and similarity values are identical for any
+    S, including S larger than the number of distinct hashes hit."""
+    registry.load_all()
+
+    def rows(df):
+        return sorted(tuple(r[c] for c in keycols) for r in df.collect())
+
+    monkeypatch.delenv("KTPS_PPJOIN_SHARDS", raising=False)
+    base = rows(registry.QUERIES[qname](spark, adversarial_dir))
+    assert base  # the adversarial corpus produces pairs by design
+    for shards in (3, 7):
+        monkeypatch.setenv("KTPS_PPJOIN_SHARDS", str(shards))
+        assert rows(registry.QUERIES[qname](spark, adversarial_dir)) == base

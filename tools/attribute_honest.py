@@ -62,6 +62,34 @@ def _bench_queries(path: str) -> dict[str, float]:
     return dict((inner or {}).get("queries") or {})
 
 
+def classify(r10: float, r11: float, honest: float, memo: float) -> str:
+    """Attribute a recorded r10→r11 mover from today's two-regime
+    measurement. In priority order:
+
+    1. ``honest-timing`` — the honest−memoized gap explains ≥60% of
+       the recorded delta, OR the memoized figure reproduces r10's
+       record (±max(0.3s, 20%)) while honest sits clearly above it:
+       r10 recorded the memoized artifact; any r11-vs-honest residue
+       is run-to-run noise on top.
+    2. ``r11-noise`` — no cache story (|gap| small) and today's honest
+       median reproduces r10's figure (±max(0.35s, 25%)) or beats it:
+       the r11 sweep ran during host contention; nothing regressed.
+    3. ``regression?`` — anything else: flag for manual audit.
+    """
+    delta = r11 - r10
+    gap = honest - memo
+    if delta > 0 and (
+        gap >= 0.6 * delta
+        or (abs(memo - r10) <= max(0.3, 0.2 * r10) and gap >= 0.3)
+    ):
+        return "honest-timing"
+    if abs(gap) <= max(0.3, 0.15 * honest) and (
+        honest <= r10 or abs(honest - r10) <= max(0.35, 0.25 * honest)
+    ):
+        return "r11-noise"
+    return "regression?"
+
+
 def run_one(spark, name: str, sf_dir: str) -> float:
     fn = registry.QUERIES[name]
     t0 = time.time()
@@ -109,15 +137,7 @@ def main() -> None:
         m = statistics.median(memo)
         delta = r11[q] - r10[q]
         gap = h - m
-        if delta > 0 and gap >= 0.6 * delta:
-            verdict = "honest-timing"
-        elif (
-            abs(delta) <= max(0.35, 0.25 * h)
-            and abs(h - r11[q]) <= max(0.35, 0.25 * h)
-        ):
-            verdict = "noise"
-        else:
-            verdict = "regression?"
+        verdict = classify(r10[q], r11[q], h, m)
         rows[q] = {
             "r10": r10[q],
             "r11": r11[q],
