@@ -231,6 +231,9 @@ BENCH_OMITTED = {
     "q_fertility_bytes": "per-row regex counts + (lang,source) agg ⊂ q_text_quality shape",
     "q_dup_width_curve": "4 parametric legs of the q_ngram_novelty hash-postings shape; stress row instead",
     "q_filter_venn": "digest groupBy + broadcast-bench join composition of benched shapes; stress row instead",
+    # round-12 batch11:
+    "q_quant_error_curve": "3 parametric legs of the q_sim_topk_int8 broadcast-probe shape + per-row error maps",
+    "q_sample_hash_stratified": "tiny stats agg broadcast onto one hash-filtered corpus scan ⊂ q_sample_temperature shape",
 }
 
 

@@ -268,6 +268,30 @@ _POSTINGS_CACHE: dict[tuple[SparkSession, str], dict[str, DataFrame]] = (
 )
 
 
+def _posting_plans(spark: SparkSession, sf_dir: str, prefix_len_sql: str):
+    """Un-materialized (full, prefix) posting plans off the hashed-
+    shingle table — the single definition both PPJoin queries and both
+    materialization regimes (persist / parquet-shard) build from, so
+    the canonical (df, h) ordering and df computation can never
+    drift."""
+    from pyspark.sql import Window
+
+    hsh = _hashed_shingles(spark, sf_dir)
+    ex = hsh.select("doc_id", F.explode("hs").alias("h"))
+    sized = hsh.select("doc_id", F.size("hs").alias("n"))
+    full = ex.join(sized, "doc_id")
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    prefix = (
+        ex.join(dfreq, "h")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sized, "doc_id")
+        .filter(F.col("rk") <= F.expr(prefix_len_sql))
+        .select("doc_id", "h", "n", "rk")
+    )
+    return hsh, full, prefix
+
+
 def _prefix_postings(spark: SparkSession, sf_dir: str, prefix_len_sql: str):
     """Shared PPJoin-family machinery for the prefix-filtered joins:
     returns (hashed-shingle table, full postings with set size, prefix
@@ -276,30 +300,15 @@ def _prefix_postings(spark: SparkSession, sf_dir: str, prefix_len_sql: str):
     ``n`` (the doc's distinct-shingle count) giving the per-doc prefix
     length for the caller's threshold. Prefix postings carry ``rk``
     (the token's 1-based canonical position) so callers can apply the
-    PPJoin positional filter. One definition so the canonical
-    ordering and df computation can never drift between the Jaccard
-    and containment joins; both tables persist through the registered
-    feature cache above."""
-    from pyspark.sql import Window
-
-    hsh = _hashed_shingles(spark, sf_dir)
+    PPJoin positional filter. Both tables persist through the
+    registered feature cache above."""
+    hsh, full, prefix = _posting_plans(spark, sf_dir, prefix_len_sql)
     inner = _POSTINGS_CACHE.setdefault((spark, sf_dir), {})
-    ex = hsh.select("doc_id", F.explode("hs").alias("h"))
-    sized = hsh.select("doc_id", F.size("hs").alias("n"))
     if "full" not in inner:
-        inner["full"] = ex.join(sized, "doc_id").persist()
+        inner["full"] = full.persist()
     pk = f"prefix:{prefix_len_sql}"
     if pk not in inner:
-        dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        w = Window.partitionBy("doc_id").orderBy("df", "h")
-        inner[pk] = (
-            ex.join(dfreq, "h")
-            .withColumn("rk", F.row_number().over(w))
-            .join(sized, "doc_id")
-            .filter(F.col("rk") <= F.expr(prefix_len_sql))
-            .select("doc_id", "h", "n", "rk")
-            .persist()
-        )
+        inner[pk] = prefix.persist()
     return hsh, inner["full"], inner[pk]
 
 
@@ -322,30 +331,122 @@ def ppjoin_shards() -> int:
     return max(1, int(os.environ.get("KTPS_PPJOIN_SHARDS", "1")))
 
 
-def _sharded_candidates(spark: SparkSession, build) -> DataFrame:
-    """Run ``build(shard_filter)`` once (S=1: unchanged single-pass
-    plan) or once per token-universe shard, SEQUENTIALLY.
+def _write_posting_parquet(
+    spark: SparkSession, sf_dir: str, prefix_len_sql: str, nm: str, path: str
+) -> None:
+    """Materialize one posting table to compressed parquet for the
+    shard loop — STAGED so no single job holds the whole pipeline's
+    shuffle files at once.
 
-    ``build`` receives a function that filters a postings frame to the
-    current shard on its hash column (identity when S=1) and returns
-    the shard's DISTINCT candidate-pair frame. Sequencing is forced by
-    an eager ``localCheckpoint`` per shard — shard s's sort/spill
-    scratch is released (session.reclaim) before shard s+1 starts, so
-    peak scratch is ONE shard's join, not the whole universe. A pair
-    matching on hashes in two different shards appears twice across
-    shards, so the union re-distincts — over pair rows only, orders of
-    magnitude smaller than postings."""
-    shards = ppjoin_shards()
-    if shards <= 1:
-        return build(lambda df, col="h": df)
+    Shuffle files live until their JOB ends, so a one-job write of the
+    prefix pipeline (explode → df agg+join → per-doc window → size
+    join → sink) keeps ~4 posting-universe-sized exchanges on disk
+    simultaneously — measured at the sf≈100 cell to be the disk
+    footprint itself (~65 GB, the whole scratch budget of the stress
+    box), independent of the join it feeds. Splitting at the df-join
+    boundary bounds residency to ~2 exchanges per job, with the
+    intermediate parquet (columnar ints, well compressed) and a
+    shuffle reclaim between the jobs."""
+    import shutil
+
     from kafka_to_parquet_spark.session import reclaim
 
+    hsh = _hashed_shingles(spark, sf_dir)
+    ex = hsh.select("doc_id", F.explode("hs").alias("h"))
+    sized = hsh.select("doc_id", F.size("hs").alias("n"))
+    if nm == "full":
+        ex.join(sized, "doc_id").write.mode("overwrite").parquet(path)
+        reclaim(spark)
+        return
+    from pyspark.sql import Window
+
+    stage1 = path + ".stage1"
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ex.join(dfreq, "h").write.mode("overwrite").parquet(stage1)
+    reclaim(spark)
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    (
+        spark.read.parquet(stage1)
+        .withColumn("rk", F.row_number().over(w))
+        .join(sized, "doc_id")
+        .filter(F.col("rk") <= F.expr(prefix_len_sql))
+        .select("doc_id", "h", "n", "rk")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    shutil.rmtree(stage1, ignore_errors=True)
+    reclaim(spark)
+
+
+def _sharded_ppjoin(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix_len_sql: str,
+    names: tuple[str, ...],
+    pipeline,
+) -> DataFrame:
+    """PPJoin candidate-generation + verification, single-pass or
+    sharded.
+
+    ``pipeline`` receives a dict of the posting frames it reads
+    (subset of ``{"prefix", "full"}``, per ``names``) and returns the
+    VERIFIED result frame; with S=1 it gets the persisted
+    feature-cache tables — the unchanged single-pass plan. With
+    ``$KTPS_PPJOIN_SHARDS`` = S > 1 the posting tables are instead
+    MATERIALIZED ONCE TO COMPRESSED PARQUET (cached as a temp-dataset
+    path in the postings cache) and the WHOLE pipeline — candidate
+    join AND verification — runs once per token-universe shard over
+    pmod-filtered scans, SEQUENTIALLY.
+
+    Why the whole pipeline shards, not just candidate generation (r12
+    stage-level measurement at sf≈100): candidate PAIRS are linear
+    but plentiful (~125M at the third decade), and verification must
+    exchange them WITH their shingle arrays attached (~1 KB/row) —
+    that array-attached intermediate, not the posting join, is the
+    dominant disk footprint (~50-60 GB, the whole scratch budget of
+    the stress box). Sharding the pipeline bounds it to 1/S per
+    sequential pass and releases it (eager ``localCheckpoint`` of the
+    tiny verified slice + session.reclaim) before the next shard.
+
+    Why parquet, not persist, for the shard-mode posting tables: a
+    deserialized MEMORY_AND_DISK spill sits in the block manager for
+    the whole loop; columnar-compressed int postings are ~1-2 GB at
+    the same scale and each shard filter-scans them.
+
+    Correctness of sharding: ``pmod(h, S)`` exactly partitions the
+    candidate join's match space (both sides of a match carry the
+    same ``h``), so every true pair appears in ≥1 shard; verification
+    is a deterministic function of the pair (arrays + integer/
+    floor-round arithmetic), so a pair surfacing in two shards yields
+    IDENTICAL verified rows and the final union ``distinct()``
+    (over verified rows — orders of magnitude smaller than
+    candidates) is exact."""
+    shards = ppjoin_shards()
+    if shards <= 1:
+        _, full, prefix = _prefix_postings(spark, sf_dir, prefix_len_sql)
+        return pipeline({"full": full, "prefix": prefix})
+    import tempfile
+
+    from kafka_to_parquet_spark.session import reclaim
+
+    inner = _POSTINGS_CACHE.setdefault((spark, sf_dir), {})
+    paths: dict[str, str] = {}
+    for nm in names:
+        key = f"parquet:{nm}:{prefix_len_sql if nm == 'prefix' else ''}"
+        if key not in inner:
+            path = tempfile.mkdtemp(prefix=f"ktps_ppjoin_{nm}_")
+            _write_posting_parquet(spark, sf_dir, prefix_len_sql, nm, path)
+            inner[key] = path
+        paths[nm] = inner[key]
     parts: list[DataFrame] = []
     for s in range(shards):
-        def shard_filter(df: DataFrame, col: str = "h", s: int = s) -> DataFrame:
-            return df.filter(F.pmod(F.col(col), F.lit(shards)) == s)
-
-        parts.append(build(shard_filter).localCheckpoint(eager=True))
+        frames = {
+            nm: spark.read.parquet(p).filter(
+                F.pmod(F.col("h"), F.lit(shards)) == s
+            )
+            for nm, p in paths.items()
+        }
+        parts.append(pipeline(frames).localCheckpoint(eager=True))
         reclaim(spark)
     out = parts[0]
     for p in parts[1:]:
@@ -423,14 +524,16 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``$KTPS_PPJOIN_SHARDS`` runs this candidate join per token-universe
     shard — see :func:`ppjoin_shards`; run exact dedup upstream first
     regardless, it shrinks the universe for free."""
-    hsh, _, prefix = _prefix_postings(
-        spark, sf_dir, "n - ((n + 1) DIV 2) + 1"
+    hsh = _hashed_shingles(spark, sf_dir)
+    inter = F.expr("CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)")
+    union = F.expr(
+        "size(sa.hs) + size(sb.hs) - size(array_intersect(sa.hs, sb.hs))"
     )
 
-    def build(shard_filter) -> DataFrame:
-        sliced = shard_filter(prefix)
+    def pipeline(frames: dict) -> DataFrame:
+        sliced = frames["prefix"]
         x, y = sliced.alias("x"), sliced.alias("y")
-        return (
+        cand = (
             x.join(
                 y,
                 (F.col("x.h") == F.col("y.h"))
@@ -459,15 +562,27 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
+        # SHUFFLE_HASH on the shingle-set side: SMJ would additionally
+        # SORT the array-attached pair intermediate; the shuffled hash
+        # join builds a per-partition map of the doc-keyed set table
+        # and streams the pairs — no sort spill.
+        return (
+            cand.join(
+                hsh.alias("sa").hint("shuffle_hash"),
+                F.col("doc_a") == F.col("sa.doc_id"),
+            )
+            .join(
+                hsh.alias("sb").hint("shuffle_hash"),
+                F.col("doc_b") == F.col("sb.doc_id"),
+            )
+            .select(
+                "doc_a", "doc_b", floor_round(inter / union, 6).alias("jaccard")
+            )
+            .filter(F.col("jaccard") >= PREFIX_TAU)
+        )
 
-    cand = _sharded_candidates(spark, build)
-    inter = F.expr("CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)")
-    union = F.expr("size(sa.hs) + size(sb.hs) - size(array_intersect(sa.hs, sb.hs))")
-    return (
-        cand.join(hsh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(hsh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", floor_round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= PREFIX_TAU)
+    return _sharded_ppjoin(
+        spark, sf_dir, "n - ((n + 1) DIV 2) + 1", ("prefix",), pipeline
     )
 
 
@@ -518,20 +633,19 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication on both engines; the reported containment is
     floor-rounded to 6 dp only for display."""
     # ceil(tau*n) = (NUM*n + DEN - 1) DIV DEN in integers.
-    hsh, full_raw, prefix = _prefix_postings(
-        spark,
-        sf_dir,
-        f"n - (({CONT_TAU_NUM} * n + {CONT_TAU_DEN - 1}) DIV {CONT_TAU_DEN}) + 1",
-    )
-    full = full_raw.select(
-        F.col("doc_id").alias("b_id"), F.col("h").alias("bh"), F.col("n").alias("bn")
-    )
+    hsh = _hashed_shingles(spark, sf_dir)
+    inter = F.expr("size(array_intersect(sa.hs, sb.hs))")
 
-    def build(shard_filter) -> DataFrame:
-        return (
-            shard_filter(prefix)
+    def pipeline(frames: dict) -> DataFrame:
+        full = frames["full"].select(
+            F.col("doc_id").alias("b_id"),
+            F.col("h").alias("bh"),
+            F.col("n").alias("bn"),
+        )
+        cand = (
+            frames["prefix"]
             .join(
-                shard_filter(full, "bh"),
+                full,
                 (F.col("h") == F.col("bh"))
                 & (F.col("doc_id") != F.col("b_id"))
                 # |b| >= tau*|a| or the intersection can't reach tau*|a|
@@ -540,20 +654,34 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
             .distinct()
         )
-
-    cand = _sharded_candidates(spark, build)
-    inter = F.expr("size(array_intersect(sa.hs, sb.hs))")
-    return (
-        cand.join(hsh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(hsh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(inter * CONT_TAU_DEN >= F.expr("size(sa.hs)") * CONT_TAU_NUM)
-        .select(
-            "doc_a",
-            "doc_b",
-            floor_round(
-                inter.cast("double") / F.expr("CAST(size(sa.hs) AS DOUBLE)"), 6
-            ).alias("containment"),
+        # shuffle_hash: see q_dedup_jaccard_prefix — no sort of the
+        # array-attached pair intermediate during verification.
+        return (
+            cand.join(
+                hsh.alias("sa").hint("shuffle_hash"),
+                F.col("doc_a") == F.col("sa.doc_id"),
+            )
+            .join(
+                hsh.alias("sb").hint("shuffle_hash"),
+                F.col("doc_b") == F.col("sb.doc_id"),
+            )
+            .filter(inter * CONT_TAU_DEN >= F.expr("size(sa.hs)") * CONT_TAU_NUM)
+            .select(
+                "doc_a",
+                "doc_b",
+                floor_round(
+                    inter.cast("double") / F.expr("CAST(size(sa.hs) AS DOUBLE)"),
+                    6,
+                ).alias("containment"),
+            )
         )
+
+    return _sharded_ppjoin(
+        spark,
+        sf_dir,
+        f"n - (({CONT_TAU_NUM} * n + {CONT_TAU_DEN - 1}) DIV {CONT_TAU_DEN}) + 1",
+        ("prefix", "full"),
+        pipeline,
     )
 
 

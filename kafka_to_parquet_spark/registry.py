@@ -254,7 +254,7 @@ CERTIFIED: set[str] = {
 # in CORRECTNESS_r11.json and were cleared at round-12 start.)
 # Round-12 entries:
 # - q_dedup_jaccard_prefix / q_dedup_containment: candidate generation
-#   now routes through minhash._sharded_candidates so the
+#   now routes through minhash._sharded_ppjoin so the
 #   $KTPS_PPJOIN_SHARDS knob can bound the posting-universe working
 #   set (round-11 verdict item 3 — the sf≈100 spill-bound cell's
 #   mitigation is now code, not docstring). Default S=1 keeps the
@@ -376,3 +376,6 @@ def load_all() -> None:
     from kafka_to_parquet_spark.operators import batch9  # noqa: F401
     # batch10 (round-11 session additions): same last-in-line rule.
     from kafka_to_parquet_spark.operators import batch10  # noqa: F401
+
+    # batch11 (round-12 session additions): same last-in-line rule.
+    from kafka_to_parquet_spark.operators import batch11  # noqa: F401

@@ -140,6 +140,9 @@ SINGLE_PART_OK: dict[str, str] = {
     "q_repurchase_gaps": _sp_bounded("calendar-bounded gap histogram"),
     "q_rfm_segments": _SP_SCALAR,
     "q_rocchio_expand": _SP_SCALAR,
+    "q_sample_hash_stratified": _sp_bounded(
+        "|lang| strata stats rows -> 1-row budget reduce, broadcast back"
+    ),
     "q_sample_temperature": _SP_SCALAR,
     "q_pad_waste_buckets": _SP_SCALAR,
     "q_search_rrf": _sp_bounded("two top-k legs (<=2k rows)"),

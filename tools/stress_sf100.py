@@ -264,6 +264,17 @@ def main() -> None:
                     clear_result_caches(spark)
                     ts.append(run_once("q_dedup_jaccard_prefix", hi))
                 tS = statistics.median(ts)
+            except Exception as exc:  # noqa: BLE001 — control cell must
+                # never kill the table write (r12: it died on a disk
+                # pre-filled by the S=1 sweeps' scratch)
+                os.environ.pop("KTPS_PPJOIN_SHARDS", None)
+                shard_lines.append(
+                    f"- q_dedup_jaccard_prefix sf≈100 with "
+                    f"KTPS_PPJOIN_SHARDS={S}: FAILED "
+                    f"{type(exc).__name__}: {str(exc)[:100]}")
+                print(shard_lines[-1], flush=True)
+                continue
+            try:
                 base = samples.get(("q_dedup_jaccard_prefix", hi)) or []
                 t1 = statistics.median(base) if base else float("nan")
                 shard_lines.append(
