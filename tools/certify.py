@@ -50,7 +50,14 @@ def main() -> None:
     if not to_add and not landed_recert:
         print("CERTIFIED and RECERTIFY are up to date.")
         return
-    exit_code = 1
+    # Gate (exit 1) ONLY on uncertified accepted rows — the same
+    # condition tests/test_registry.py's guard enforces. Landed
+    # RECERTIFY entries print as an ADVISORY: an entry queued
+    # MID-round legitimately coexists with a row from before its code
+    # change (it awaits the NEXT driver window), and only the operator
+    # knows when it was queued — gating on it would turn every
+    # mid-round re-verification queue into a red `make closeout`.
+    exit_code = 1 if to_add else 0
     for rnd, names in to_add.items():
         print(f"# {rnd}: {len(names)} accepted rows to certify")
         for i in range(0, len(names), 3):
