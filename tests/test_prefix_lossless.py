@@ -124,6 +124,36 @@ def test_containment_is_lossless_on_adversarial_corpus(spark, adversarial_dir):
         assert (small, large) in got
 
 
+def test_ppjoin_shard_mode_materializes_parquet_not_persist(
+    spark, adversarial_dir, monkeypatch
+):
+    """In shard mode the posting tables must land as compressed
+    parquet temp datasets, staged intermediate removed, path cached
+    for reuse — and the deserialized single-pass persists must NOT be
+    populated (their block-manager spill was what pushed the sf≈100
+    cell over the disk; see _sharded_ppjoin docstring)."""
+    import glob as _glob
+    import os as _os
+
+    from kafka_to_parquet_spark.cache import clear_caches
+    from kafka_to_parquet_spark.llm.minhash import _POSTINGS_CACHE
+
+    registry.load_all()
+    clear_caches(spark, adversarial_dir)
+    monkeypatch.setenv("KTPS_PPJOIN_SHARDS", "3")
+    registry.QUERIES["q_dedup_jaccard_prefix"](spark, adversarial_dir).collect()
+    inner = _POSTINGS_CACHE[(spark, adversarial_dir)]
+    assert all(k.startswith("parquet:") for k in inner), sorted(inner)
+    (pq,) = [k for k in inner if k.startswith("parquet:prefix:")]
+    path = inner[pq]
+    assert _glob.glob(_os.path.join(path, "*.parquet"))
+    assert not _os.path.exists(path + ".stage1")
+    # second run reuses the materialized dataset (same cached path)
+    registry.QUERIES["q_dedup_jaccard_prefix"](spark, adversarial_dir).collect()
+    assert _POSTINGS_CACHE[(spark, adversarial_dir)][pq] == path
+    clear_caches(spark, adversarial_dir)
+
+
 @pytest.mark.parametrize(
     "qname,keycols",
     [
