@@ -1,12 +1,15 @@
 SF_DIR ?= /root/testdata/sf0.01
 
-.PHONY: test verify verify-plain bench plans smoke scaling stress kafka-smoke certify closeout
+.PHONY: test verify verify-plain bench plans smoke scaling stress kafka-smoke certify certify-apply closeout
 
 test:
 	python -m pytest tests/ -x -q
 
-certify:  # exits 1 until registry.CERTIFIED/RECERTIFY match driver rows on disk
+certify:  # exits 1 on STALE uncertified rows; pending (post-commit) rows advise
 	python tools/certify.py
+
+certify-apply:  # append pending driver rows to CERTIFIED, bump CERTIFIED_THROUGH
+	python tools/certify.py --apply
 
 closeout: certify test  # end-of-round ritual: snapshot commit must be green
 	@echo "closeout OK — safe to snapshot"

@@ -210,7 +210,24 @@ CERTIFIED: set[str] = {
     # cleared at round-12 start), and rotation re-certifications.
     "q_contamination_attrib", "q_contamination_ladder", "q_dup_width_curve",
     "q_fertility_bytes", "q_filter_venn", "q_repetition_windows",
+    # round 12 (CORRECTNESS_r12.json): 50 accepted rows — the 2
+    # first-time batch11 rows below, the 7 RECERTIFY re-verifications
+    # (sharded PPJoin path, suffix-LRS cache parking, edge-feature
+    # graph kernels — already listed above; entries cleared at
+    # round-13 start), and rotation re-certifications.
+    "q_quant_error_curve", "q_sample_hash_stratified",
+    # === certify-apply insertion point (tools/certify.py --apply) ===
 }
+
+# Highest CORRECTNESS_r{N}.json round whose bookkeeping has been
+# applied to CERTIFIED/RECERTIFY above. Accepted rows in NEWER files
+# are "pending": the driver writes its rows AFTER the round's final
+# commit, so at round open they legitimately aren't in CERTIFIED yet.
+# The guard (tests/test_registry.py / tools/certify.py) warns on
+# pending rows and fails only on uncertified rows from rounds already
+# applied — run `make certify-apply` (or tools/certify.py --apply) to
+# append pending names and bump this.
+CERTIFIED_THROUGH: int = 12
 
 # Certified queries whose implementation (or a shared helper on their
 # path) changed since their last driver row — they jump the rotation
@@ -274,10 +291,19 @@ CERTIFIED: set[str] = {
 #   textrank 4.7→2.0 s, modularity 3.2→1.6 s at sf0.1). Values
 #   unchanged by construction (same plans, cached), but the
 #   restructured path must earn a fresh driver row.
+# (round-12 entries — q_dedup_jaccard_prefix, q_dedup_containment,
+# q_suffix_lrs, q_sssp_weighted, q_text_textrank, q_graph_modularity,
+# q_graph_pagerank — all landed green rows in CORRECTNESS_r12.json and
+# were cleared at round-13 start.)
+# Round-13 entries:
+# - q_dedup_jaccard_prefix / q_dedup_containment: shard count S is now
+#   self-selected from the corpus's estimated posting bytes
+#   (minhash.ppjoin_shards) instead of the $KTPS_PPJOIN_SHARDS=1 cliff
+#   default (round-12 verdict item 2). Values unchanged by
+#   construction (sharding is lossless for any S; pinned by
+#   tests/test_prefix_lossless.py), but the default plan changed.
 RECERTIFY: set[str] = {
-    "q_dedup_jaccard_prefix", "q_dedup_containment", "q_suffix_lrs",
-    "q_sssp_weighted", "q_text_textrank", "q_graph_modularity",
-    "q_graph_pagerank",
+    "q_dedup_jaccard_prefix", "q_dedup_containment",
 }
 
 
