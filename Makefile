@@ -1,6 +1,6 @@
 SF_DIR ?= /root/testdata/sf0.01
 
-.PHONY: test verify verify-plain bench plans smoke scaling stress kafka-smoke certify certify-apply closeout
+.PHONY: test verify verify-plain bench plans smoke scaling stress kafka-smoke certify certify-apply attribution closeout
 
 test:
 	python -m pytest tests/ -x -q
@@ -11,7 +11,10 @@ certify:  # exits 1 on STALE uncertified rows; pending (post-commit) rows advise
 certify-apply:  # append pending driver rows to CERTIFIED, bump CERTIFIED_THROUGH
 	python tools/certify.py --apply
 
-closeout: certify test  # end-of-round ritual: snapshot commit must be green
+attribution:  # attribute round-over-round bench movers (fast: >0.5s only)
+	python tools/attribute_honest.py --fast
+
+closeout: certify test attribution  # end-of-round ritual: snapshot commit must be green
 	@echo "closeout OK — safe to snapshot"
 
 verify:

@@ -50,6 +50,14 @@ member must be traceable to the rep that stands for it); every folded
 query keeps its correctness gate, and the heavy ones keep SCALING.md
 rows. BENCH_LOCAL.json (written beside this file on every run) keeps
 full precision and the raw samples.
+
+Feature-store honesty (round-12 verdict item 4): feature-level caches
+stay warm across sweeps by design (they model a shared feature store),
+so per-query medians are WARM-kernel figures. The one-time build cost
+is reported separately as ``feature_build_total`` (sum of first-sample
+overhang above each query's warm median) — full key in
+BENCH_LOCAL.json, compact ``fbt`` on the stdout line — so the headline
+total is never mistaken for end-to-end cold cost.
 """
 
 from __future__ import annotations
@@ -415,6 +423,23 @@ def main() -> None:
         n: round(statistics.median(ts), 3) for n, ts in samples.items() if ts
     }
 
+    # Feature-store build cost, reported so warm-kernel totals are
+    # never read as end-to-end cost (round-12 verdict item 4): feature-
+    # level caches (shingle tables, decorated graph edges) build inside
+    # whichever sweep-1 sample first touches them and stay warm for
+    # every later sample, so each query's first-sample overhang above
+    # its warm median — summed — is the one-time build cost the warm
+    # medians amortize away. Per-query sample arrays are in
+    # BENCH_LOCAL.json for the split.
+    feature_build_total = round(
+        sum(
+            max(0.0, ts[0] - statistics.median(ts[1:]))
+            for ts in samples.values()
+            if len(ts) >= 2
+        ),
+        3,
+    )
+
     # Cross-artifact guard (see scaling_isolated_figures above): only
     # meaningful when the sweep ran at the scale the SCALING.md stress
     # table measured (sf0.1 — its t(sf0.1) column).
@@ -445,6 +470,11 @@ def main() -> None:
         "queries": timings,
         "iters": iters,
         "sf": sf,
+        # One-time feature-cache build cost the warm medians amortize
+        # (first-sample overhang, see above) — NOT part of `value`.
+        # Full key in BENCH_LOCAL.json; the stdout line carries it as
+        # compact "fbt" (tail budget).
+        "feature_build_total": feature_build_total,
     }
     # Like-for-like guard (round-10 verdict item 6): the raw total
     # moves whenever the headline set's composition changes, so also
@@ -506,6 +536,10 @@ def main() -> None:
     # keeps 3-dp and the iters count.
     out["queries"] = {n: compact_val(t) for n, t in timings.items()}
     out.pop("iters", None)
+    # feature_build_total -> compact "fbt" on stdout (the descriptive
+    # key stays in BENCH_LOCAL.json written above).
+    out.pop("feature_build_total", None)
+    out["fbt"] = compact_val(feature_build_total)
     if noisy:
         out["resampled"] = noisy
 
@@ -521,6 +555,9 @@ def main() -> None:
     # line must parse above all else.
     if len(line) > budget and out.get("errors"):
         out["errors"] = {n: e[:60] for n, e in out["errors"].items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > budget:
+        out.pop("fbt", None)  # advisory; full value in BENCH_LOCAL
         line = json.dumps(out, separators=(",", ":"))
     if len(line) > budget:
         out.pop("resampled", None)

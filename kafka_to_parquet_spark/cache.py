@@ -18,15 +18,26 @@ blocks. ``bench.py`` calls it between scale factors and at teardown.
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
 # Every registered cache maps (SparkSession, sf_dir) -> cached value.
 # Values are DataFrames (storage-holding: the ones this module exists
-# for) or plain strings/tuples (temp-dataset paths: freed for dict
-# hygiene, no executor storage involved).
+# for), plain scalars/tuples (memoized stats — dict hygiene only), or
+# temp-DATASET PATH strings (the shard-mode PPJoin posting parquet):
+# those paths OWN multi-GB on-disk datasets, so eviction rmtree's any
+# string value whose basename carries a recognized temp prefix —
+# dropping only the path string would orphan the dataset and a later
+# call would re-materialize into a fresh tempdir, compounding the leak
+# on disk-bound hosts (round-12 advisor, minhash.py:437).
 _REGISTERED: list[dict[tuple[SparkSession, str], Any]] = []
+
+# Basename prefixes marking a cached string value as an owned
+# temp-dataset path (created via tempfile.mkdtemp with this prefix).
+_TEMP_DATASET_PREFIXES = ("ktps_ppjoin_",)
 
 # Subset of _REGISTERED whose cached value IS a query's answer (e.g.
 # converged component labels) rather than a shared input feature (e.g.
@@ -102,6 +113,12 @@ def _evict(
                         v.unpersist(blocking=True)
                     except Exception:
                         pass
+                elif isinstance(v, str) and os.path.basename(v).startswith(
+                    _TEMP_DATASET_PREFIXES
+                ):
+                    # Owned temp-dataset path: free the on-disk parquet
+                    # with the cache entry (see module comment).
+                    shutil.rmtree(v, ignore_errors=True)
             n += 1
     return n
 

@@ -312,23 +312,72 @@ def _prefix_postings(spark: SparkSession, sf_dir: str, prefix_len_sql: str):
     return hsh, inner["full"], inner[pk]
 
 
-def ppjoin_shards() -> int:
-    """Posting-universe shard count for the PPJoin candidate joins —
-    ``$KTPS_PPJOIN_SHARDS``, default 1 (single-pass, the plan every
-    fixture decade runs).
+# Per-pass posting budget for the auto-selected shard count. Sized
+# from the sf≈100 stress (r12): ~450M postings single-pass was
+# spill-bound (416 s, ~65 GB scratch — the array-attached verification
+# intermediate is the footprint, ~1 KB/candidate pair scaling with the
+# per-pass posting mass) while S=4 (~112M postings/pass) ran 203 s at
+# 24 GB peak. 128M/pass keeps a decade of headroom below the measured
+# cliff on a 128 GiB host; on a real cluster the budget is per-executor
+# and the env knob re-tunes it without code changes.
+PPJOIN_TARGET_POSTINGS = 128_000_000
 
-    Why the knob exists: the sf≈100 stress measured the prefix join
+# Memoized per-(session, sf_dir) posting count — sum over docs of
+# |distinct shingle hashes|, i.e. the exact row count of the 'full'
+# posting table. One map-side aggregate over the persisted hashed-
+# shingle relation, which PPJoin verification materializes anyway, so
+# the estimate costs nothing the join wasn't already paying.
+_POSTING_COUNT_CACHE: dict[tuple[SparkSession, str], int] = register_cache({})
+
+
+def _posting_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark, sf_dir)
+    if key not in _POSTING_COUNT_CACHE:
+        row = _hashed_shingles(spark, sf_dir).agg(
+            F.sum(F.size("hs")).alias("n")
+        ).first()
+        _POSTING_COUNT_CACHE[key] = int(row[0] or 0)
+    return _POSTING_COUNT_CACHE[key]
+
+
+def ppjoin_shards(
+    spark: SparkSession | None = None, sf_dir: str | None = None
+) -> int:
+    """Posting-universe shard count for the PPJoin candidate joins —
+    SELF-SELECTED from the corpus's measured posting count (round-12
+    verdict item 2: the manual ``$KTPS_PPJOIN_SHARDS`` knob defaulted
+    to the S=1 cliff plan at the third decade), overridable via
+    ``$KTPS_PPJOIN_SHARDS`` for stress-control cells.
+
+    Why sharding exists: the sf≈100 stress measured the prefix join
     spill-bound — candidates and output stayed exactly LINEAR (the
     lossless filters hold), but the ~450M-row posting tables plus the
-    sort-merge scratch crossed the host's memory and the cell ran
-    32.8× instead of ~10× (SCALING.md third-decade table). Sharding
-    the token universe by ``pmod(h, S)`` is an EXACT partition of the
-    equi-join's match space (both sides of a match carry the same
-    ``h``), so running the join once per shard and unioning candidate
-    pairs is lossless — and each pass sorts only ~1/S of the postings,
-    keeping the working set under the memory cliff. Read at call time
-    so stress tools can set it per cell."""
-    return max(1, int(os.environ.get("KTPS_PPJOIN_SHARDS", "1")))
+    array-attached verification scratch crossed the host's memory and
+    the cell ran 416 s / ~65 GB single-pass vs 203 s / 24 GB at S=4
+    (SCALING.md third-decade table). Sharding the token universe by
+    ``pmod(h, S)`` is an EXACT partition of the equi-join's match
+    space (both sides of a match carry the same ``h``), so running the
+    join once per shard and unioning verified rows is lossless — and
+    each pass carries only ~1/S of the postings, keeping the working
+    set under the memory cliff.
+
+    Selection: S = ceil(posting_count / ``PPJOIN_TARGET_POSTINGS``),
+    clamped to [1, 64] — every fixture decade (≤ ~45M postings at
+    sf≈10) stays single-pass, the sf≈100 corpus (~450M) lands on the
+    measured-survivable S=4 with NO env var set. Read at call time so
+    stress tools can still pin a regime per cell; the per-pass budget
+    is tunable via ``$KTPS_PPJOIN_TARGET_POSTINGS``."""
+    env = os.environ.get("KTPS_PPJOIN_SHARDS", "")
+    if env:
+        return max(1, int(env))
+    if spark is None or sf_dir is None:
+        return 1
+    target = max(
+        1,
+        int(os.environ.get("KTPS_PPJOIN_TARGET_POSTINGS", "0"))
+        or PPJOIN_TARGET_POSTINGS,
+    )
+    return min(64, max(1, -(-_posting_count(spark, sf_dir) // target)))
 
 
 def _write_posting_parquet(
@@ -391,12 +440,22 @@ def _sharded_ppjoin(
     ``pipeline`` receives a dict of the posting frames it reads
     (subset of ``{"prefix", "full"}``, per ``names``) and returns the
     VERIFIED result frame; with S=1 it gets the persisted
-    feature-cache tables — the unchanged single-pass plan. With
-    ``$KTPS_PPJOIN_SHARDS`` = S > 1 the posting tables are instead
-    MATERIALIZED ONCE TO COMPRESSED PARQUET (cached as a temp-dataset
-    path in the postings cache) and the WHOLE pipeline — candidate
-    join AND verification — runs once per token-universe shard over
-    pmod-filtered scans, SEQUENTIALLY.
+    feature-cache tables — the unchanged single-pass plan. With S > 1
+    (auto-selected from the corpus posting count by
+    :func:`ppjoin_shards`, or pinned via ``$KTPS_PPJOIN_SHARDS``) the
+    posting tables are instead MATERIALIZED ONCE TO COMPRESSED PARQUET
+    (cached as a temp-dataset path in the postings cache; the dataset
+    is rmtree'd when the cache entry is evicted) and the WHOLE
+    pipeline — candidate join AND verification — runs once per
+    token-universe shard over pmod-filtered scans, SEQUENTIALLY.
+
+    EXECUTION-TIME CONTRACT (shard mode only): each shard's verified
+    slice is ``localCheckpoint(eager=True)``-ed so its scratch can be
+    reclaimed before the next pass — meaning the heavy work runs AT
+    DataFrame-CONSTRUCTION time, not at the caller's action. Timing
+    harnesses must therefore time the OPERATOR CALL through the action
+    (bench/stress/verify all do); timing only the action on the
+    returned frame would measure a union of checkpointed slices.
 
     Why the whole pipeline shards, not just candidate generation (r12
     stage-level measurement at sf≈100): candidate PAIRS are linear
@@ -421,7 +480,7 @@ def _sharded_ppjoin(
     IDENTICAL verified rows and the final union ``distinct()``
     (over verified rows — orders of magnitude smaller than
     candidates) is exact."""
-    shards = ppjoin_shards()
+    shards = ppjoin_shards(spark, sf_dir)
     if shards <= 1:
         _, full, prefix = _prefix_postings(spark, sf_dir, prefix_len_sql)
         return pipeline({"full": full, "prefix": prefix})
@@ -519,11 +578,15 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     common canonical token always survives, so the filter is lossless;
     measured 310k → 125k candidates at sf0.1 on this fixture);
     verification joins the int hash arrays onto the (far smaller)
-    candidate set only. When the posting universe outgrows executor
-    memory (the sf≈100 stress's spill-bound 32.8× cell),
-    ``$KTPS_PPJOIN_SHARDS`` runs this candidate join per token-universe
-    shard — see :func:`ppjoin_shards`; run exact dedup upstream first
-    regardless, it shrinks the universe for free."""
+    candidate set only. When the posting universe outgrows the
+    per-pass budget (the sf≈100 stress's spill-bound 32.8× cell), the
+    pipeline AUTO-SHARDS itself per token universe — S is selected
+    from the measured posting count (see :func:`ppjoin_shards`;
+    ``$KTPS_PPJOIN_SHARDS`` pins a regime for stress-control cells),
+    and in shard mode the whole pipeline executes eagerly at the
+    operator call (see :func:`_sharded_ppjoin`'s execution-time
+    contract). Run exact dedup upstream first regardless, it shrinks
+    the universe for free."""
     hsh = _hashed_shingles(spark, sf_dir)
     inter = F.expr("CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)")
     union = F.expr(
@@ -631,7 +694,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection fits in b); there is NO upper bound on |b| — that
     asymmetry is the point. The threshold predicate is pure integer
     cross-multiplication on both engines; the reported containment is
-    floor-rounded to 6 dp only for display."""
+    floor-rounded to 6 dp only for display. Shares PPJoin's
+    auto-sharding and (in shard mode) its eager execution-time
+    contract — see :func:`_sharded_ppjoin`."""
     # ceil(tau*n) = (NUM*n + DEN - 1) DIV DEN in integers.
     hsh = _hashed_shingles(spark, sf_dir)
     inter = F.expr("size(array_intersect(sa.hs, sb.hs))")

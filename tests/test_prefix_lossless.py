@@ -151,7 +151,11 @@ def test_ppjoin_shard_mode_materializes_parquet_not_persist(
     # second run reuses the materialized dataset (same cached path)
     registry.QUERIES["q_dedup_jaccard_prefix"](spark, adversarial_dir).collect()
     assert _POSTINGS_CACHE[(spark, adversarial_dir)][pq] == path
+    # eviction must FREE the on-disk dataset, not just drop the path
+    # string — orphaned tempdirs compounded per re-materialization on
+    # the disk-bound stress box (round-12 advisor item 1).
     clear_caches(spark, adversarial_dir)
+    assert not _os.path.exists(path)
 
 
 @pytest.mark.parametrize(
@@ -180,3 +184,45 @@ def test_ppjoin_shard_knob_is_lossless(
     for shards in (3, 7):
         monkeypatch.setenv("KTPS_PPJOIN_SHARDS", str(shards))
         assert rows(registry.QUERIES[qname](spark, adversarial_dir)) == base
+
+
+def test_ppjoin_shards_self_select(spark, adversarial_dir, monkeypatch):
+    """Round-12 verdict item 2: with NO env var set the shard count
+    derives from the measured posting count (ceil(postings/target),
+    clamped), so the third-decade corpus runs off-cliff by default;
+    $KTPS_PPJOIN_SHARDS still pins a regime for stress-control cells;
+    and the auto-selected plan returns the same verified rows."""
+    from kafka_to_parquet_spark.cache import clear_caches
+    from kafka_to_parquet_spark.llm import minhash
+
+    registry.load_all()
+    monkeypatch.delenv("KTPS_PPJOIN_SHARDS", raising=False)
+    monkeypatch.delenv("KTPS_PPJOIN_TARGET_POSTINGS", raising=False)
+    n_post = minhash._posting_count(spark, adversarial_dir)
+    assert n_post > 0
+    # tiny corpus, default budget: single-pass
+    assert minhash.ppjoin_shards(spark, adversarial_dir) == 1
+    # pinned env wins over auto-selection
+    monkeypatch.setenv("KTPS_PPJOIN_SHARDS", "5")
+    assert minhash.ppjoin_shards(spark, adversarial_dir) == 5
+    monkeypatch.delenv("KTPS_PPJOIN_SHARDS", raising=False)
+    # shrink the per-pass budget so THIS corpus crosses it: exact ceil
+    target = max(1, n_post // 3)
+    monkeypatch.setenv("KTPS_PPJOIN_TARGET_POSTINGS", str(target))
+    want = min(64, -(-n_post // target))
+    assert minhash.ppjoin_shards(spark, adversarial_dir) == want
+    assert want > 1
+    # the auto-sharded plan is lossless vs the single-pass result
+    def rows(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in df.collect()
+        )
+
+    auto = rows(registry.QUERIES["q_dedup_jaccard_prefix"](spark, adversarial_dir))
+    monkeypatch.delenv("KTPS_PPJOIN_TARGET_POSTINGS", raising=False)
+    clear_caches(spark, adversarial_dir)
+    single = rows(
+        registry.QUERIES["q_dedup_jaccard_prefix"](spark, adversarial_dir)
+    )
+    assert auto == single and auto

@@ -189,6 +189,7 @@ def test_bench_stdout_line_fits_driver_tail():
         "queries": {n: compact_val(9.94) for n in HEADLINE},
         "sf": 0.1,
         "common_set_ratio": 1.23,
+        "fbt": 99.9,  # stdout's compact feature_build_total key
     }
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= 1930, (

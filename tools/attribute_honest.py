@@ -1,42 +1,65 @@
-"""Attribute the r10→r11 common-set bench inflation kernel by kernel
-(round-11 verdict item 2).
+"""Attribute round-over-round bench movement kernel by kernel, in BOTH
+directions (round-11 verdict item 2; generalized per round-12 verdict
+items 4 and 7 so every round ships its own ATTRIBUTION file from `make
+closeout` instead of reconstructing the books a round later).
 
-Round 11's cache.py ``finish()``/``park()`` made every bench sample
-re-execute iterative kernels for real; before it, a deferred (and, for
-eager loops, the final-round) persisted frame survived between samples
-and Spark's CacheManager plan-matched the SECOND-and-later samples onto
-the memoized relation — so BENCH_r10 recorded memoized medians for
-those kernels. This tool measures BOTH regimes on the CURRENT tree:
+For each common-set mover between the two newest BENCH_r*.json records
+(or an explicit ``--from-bench/--to-bench`` pair), re-measure the
+kernel on the CURRENT tree under two regimes and classify the recorded
+delta:
+
+**Inflations** (to > from) — the r10→r11 question ("did something
+regress, or did timing get honest?"):
 
 * **honest** — ``clear_result_caches`` before every sample (bench.py's
-  current protocol): median of ``--iters`` samples.
-* **memoized** — re-run the same kernel WITHOUT clearing, so parked
-  frames stay persisted and the CacheManager matches the plan (the
-  exact r10 sample-2+ condition): median of ``--iters`` samples.
+  protocol since round 11).
+* **memoized** — re-run WITHOUT clearing, so parked frames stay
+  persisted and the CacheManager plan-matches (the exact pre-r11
+  sample-2+ condition).
 
-For each mover q, r10→r11 delta is then classified:
+Verdicts: ``honest-timing`` (the honest−memoized gap explains the
+recorded inflation — the old record was the memoized artifact),
+``noise`` (no cache story, figures reproduce within band), or
+``regression?`` (flag for manual audit).
 
-* ``honest-timing`` — the honest−memoized gap explains ≥60% of the
-  recorded delta: r10's number was the memoized artifact; nothing
-  regressed.
-* ``noise`` — |delta| within 25% of the honest figure AND the honest
-  figure reproduces r11's number within the same band: host-load
-  variance, no cache story.
-* ``regression?`` — anything else: flagged for manual audit.
+**Improvements** (to < from) — the r11→r12 question ("is the speedup a
+genuine kernel fix, or is a feature-level cache amortizing build cost
+out of the warm samples?"):
+
+* **cold** — ``clear_caches(spark, sf)`` before the sample: feature
+  caches (shingle tables, decorated graph edges) rebuild inside the
+  timed run — the true end-to-end cost.
+* **warm** — ``clear_result_caches`` only: the bench protocol, feature
+  store warm.
+
+The recorded improvement ``from−to`` then splits into **amortization**
+(cold−warm: per-sample cost the feature store hides — real for a
+production pipeline that builds features once, but NOT a kernel
+speedup) and **genuine** (from−cold: improvement that survives even a
+cold feature build). Verdicts: ``feature-amortized``, ``genuine-fix``,
+``mixed`` (both ≥ 30%), or ``unreproduced?`` (today's warm median does
+not reproduce the recorded figure — re-run under less host load).
 
 Usage::
 
     python tools/attribute_honest.py [--sf /root/testdata/sf0.1]
-        [--iters 3] [--out ATTRIBUTION_r12.json]
+        [--iters 3] [--min-delta 0.3] [--fast]
+        [--from-bench BENCH_rA.json] [--to-bench BENCH_rB.json]
+        [--out ATTRIBUTION_rN.json]
 
+Defaults: the two newest BENCH rounds by INTEGER round number, out
+named for the round in progress (newest CORRECTNESS round + 1).
+``--fast`` raises min-delta to 0.5 s — the `make closeout` mode.
 Writes a JSON table and prints a markdown table for SCALING.md.
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -50,6 +73,8 @@ from kafka_to_parquet_spark.cache import (  # noqa: E402
 )
 from kafka_to_parquet_spark.session import get_spark  # noqa: E402
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def _bench_queries(path: str) -> dict[str, float]:
     with open(path) as f:
@@ -62,32 +87,66 @@ def _bench_queries(path: str) -> dict[str, float]:
     return dict((inner or {}).get("queries") or {})
 
 
-def classify(r10: float, r11: float, honest: float, memo: float) -> str:
-    """Attribute a recorded r10→r11 mover from today's two-regime
-    measurement. In priority order:
+def _round_of(path: str) -> int:
+    m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def newest_bench_pair() -> tuple[str, str]:
+    """The two newest BENCH_r*.json by PARSED round number (string sort
+    breaks at mixed digit widths — the bench.py:300 lesson)."""
+    paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")), key=_round_of)
+    if len(paths) < 2:
+        raise SystemExit("need two BENCH_r*.json records to attribute")
+    return paths[-2], paths[-1]
+
+
+def classify_inflation(prev: float, cur: float, honest: float, memo: float) -> str:
+    """Attribute a recorded prev→cur INFLATION from today's honest/
+    memoized measurement. In priority order:
 
     1. ``honest-timing`` — the honest−memoized gap explains ≥60% of
-       the recorded delta, OR the memoized figure reproduces r10's
+       the recorded delta, OR the memoized figure reproduces the old
        record (±max(0.3s, 20%)) while honest sits clearly above it:
-       r10 recorded the memoized artifact; any r11-vs-honest residue
-       is run-to-run noise on top.
-    2. ``r11-noise`` — no cache story (|gap| small) and today's honest
-       median reproduces r10's figure (±max(0.35s, 25%)) or beats it:
-       the r11 sweep ran during host contention; nothing regressed.
+       the old round recorded the memoized artifact; any residue is
+       run-to-run noise on top.
+    2. ``noise`` — no cache story (|gap| small) and today's honest
+       median reproduces the old figure (±max(0.35s, 25%)) or beats
+       it: the newer sweep ran during host contention.
     3. ``regression?`` — anything else: flag for manual audit.
     """
-    delta = r11 - r10
+    delta = cur - prev
     gap = honest - memo
     if delta > 0 and (
         gap >= 0.6 * delta
-        or (abs(memo - r10) <= max(0.3, 0.2 * r10) and gap >= 0.3)
+        or (abs(memo - prev) <= max(0.3, 0.2 * prev) and gap >= 0.3)
     ):
         return "honest-timing"
     if abs(gap) <= max(0.3, 0.15 * honest) and (
-        honest <= r10 or abs(honest - r10) <= max(0.35, 0.25 * honest)
+        honest <= prev or abs(honest - prev) <= max(0.35, 0.25 * honest)
     ):
-        return "r11-noise"
+        return "noise"
     return "regression?"
+
+
+def classify_improvement(prev: float, cur: float, cold: float, warm: float) -> str:
+    """Attribute a recorded prev→cur IMPROVEMENT from today's cold/warm
+    feature-store measurement (round-12 verdict item 4)."""
+    delta = prev - cur
+    if abs(warm - cur) > max(0.35, 0.3 * cur):
+        return "unreproduced?"
+    amort = max(0.0, cold - warm)
+    genuine = max(0.0, prev - cold)
+    if amort >= 0.6 * delta:
+        return "feature-amortized"
+    if genuine >= 0.6 * delta:
+        return "genuine-fix"
+    if amort >= 0.3 * delta and genuine >= 0.3 * delta:
+        return "mixed"
+    # neither component reproduces ≥60% of the delta — most of the
+    # recorded movement was sweep-to-sweep variance on top of a small
+    # real change.
+    return "noise"
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:
@@ -102,22 +161,43 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--min-delta", type=float, default=0.3)
-    ap.add_argument("--out", default="ATTRIBUTION_r12.json")
+    ap.add_argument("--fast", action="store_true",
+                    help="closeout mode: movers > 0.5s only")
+    ap.add_argument("--from-bench", default=None)
+    ap.add_argument("--to-bench", default=None)
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    min_delta = max(args.min_delta, 0.5) if args.fast else args.min_delta
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r10 = _bench_queries(os.path.join(root, "BENCH_r10.json"))
-    r11 = _bench_queries(os.path.join(root, "BENCH_r11.json"))
-    movers = sorted(
-        (q for q in set(r10) & set(r11) if r11[q] - r10[q] > args.min_delta),
-        key=lambda q: r10[q] - r11[q],
+    if args.from_bench and args.to_bench:
+        from_path = os.path.join(ROOT, args.from_bench)
+        to_path = os.path.join(ROOT, args.to_bench)
+    else:
+        from_path, to_path = newest_bench_pair()
+    prev = _bench_queries(from_path)
+    cur = _bench_queries(to_path)
+    out_name = args.out or f"ATTRIBUTION_r{registry._round_number():02d}.json"
+
+    common = set(prev) & set(cur)
+    inflations = sorted(
+        (q for q in common if cur[q] - prev[q] > min_delta),
+        key=lambda q: prev[q] - cur[q],
     )
-    print(f"# {len(movers)} positive movers > {args.min_delta}s", flush=True)
+    improvements = sorted(
+        (q for q in common if prev[q] - cur[q] > min_delta),
+        key=lambda q: cur[q] - prev[q],
+    )
+    print(
+        f"# {os.path.basename(from_path)} -> {os.path.basename(to_path)}: "
+        f"{len(inflations)} inflations, {len(improvements)} improvements "
+        f"> {min_delta}s",
+        flush=True,
+    )
 
     registry.load_all()
     spark = get_spark("attribute-honest")
     # JIT/codegen warm-up at the smallest sf, then free its storage.
-    for q in movers:
+    for q in inflations + improvements:
         try:
             run_one(spark, q, "/root/testdata/sf0.001")
         except Exception:
@@ -125,7 +205,7 @@ def main() -> None:
     clear_caches(spark, "/root/testdata/sf0.001")
 
     rows: dict[str, dict] = {}
-    for q in movers:
+    for q in inflations:
         honest, memo = [], []
         for _ in range(args.iters):
             clear_result_caches(spark)
@@ -135,34 +215,84 @@ def main() -> None:
         clear_result_caches(spark)
         h = statistics.median(honest)
         m = statistics.median(memo)
-        delta = r11[q] - r10[q]
-        gap = h - m
-        verdict = classify(r10[q], r11[q], h, m)
+        verdict = classify_inflation(prev[q], cur[q], h, m)
         rows[q] = {
-            "r10": r10[q],
-            "r11": r11[q],
-            "delta": round(delta, 2),
+            "direction": "inflation",
+            "from": prev[q],
+            "to": cur[q],
+            "delta": round(cur[q] - prev[q], 2),
             "honest": round(h, 2),
             "memoized": round(m, 2),
-            "gap": round(gap, 2),
+            "gap": round(h - m, 2),
             "verdict": verdict,
         }
         print(
-            f"{q:32s} r10={r10[q]:5.2f} r11={r11[q]:5.2f} "
-            f"honest={h:5.2f} memo={m:5.2f} gap={gap:+5.2f} -> {verdict}",
+            f"{q:32s} from={prev[q]:5.2f} to={cur[q]:5.2f} "
+            f"honest={h:5.2f} memo={m:5.2f} -> {verdict}",
+            flush=True,
+        )
+    for q in improvements:
+        cold, warm = [], []
+        for _ in range(args.iters):
+            # Evict feature caches too: the sample pays the full build.
+            clear_caches(spark, args.sf)
+            cold.append(run_one(spark, q, args.sf))
+            clear_result_caches(spark)
+            warm.append(run_one(spark, q, args.sf))
+        clear_caches(spark, args.sf)
+        c = statistics.median(cold)
+        w = statistics.median(warm)
+        verdict = classify_improvement(prev[q], cur[q], c, w)
+        rows[q] = {
+            "direction": "improvement",
+            "from": prev[q],
+            "to": cur[q],
+            "delta": round(prev[q] - cur[q], 2),
+            "cold": round(c, 2),
+            "warm": round(w, 2),
+            "amortized": round(max(0.0, c - w), 2),
+            "genuine": round(max(0.0, prev[q] - c), 2),
+            "verdict": verdict,
+        }
+        print(
+            f"{q:32s} from={prev[q]:5.2f} to={cur[q]:5.2f} "
+            f"cold={c:5.2f} warm={w:5.2f} -> {verdict}",
             flush=True,
         )
 
-    with open(os.path.join(root, args.out), "w") as f:
-        json.dump({"sf": args.sf, "iters": args.iters, "rows": rows}, f, indent=1)
-    print(f"\nwrote {args.out}")
-    print("\n| query | r10 | r11 | honest | memoized | gap | attribution |")
-    print("|---|---|---|---|---|---|---|")
-    for q, r in sorted(rows.items(), key=lambda kv: -kv[1]["delta"]):
-        print(
-            f"| {q} | {r['r10']:.2f} | {r['r11']:.2f} | {r['honest']:.2f} "
-            f"| {r['memoized']:.2f} | {r['gap']:+.2f} | {r['verdict']} |"
+    with open(os.path.join(ROOT, out_name), "w") as f:
+        json.dump(
+            {
+                "sf": args.sf,
+                "iters": args.iters,
+                "from": os.path.basename(from_path),
+                "to": os.path.basename(to_path),
+                "rows": rows,
+            },
+            f,
+            indent=1,
         )
+    print(f"\nwrote {out_name}")
+    infl = {q: r for q, r in rows.items() if r["direction"] == "inflation"}
+    impr = {q: r for q, r in rows.items() if r["direction"] == "improvement"}
+    if infl:
+        print("\n| query | from | to | honest | memoized | gap | attribution |")
+        print("|---|---|---|---|---|---|---|")
+        for q, r in sorted(infl.items(), key=lambda kv: -kv[1]["delta"]):
+            print(
+                f"| {q} | {r['from']:.2f} | {r['to']:.2f} | {r['honest']:.2f} "
+                f"| {r['memoized']:.2f} | {r['gap']:+.2f} | {r['verdict']} |"
+            )
+    if impr:
+        print("\n| query | from | to | cold | warm | amortized | genuine "
+              "| attribution |")
+        print("|---|---|---|---|---|---|---|---|")
+        for q, r in sorted(impr.items(), key=lambda kv: -kv[1]["delta"]):
+            print(
+                f"| {q} | {r['from']:.2f} | {r['to']:.2f} | {r['cold']:.2f} "
+                f"| {r['warm']:.2f} | {r['amortized']:.2f} "
+                f"| {r['genuine']:.2f} | {r['verdict']} |"
+            )
 
 
 if __name__ == "__main__":

@@ -246,19 +246,24 @@ def main() -> None:
             print(f"sweep{s} {name} @ {where}: "
                   f"{samples[(name, where)][-1]:.1f}s", flush=True)
 
-    # Sharded PPJoin control cell (round-11 verdict item 3): the S=1
-    # sf≈100 leg measured spill-bound (32.8×, ~50 GB scratch — the
-    # posting sort crosses this host's memory). Re-run the same leg
-    # with the posting universe sharded so the mitigation's effect is
-    # a MEASURED row, not a docstring claim. Same warm feature caches
-    # (postings are feature-level and survive clear_result_caches), so
-    # the two regimes differ only in join sharding.
+    # Single-pass PPJoin control cell (round-12 verdict item 2): the
+    # shard count now SELF-SELECTS from the measured posting count
+    # (minhash.ppjoin_shards — ~450M postings at this decade lands on
+    # S=4 with NO env var), so the MAIN sweeps above already run the
+    # off-cliff sharded plan and this cell pins S=1 to keep the cliff
+    # it avoids MEASURED (r12: 416 s / ~65 GB scratch vs 203 s /
+    # 24 GB). Each regime gets ONE UNTIMED warm run before its timed
+    # sweeps so one-time materialization (posting parquet for the
+    # sharded leg — built by the warm-up probe above; the persisted
+    # posting frames for this S=1 leg) never lands in a timed sample
+    # (round-12 advisor item 3).
     shard_lines: list[str] = []
     if any(n == "q_dedup_jaccard_prefix" for n, _ in queries):
         _, hi = dirs_for("q_dedup_jaccard_prefix")
-        for S in (4,):
+        for S in (1,):
             os.environ["KTPS_PPJOIN_SHARDS"] = str(S)
             try:
+                run_once("q_dedup_jaccard_prefix", hi)  # untimed warm
                 ts = []
                 for _ in range(args.sweeps):
                     clear_result_caches(spark)
@@ -278,10 +283,11 @@ def main() -> None:
                 base = samples.get(("q_dedup_jaccard_prefix", hi)) or []
                 t1 = statistics.median(base) if base else float("nan")
                 shard_lines.append(
-                    f"- q_dedup_jaccard_prefix sf≈100 with "
-                    f"KTPS_PPJOIN_SHARDS={S}: {tS:.2f}s vs {t1:.2f}s "
-                    f"single-pass ({tS / t1:.2f}×)" if base else
-                    f"- q_dedup_jaccard_prefix sf≈100 with "
+                    f"- q_dedup_jaccard_prefix sf≈100 pinned "
+                    f"KTPS_PPJOIN_SHARDS={S} (the cliff auto-selection "
+                    f"avoids): {tS:.2f}s vs {t1:.2f}s auto-sharded "
+                    f"({tS / t1:.2f}×)" if base else
+                    f"- q_dedup_jaccard_prefix sf≈100 pinned "
                     f"KTPS_PPJOIN_SHARDS={S}: {tS:.2f}s")
                 print(shard_lines[-1], flush=True)
             finally:
