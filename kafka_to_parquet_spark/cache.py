@@ -18,6 +18,7 @@ blocks. ``bench.py`` calls it between scale factors and at teardown.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 from typing import Any
@@ -38,6 +39,29 @@ _REGISTERED: list[dict[tuple[SparkSession, str], Any]] = []
 # Basename prefixes marking a cached string value as an owned
 # temp-dataset path (created via tempfile.mkdtemp with this prefix).
 _TEMP_DATASET_PREFIXES = ("ktps_ppjoin_",)
+
+
+def _cleanup_temp_datasets() -> None:
+    """atexit insurance: free any owned temp datasets still cached when
+    the process exits without a teardown ``clear_caches`` — executor
+    storage dies with the JVM, but /tmp parquet would outlive it on the
+    disk-bound stress box. No Spark calls (the session may be gone)."""
+    for cache in _REGISTERED:
+        for value in list(cache.values()):
+            if isinstance(value, dict):
+                vals = list(value.values())
+            elif isinstance(value, list):
+                vals = value
+            else:
+                vals = [value]
+            for v in vals:
+                if isinstance(v, str) and os.path.basename(v).startswith(
+                    _TEMP_DATASET_PREFIXES
+                ):
+                    shutil.rmtree(v, ignore_errors=True)
+
+
+atexit.register(_cleanup_temp_datasets)
 
 # Subset of _REGISTERED whose cached value IS a query's answer (e.g.
 # converged component labels) rather than a shared input feature (e.g.

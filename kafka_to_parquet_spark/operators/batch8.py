@@ -896,7 +896,12 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = edge_feature(spark, sf_dir, "trade_sym_weighted", _build)
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    r = nodes.agg(F.min("node").alias("node")).select(
+    # Seed = min node id. min(src) over the RAW symmetric edge relation
+    # equals min over distinct nodes (every node appears as a src), so
+    # the seed skips the node-dedup exchange entirely — `nodes` (with
+    # its distinct) executes only once, for the final unreached
+    # anti-join, not twice (round-13 job-structure audit).
+    r = edges.agg(F.min("src").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
     loop = RoundLoop(spark, sf_dir)  # deferred: fixed-round kernel

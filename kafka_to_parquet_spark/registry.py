@@ -302,8 +302,13 @@ CERTIFIED_THROUGH: int = 12
 #   default (round-12 verdict item 2). Values unchanged by
 #   construction (sharding is lossless for any S; pinned by
 #   tests/test_prefix_lossless.py), but the default plan changed.
+# - q_sssp_weighted: the seed now takes min(src) over the RAW
+#   symmetric edge relation (map-side partial min, shuffle-free)
+#   instead of min over the node-dedup'd relation (an edge-sized
+#   distinct exchange) — value-identical (every node appears as a
+#   src), but the plan changed (round-12 verdict item 5).
 RECERTIFY: set[str] = {
-    "q_dedup_jaccard_prefix", "q_dedup_containment",
+    "q_dedup_jaccard_prefix", "q_dedup_containment", "q_sssp_weighted",
 }
 
 

@@ -87,6 +87,11 @@ QUERIES: list[tuple[str, str]] = [
     # like-for-like, the q_suffix_lrs precedent).
     ("q_graph_modularity", "rel"),
     ("q_bpe_learn_k", "pairs"),
+    # round-13 addition (round-12 verdict item 6 — the last >3s warm
+    # kernel with no third-decade row): TextRank rides the unique-text
+    # pair corpus (its word-graph universe grows with vocabulary, the
+    # same axis as BPE; per-doc sentence graphs grow with doc count).
+    ("q_text_textrank", "pairs"),
 ]
 
 SECTION = "## 1000× stress (sf≈100, built by tools/stress_sf100.py)"
@@ -163,6 +168,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
     ap.add_argument("--sweeps", type=int, default=2)
+    ap.add_argument(
+        "--shard-control", action="store_true",
+        help="also re-measure the pinned S=1 PPJoin cliff cell "
+             "(~65 GB scratch — needs a cleaned /tmp to itself; the "
+             "figure is on record in SCALING.md, so default off)")
     args = ap.parse_args()
     queries = QUERIES
     if args.only:
@@ -189,11 +199,26 @@ def main() -> None:
 
     build_sf1(spark)
     build_sf10(spark)
-    build_pair_corpora(spark)
-    build(spark)
-    build_pair_corpus(spark)
-    n_li = spark.read.parquet(f"{SF100}/lineitem.parquet").count()
-    n_docp = spark.read.parquet(f"{SF100P}/documents.parquet").count()
+    # Only materialize the corpora the selected cells read — an
+    # --only pairs-class re-measure must not spend ~20 min / tens of
+    # GB replicating the 600M-row lineitem it never scans (and vice
+    # versa). Symlink farms are cheap; the ×10 table writes are not.
+    need_rel = any(c == "rel" for _, c in queries)
+    need_pairs = any(c == "pairs" for _, c in queries)
+    if need_pairs:
+        build_pair_corpora(spark)
+    if need_rel:
+        build(spark)
+    if need_pairs:
+        build_pair_corpus(spark)
+    n_li = (
+        spark.read.parquet(f"{SF100}/lineitem.parquet").count()
+        if need_rel else 0
+    )
+    n_docp = (
+        spark.read.parquet(f"{SF100P}/documents.parquet").count()
+        if need_pairs else 0
+    )
     print(f"sf100 lineitem {n_li:,} pair-docs {n_docp:,}", flush=True)
 
     cls = dict(QUERIES)
@@ -258,7 +283,9 @@ def main() -> None:
     # posting frames for this S=1 leg) never lands in a timed sample
     # (round-12 advisor item 3).
     shard_lines: list[str] = []
-    if any(n == "q_dedup_jaccard_prefix" for n, _ in queries):
+    if args.shard_control and any(
+        n == "q_dedup_jaccard_prefix" for n, _ in queries
+    ):
         _, hi = dirs_for("q_dedup_jaccard_prefix")
         for S in (1,):
             os.environ["KTPS_PPJOIN_SHARDS"] = str(S)
