@@ -242,6 +242,8 @@ BENCH_OMITTED = {
     # round-12 batch11:
     "q_quant_error_curve": "3 parametric legs of the q_sim_topk_int8 broadcast-probe shape + per-row error maps",
     "q_sample_hash_stratified": "tiny stats agg broadcast onto one hash-filtered corpus scan ⊂ q_sample_temperature shape",
+    # round-13 batch12:
+    "q_shard_balance": "two hash aggs over the persisted prefix-posting feature table ⊂ q_dedup_jaccard_prefix shape (benched)",
 }
 
 

@@ -313,14 +313,18 @@ def _prefix_postings(spark: SparkSession, sf_dir: str, prefix_len_sql: str):
 
 
 # Per-pass posting budget for the auto-selected shard count. Sized
-# from the sf≈100 stress (r12): ~450M postings single-pass was
-# spill-bound (416 s, ~65 GB scratch — the array-attached verification
-# intermediate is the footprint, ~1 KB/candidate pair scaling with the
-# per-pass posting mass) while S=4 (~112M postings/pass) ran 203 s at
-# 24 GB peak. 128M/pass keeps a decade of headroom below the measured
-# cliff on a 128 GiB host; on a real cluster the budget is per-executor
-# and the env knob re-tunes it without code changes.
-PPJOIN_TARGET_POSTINGS = 128_000_000
+# from the sf≈100 stress: the 260M-posting pair corpus single-pass was
+# spill-bound (392-416 s, ~65 GB scratch — the array-attached
+# verification intermediate is the footprint, ~1 KB/candidate pair
+# scaling with the per-pass posting mass); a round-13 controlled
+# same-session comparison measured S=3 at 277 s vs S=4 at 212 s
+# (r12 recorded 203 s for S=4), so the budget is set to land the
+# selection on the measured optimum ~65M postings/pass: at 80M/pass
+# this corpus selects S=4 with NO env var, while every fixture decade
+# (≤26M postings at sf≈10p) stays single-pass. On a real cluster the
+# budget is per-executor; the env knob re-tunes it without code
+# changes.
+PPJOIN_TARGET_POSTINGS = 80_000_000
 
 # Memoized per-(session, sf_dir) posting count — sum over docs of
 # |distinct shingle hashes|, i.e. the exact row count of the 'full'
@@ -362,11 +366,13 @@ def ppjoin_shards(
     set under the memory cliff.
 
     Selection: S = ceil(posting_count / ``PPJOIN_TARGET_POSTINGS``),
-    clamped to [1, 64] — every fixture decade (≤ ~45M postings at
-    sf≈10) stays single-pass, the sf≈100 corpus (~450M) lands on the
-    measured-survivable S=4 with NO env var set. Read at call time so
-    stress tools can still pin a regime per cell; the per-pass budget
-    is tunable via ``$KTPS_PPJOIN_TARGET_POSTINGS``."""
+    clamped to [1, 64] — every fixture decade (≤ ~26M postings at
+    sf≈10p) stays single-pass, the sf≈100 pair corpus (260M measured)
+    lands on the measured-optimal S=4 with NO env var set (round-13
+    controlled cells: S=1 cliff 392-416 s, S=3 277 s, S=4 212 s).
+    Read at call time so stress tools can still pin a regime per
+    cell; the per-pass budget is tunable via
+    ``$KTPS_PPJOIN_TARGET_POSTINGS``."""
     env = os.environ.get("KTPS_PPJOIN_SHARDS", "")
     if env:
         return max(1, int(env))

@@ -410,3 +410,6 @@ def load_all() -> None:
 
     # batch11 (round-12 session additions): same last-in-line rule.
     from kafka_to_parquet_spark.operators import batch11  # noqa: F401
+
+    # batch12 (round-13 session additions): same last-in-line rule.
+    from kafka_to_parquet_spark.operators import batch12  # noqa: F401

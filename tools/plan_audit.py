@@ -143,6 +143,10 @@ SINGLE_PART_OK: dict[str, str] = {
     "q_sample_hash_stratified": _sp_bounded(
         "|lang| strata stats rows -> 1-row budget reduce, broadcast back"
     ),
+    "q_shard_balance": _sp_bounded(
+        "two 1-row posting-count reduces broadcast onto the AUDIT_S-row "
+        "report (+ its bounded sort)"
+    ),
     "q_sample_temperature": _SP_SCALAR,
     "q_pad_waste_buckets": _SP_SCALAR,
     "q_search_rrf": _sp_bounded("two top-k legs (<=2k rows)"),
