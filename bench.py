@@ -559,11 +559,14 @@ def main() -> None:
         out["errors"] = {n: e[:60] for n, e in out["errors"].items()}
         line = json.dumps(out, separators=(",", ":"))
     if len(line) > budget:
-        out.pop("fbt", None)  # advisory; full value in BENCH_LOCAL
-        line = json.dumps(out, separators=(",", ":"))
-    if len(line) > budget:
+        # resampled names drop first (their full sample lists are in
+        # BENCH_LOCAL); fbt is the warm-vs-cold honesty figure the
+        # round record exists to carry, so it outlives them.
         out.pop("resampled", None)
         out.pop("iters", None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > budget:
+        out.pop("fbt", None)  # advisory; full value in BENCH_LOCAL
         line = json.dumps(out, separators=(",", ":"))
     # Last-resort fallbacks — should be unreachable at the current list
     # size (96 stripped names at 1-dp ≈ 1740 chars); they exist so the

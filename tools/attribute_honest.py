@@ -177,6 +177,12 @@ def main() -> None:
     prev = _bench_queries(from_path)
     cur = _bench_queries(to_path)
     out_name = args.out or f"ATTRIBUTION_r{registry._round_number():02d}.json"
+    if args.fast and os.path.exists(os.path.join(ROOT, out_name)):
+        # closeout idempotence: this round's attribution already ran
+        # (possibly in the richer non-fast mode) — don't overwrite a
+        # full measurement with a >0.5s-movers-only one.
+        print(f"{out_name} already exists — skipping (closeout fast mode)")
+        return
 
     common = set(prev) & set(cur)
     inflations = sorted(
