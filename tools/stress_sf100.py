@@ -92,6 +92,13 @@ QUERIES: list[tuple[str, str]] = [
     # pair corpus (its word-graph universe grows with vocabulary, the
     # same axis as BPE; per-doc sentence graphs grow with doc count).
     ("q_text_textrank", "pairs"),
+    # round-13 addition (round-12 verdict item 8's cliff-class note):
+    # containment shares PPJoin's posting topology — asymmetric
+    # a-prefix × b-FULL join, a strictly LARGER probe side than the
+    # Jaccard cell — and now the same auto-sharding; measure the third
+    # decade so "same cliff class, same mitigation" is a row, not an
+    # inference.
+    ("q_dedup_containment", "pairs"),
 ]
 
 SECTION = "## 1000× stress (sf≈100, built by tools/stress_sf100.py)"
