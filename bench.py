@@ -431,15 +431,22 @@ def main() -> None:
     # whichever sweep-1 sample first touches them and stay warm for
     # every later sample, so each query's first-sample overhang above
     # its warm median — summed — is the one-time build cost the warm
-    # medians amortize away. Per-query sample arrays are in
-    # BENCH_LOCAL.json for the split.
-    feature_build_total = round(
-        sum(
-            max(0.0, ts[0] - statistics.median(ts[1:]))
-            for ts in samples.values()
-            if len(ts) >= 2
-        ),
-        3,
+    # medians amortize away. NOTE: the sum runs over EVERY query, so it
+    # is an UPPER BOUND on true feature-build cost — queries with no
+    # feature cache contribute their JIT/codegen warm-up and any
+    # first-sample host noise (round-13 advisor item 3). fbt_top (the
+    # top-5 per-query overhangs, round-13 verdict item 5) makes a
+    # drifting total attributable: feature-heavy names at the top mean
+    # build cost, a long flat tail of no-cache names means noise.
+    # Per-query sample arrays are in BENCH_LOCAL.json for the split.
+    overhang = {
+        n: round(max(0.0, ts[0] - statistics.median(ts[1:])), 3)
+        for n, ts in samples.items()
+        if len(ts) >= 2
+    }
+    feature_build_total = round(sum(overhang.values()), 3)
+    fbt_top = dict(
+        sorted(overhang.items(), key=lambda kv: -kv[1])[:5]
     )
 
     # Cross-artifact guard (see scaling_isolated_figures above): only
@@ -475,8 +482,11 @@ def main() -> None:
         # One-time feature-cache build cost the warm medians amortize
         # (first-sample overhang, see above) — NOT part of `value`.
         # Full key in BENCH_LOCAL.json; the stdout line carries it as
-        # compact "fbt" (tail budget).
+        # compact "fbt" (tail budget). fbt_top = the 5 largest
+        # per-query overhangs (BENCH_LOCAL-only — stdout budget), so a
+        # local-vs-driver fbt spread is attributable per feature.
         "feature_build_total": feature_build_total,
+        "fbt_top": fbt_top,
     }
     # Like-for-like guard (round-10 verdict item 6): the raw total
     # moves whenever the headline set's composition changes, so also
@@ -539,8 +549,10 @@ def main() -> None:
     out["queries"] = {n: compact_val(t) for n, t in timings.items()}
     out.pop("iters", None)
     # feature_build_total -> compact "fbt" on stdout (the descriptive
-    # key stays in BENCH_LOCAL.json written above).
+    # key stays in BENCH_LOCAL.json written above, as does fbt_top —
+    # 5 more q_* names would blow the tail budget for a diagnostic).
     out.pop("feature_build_total", None)
+    out.pop("fbt_top", None)
     out["fbt"] = compact_val(feature_build_total)
     if noisy:
         out["resampled"] = noisy

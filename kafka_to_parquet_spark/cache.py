@@ -19,7 +19,6 @@ blocks. ``bench.py`` calls it between scale factors and at teardown.
 from __future__ import annotations
 
 import atexit
-import os
 import shutil
 from typing import Any
 
@@ -28,17 +27,24 @@ from pyspark.sql import DataFrame, SparkSession
 # Every registered cache maps (SparkSession, sf_dir) -> cached value.
 # Values are DataFrames (storage-holding: the ones this module exists
 # for), plain scalars/tuples (memoized stats — dict hygiene only), or
-# temp-DATASET PATH strings (the shard-mode PPJoin posting parquet):
-# those paths OWN multi-GB on-disk datasets, so eviction rmtree's any
-# string value whose basename carries a recognized temp prefix —
-# dropping only the path string would orphan the dataset and a later
+# :class:`TempDataset` paths (the shard-mode PPJoin posting parquet):
+# those paths OWN multi-GB on-disk datasets, so eviction rmtree's them
+# — dropping only the path string would orphan the dataset and a later
 # call would re-materialize into a fresh tempdir, compounding the leak
 # on disk-bound hosts (round-12 advisor, minhash.py:437).
 _REGISTERED: list[dict[tuple[SparkSession, str], Any]] = []
 
-# Basename prefixes marking a cached string value as an owned
-# temp-dataset path (created via tempfile.mkdtemp with this prefix).
-_TEMP_DATASET_PREFIXES = ("ktps_ppjoin_",)
+
+class TempDataset(str):
+    """A cached path value that OWNS its on-disk temp dataset: cache
+    eviction (and the atexit sweep) rmtree's it. An explicit ownership
+    marker — plain ``str`` path values are never deleted — instead of
+    inferring ownership from a basename prefix, which would delete a
+    future non-owned path that happened to match (round-13 advisor
+    item 4). A ``str`` subclass so consumers (``spark.read.parquet``,
+    ``os.path`` calls) treat it as the path it is."""
+
+    __slots__ = ()
 
 
 def _cleanup_temp_datasets() -> None:
@@ -55,9 +61,7 @@ def _cleanup_temp_datasets() -> None:
             else:
                 vals = [value]
             for v in vals:
-                if isinstance(v, str) and os.path.basename(v).startswith(
-                    _TEMP_DATASET_PREFIXES
-                ):
+                if isinstance(v, TempDataset):
                     shutil.rmtree(v, ignore_errors=True)
 
 
@@ -137,11 +141,9 @@ def _evict(
                         v.unpersist(blocking=True)
                     except Exception:
                         pass
-                elif isinstance(v, str) and os.path.basename(v).startswith(
-                    _TEMP_DATASET_PREFIXES
-                ):
+                elif isinstance(v, TempDataset):
                     # Owned temp-dataset path: free the on-disk parquet
-                    # with the cache entry (see module comment).
+                    # with the cache entry (see TempDataset docstring).
                     shutil.rmtree(v, ignore_errors=True)
             n += 1
     return n

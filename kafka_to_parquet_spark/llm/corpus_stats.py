@@ -1051,41 +1051,58 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf≈10 collision measurement), so any residual collision merges the same two
     trigrams on both sides and every output column is an integer.
 
-    Shape: explode to (doc, trigram-hash) longs — hashes, never
-    strings; one groupBy(hash) for the distinct-document count (map-
-    side-combinable count_distinct over doc-sorted postings), one hash
-    join back, one groupBy(doc). Linear in corpus tokens, no pairwise
-    stage — q_dedup_substring's exact topology one n-gram order down."""
+    Shape (round-14 rewrite — no corpus-sized join-back): explode to
+    (doc, trigram-hash) longs — hashes, never strings — consumed by
+    EXACTLY ONE aggregate, groupBy(hash){count, min(doc), max(doc)}
+    (partial map-side combine; a hash lives in one document iff
+    min == max, which replaces the expand-planned count_distinct).
+    The ndocs == 1 survivors — novel-hash rows only, far fewer than
+    postings — re-aggregate by their single owning doc for n_novel,
+    while n_ngrams needs no explode at all: position i yields exactly
+    one trigram, so it is size(toks) - {NOVELTY_N} + 1 straight off
+    the document row. The final join attaches the novel counts to the
+    per-doc trigram counts — both sides are one row per doc. vs the
+    r13 plan this removes the eager localCheckpoint write of the
+    posting table, its RAW re-exchange for the hash join back, and
+    the post-join corpus-row aggregate (guide §2.4: the join-back and
+    its exchanges carried information — which doc owns a unique hash
+    — that the hash aggregate already had). Linear in corpus tokens,
+    no pairwise stage."""
     d = load(spark, sf_dir, "documents")
-    tri = (
-        d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-        .filter(F.size("toks") >= NOVELTY_N)
+    toks = d.select("doc_id", tokens_col(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= NOVELTY_N
+    )
+    counts = toks.select(
+        "doc_id",
+        (F.size("toks") - F.lit(NOVELTY_N - 1)).cast("long").alias("n_ngrams"),
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {NOVELTY_N} + 1), i -> "
+                + spark_h62(f"concat_ws(' ', slice(toks, i, {NOVELTY_N}))")
+                + ")"
+            )
+        ).alias("th"),
+    )
+    novel = (
+        tri.groupBy("th")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("doc_id").alias("dmin"),
+            F.max("doc_id").alias("dmax"),
+        )
+        .filter(F.col("dmin") == F.col("dmax"))
+        .groupBy(F.col("dmin").alias("doc_id"))
+        .agg(F.sum("c").cast("long").alias("n_novel"))
+    )
+    return (
+        counts.join(novel, "doc_id", "left")
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {NOVELTY_N} + 1), i -> "
-                    + spark_h62(f"concat_ws(' ', slice(toks, i, {NOVELTY_N}))")
-                    + ")"
-                )
-            ).alias("th"),
-        )
-        # two consumers (the ndocs aggregate + the join back) and
-        # Catalyst has no cross-subtree CSE — without a materialization
-        # boundary the scan+tokenize+hash explode runs twice (the
-        # q_semdedup / _window_hashes discipline; the oracle's tri CTE
-        # is MATERIALIZED for the same reason)
-        .localCheckpoint()
-    )
-    nd = tri.groupBy("th").agg(F.count_distinct("doc_id").alias("ndocs"))
-    return (
-        tri.join(nd, "th")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_ngrams"),
-            F.sum(F.when(F.col("ndocs") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_novel"),
+            "n_ngrams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
         )
         .select(
             "doc_id",

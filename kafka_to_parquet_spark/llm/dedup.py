@@ -488,7 +488,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = shingled_documents(spark, sf_dir)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
-    feat = tf.transform(base)
+    # Project to (doc_id, features) BEFORE the self-join:
+    # approxSimilarityJoin wraps each side's WHOLE row into the
+    # datasetA/datasetB structs, so without this the banded join (and
+    # its explode-per-hash-table exchange) would carry lang/source and
+    # the full shingle string arrays — none of which the output reads
+    # (guide §2.3: project before the exchange).
+    feat = tf.transform(base).select("doc_id", "features")
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = mh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, MINHASH_DIST_TAU, distCol="jaccard_dist")

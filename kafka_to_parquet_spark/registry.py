@@ -216,6 +216,8 @@ CERTIFIED: set[str] = {
     # graph kernels — already listed above; entries cleared at
     # round-13 start), and rotation re-certifications.
     "q_quant_error_curve", "q_sample_hash_stratified",
+        # CORRECTNESS_r13.json: applied by tools/certify.py --apply.
+    "q_shard_balance",
     # === certify-apply insertion point (tools/certify.py --apply) ===
 }
 
@@ -227,7 +229,7 @@ CERTIFIED: set[str] = {
 # pending rows and fails only on uncertified rows from rounds already
 # applied — run `make certify-apply` (or tools/certify.py --apply) to
 # append pending names and bump this.
-CERTIFIED_THROUGH: int = 12
+CERTIFIED_THROUGH: int = 13
 
 # Certified queries whose implementation (or a shared helper on their
 # path) changed since their last driver row — they jump the rotation
@@ -295,20 +297,41 @@ CERTIFIED_THROUGH: int = 12
 # q_suffix_lrs, q_sssp_weighted, q_text_textrank, q_graph_modularity,
 # q_graph_pagerank — all landed green rows in CORRECTNESS_r12.json and
 # were cleared at round-13 start.)
-# Round-13 entries:
-# - q_dedup_jaccard_prefix / q_dedup_containment: shard count S is now
-#   self-selected from the corpus's estimated posting bytes
-#   (minhash.ppjoin_shards) instead of the $KTPS_PPJOIN_SHARDS=1 cliff
-#   default (round-12 verdict item 2). Values unchanged by
-#   construction (sharding is lossless for any S; pinned by
-#   tests/test_prefix_lossless.py), but the default plan changed.
-# - q_sssp_weighted: the seed now takes min(src) over the RAW
-#   symmetric edge relation (map-side partial min, shuffle-free)
-#   instead of min over the node-dedup'd relation (an edge-sized
-#   distinct exchange) — value-identical (every node appears as a
-#   src), but the plan changed (round-12 verdict item 5).
+# (round-13 entries — q_dedup_jaccard_prefix, q_dedup_containment,
+# q_sssp_weighted: auto-sharded PPJoin default + shuffle-free SSSP
+# seed — all landed green rows in CORRECTNESS_r13.json and were
+# cleared at round-14 start.)
+# Round-14 entries:
+# - q_dedup_containment: candidate generation moved to the COUNTING
+#   form of the prefix filter (round-13 verdict item 2 — the
+#   share-one-token form had no second-side filter and a candidate
+#   set ~400× the answer): a's prefix is extended by K-1 tokens and a
+#   pair must share >= min(K, ceil(tau*|a|)) of them (per-pair match
+#   count aggregate). Lossless by the missing-token budget (pinned in
+#   tests/test_prefix_lossless.py) — values unchanged by
+#   construction, but the plan changed (single-pass now: counting and
+#   pmod token-sharding are mutually exclusive, and the counting form
+#   removes the verify footprint sharding bounded).
+# - q_dedup_jaccard_prefix / q_shard_balance: share the restructured
+#   posting-table accessor (_cached_postings — per-name lazy
+#   persists). Plans and values unchanged by construction, but the
+#   shared helper changed.
+# - q_dedup_minhash_lsh: the MLlib approxSimilarityJoin sides are now
+#   projected to (doc_id, features) before the join (guide §2.3 —
+#   the datasetA/datasetB structs used to carry lang/source and the
+#   full shingle arrays through the banded exchange). Values
+#   unchanged (the output reads only doc ids + distance), but the
+#   plan changed.
+# - q_ngram_novelty: the per-hash distinct-doc join-back is gone —
+#   one groupBy(hash){count, min(doc), max(doc)} (ndocs==1 iff
+#   min==max), novel counts re-aggregated by the single owning doc,
+#   n_ngrams computed as size(toks)-2 with no explode; the eager
+#   localCheckpoint is removed. Values unchanged by construction
+#   (same novelty definition; oracle untouched), but the plan
+#   changed.
 RECERTIFY: set[str] = {
-    "q_dedup_jaccard_prefix", "q_dedup_containment", "q_sssp_weighted",
+    "q_dedup_containment", "q_dedup_jaccard_prefix", "q_shard_balance",
+    "q_dedup_minhash_lsh", "q_ngram_novelty",
 }
 
 

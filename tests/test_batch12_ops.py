@@ -35,16 +35,17 @@ def test_shard_balance_reconciles_with_postings(run, spark, sf_dir):
         assert r.n_tokens <= r.n_postings
 
 
-def test_shard_balance_certifies_selection_rule(run, spark, sf_dir):
+def test_shard_balance_certifies_selection_rule(run, spark, sf_dir, monkeypatch):
     """auto_shards must equal what minhash.ppjoin_shards actually
     selects for the same corpus (env cleared), for any per-pass
-    budget — the column exists to certify the Python arithmetic."""
-    import os
-
+    budget — the column exists to certify the Python arithmetic.
+    monkeypatch.delenv (not os.environ.pop) so a user-pinned regime is
+    restored after the test instead of stripped for the rest of the
+    pytest process (round-13 advisor item 1)."""
     from kafka_to_parquet_spark.llm import minhash
 
-    os.environ.pop("KTPS_PPJOIN_SHARDS", None)
-    os.environ.pop("KTPS_PPJOIN_TARGET_POSTINGS", None)
+    monkeypatch.delenv("KTPS_PPJOIN_SHARDS", raising=False)
+    monkeypatch.delenv("KTPS_PPJOIN_TARGET_POSTINGS", raising=False)
     rows = run("q_shard_balance").collect()
     reported = {r.auto_shards for r in rows}
     assert reported == {minhash.ppjoin_shards(spark, sf_dir)}

@@ -226,3 +226,67 @@ def test_ppjoin_shards_self_select(spark, adversarial_dir, monkeypatch):
         registry.QUERIES["q_dedup_jaccard_prefix"](spark, adversarial_dir)
     )
     assert auto == single and auto
+
+
+def test_containment_count_filter_at_exact_threshold(spark):
+    """Round-14 counting form of the containment prefix filter: a
+    candidate pair must share >= min(K, ceil(tau*|a|)) of a's
+    (K-1)-extended canonical prefix. The bound is TIGHT exactly when
+    a's missing shingles are its globally rarest — they monopolize the
+    df-ordered prefix and leave only p - m shared slots — so this
+    corpus makes every edit word unique (df=1 shingles, guaranteed
+    rarest class) and sweeps edit counts so true pairs land ON the
+    overlap = ceil(tau*|a|) boundary. Brute-force set math is the
+    truth; at least one true pair must sit within 1 of the boundary or
+    the corpus stopped exercising it."""
+    import itertools as _it
+    import os as _os
+    import tempfile as _tempfile
+
+    from kafka_to_parquet_spark.cache import clear_caches
+
+    registry.load_all()
+    docs = []
+    did = _it.count()
+    # trial t: container b = L unique words (+ tail growth); contained
+    # a = b's first L words with d interior words swapped for unique
+    # edit tokens. Each swapped word kills up to 3 of a's shingles, so
+    # sweeping (L, d) brackets the 4/5 threshold from both sides.
+    for L in (18, 22, 25, 28, 33, 40):
+        for d in (0, 1, 2, 3):
+            t = len(docs)
+            base = [f"t{t}w{i}" for i in range(L)]
+            b_words = base + [f"t{t}x{i}" for i in range(4)]
+            a_words = list(base)
+            for j in range(d):
+                a_words[3 + 5 * j] = f"t{t}e{j}"
+            docs.append((next(did), " ".join(a_words)))
+            docs.append((next(did), " ".join(b_words)))
+    d = _tempfile.mkdtemp(prefix="ktps_cnt_thr_")
+    rows = [(i, txt, "xx", "synthetic", len(txt)) for (i, txt) in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(_os.path.join(d, "documents.parquet"))
+    try:
+        sets = _hashed_sets(spark, d)
+        want, margins = set(), []
+        for a in sets:
+            for b in sets:
+                if a == b:
+                    continue
+                inter = len(sets[a] & sets[b])
+                ceil_t = (4 * len(sets[a]) + 4) // 5
+                if inter * 5 >= len(sets[a]) * 4:
+                    want.add((a, b))
+                    margins.append(inter - ceil_t)
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in registry.QUERIES["q_dedup_containment"](spark, d).collect()
+        }
+        assert got == want
+        assert want, "corpus produced no containment pairs"
+        # the boundary is actually exercised: some true pair sits at
+        # (or within 1 shingle of) overlap == ceil(tau*|a|)
+        assert min(margins) <= 1, sorted(margins)[:5]
+    finally:
+        clear_caches(spark, d)

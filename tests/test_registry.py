@@ -369,3 +369,29 @@ def test_certify_scan_pending_vs_stale(tmp_path):
     assert uncert in stale.get(f"CORRECTNESS_r{old_rnd:02d}.json", [])
     assert uncert in pending.get(f"CORRECTNESS_r{new_rnd:02d}.json", [])
     assert some_certified not in str(stale) + str(pending)
+
+
+def test_certify_apply_dedupes_across_pending_rounds(tmp_path):
+    """A query accepted in TWO pending CORRECTNESS rounds must be
+    inserted into the CERTIFIED set literal once, not once per round
+    (round-13 advisor item 2)."""
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+    import certify
+
+    reg = tmp_path / "registry_mini.py"
+    reg.write_text(
+        "CERTIFIED: set[str] = {\n"
+        f"    {certify._MARKER}\n"
+        "}\n"
+        "CERTIFIED_THROUGH: int = 13\n"
+    )
+    pending = {
+        "CORRECTNESS_r14.json": ["q_dup_twice", "q_only_r14"],
+        "CORRECTNESS_r15.json": ["q_dup_twice", "q_only_r15"],
+    }
+    certify.apply_pending(pending, 15, reg_path=str(reg))
+    src = reg.read_text()
+    assert src.count('"q_dup_twice",') == 1
+    assert src.count('"q_only_r14",') == 1
+    assert src.count('"q_only_r15",') == 1
+    assert "CERTIFIED_THROUGH: int = 15" in src

@@ -82,10 +82,13 @@ def scan(
     return stale, pending, landed_recert, newest
 
 
-def apply_pending(pending: dict[str, list[str]], newest: int) -> None:
+def apply_pending(
+    pending: dict[str, list[str]], newest: int, reg_path: str | None = None
+) -> None:
     """Insert pending names into registry.CERTIFIED at the marker and
-    bump CERTIFIED_THROUGH to the newest round on disk."""
-    reg_path = os.path.join(
+    bump CERTIFIED_THROUGH to the newest round on disk. ``reg_path``
+    overrides the real registry source file (test hook)."""
+    reg_path = reg_path or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "kafka_to_parquet_spark",
         "registry.py",
@@ -95,10 +98,17 @@ def apply_pending(pending: dict[str, list[str]], newest: int) -> None:
     if _MARKER not in src:
         raise SystemExit(f"marker line not found in {reg_path}")
     lines = []
+    seen: set[str] = set()  # a query accepted in TWO pending rounds
+    # must be inserted once, not append a duplicate entry to the set
+    # literal (round-13 advisor item 2)
     for rnd_name, names in sorted(pending.items()):
+        fresh = sorted(n for n in set(names) if n not in seen)
+        if not fresh:
+            continue
+        seen.update(fresh)
         lines.append(f"    # {rnd_name}: applied by tools/certify.py --apply.")
-        for i in range(0, len(names), 3):
-            lines.append("    " + " ".join(f'"{n}",' for n in sorted(names)[i : i + 3]))
+        for i in range(0, len(fresh), 3):
+            lines.append("    " + " ".join(f'"{n}",' for n in fresh[i : i + 3]))
     if lines:
         src = src.replace(_MARKER, "\n".join(lines) + "\n    " + _MARKER)
     src = re.sub(
@@ -110,7 +120,7 @@ def apply_pending(pending: dict[str, list[str]], newest: int) -> None:
     )
     with open(reg_path, "w") as f:
         f.write(src)
-    total = sum(len(v) for v in pending.values())
+    total = len(seen)
     print(f"applied {total} pending names; CERTIFIED_THROUGH -> {newest}")
     if total:
         print("review RECERTIFY clears manually (certify.py prints landed entries)")
