@@ -27,11 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 # Every registered cache maps (SparkSession, sf_dir) -> cached value.
 # Values are DataFrames (storage-holding: the ones this module exists
 # for), plain scalars/tuples (memoized stats — dict hygiene only), or
-# :class:`TempDataset` paths (the shard-mode PPJoin posting parquet):
-# those paths OWN multi-GB on-disk datasets, so eviction rmtree's them
-# — dropping only the path string would orphan the dataset and a later
-# call would re-materialize into a fresh tempdir, compounding the leak
-# on disk-bound hosts (round-12 advisor, minhash.py:437).
+# :class:`TempDataset` paths (streaming scratch/checkpoint dirs, and
+# formerly the shard-mode PPJoin posting parquet): those paths OWN
+# on-disk datasets, so eviction rmtree's them — dropping only the path
+# string would orphan the dataset and a later call would
+# re-materialize into a fresh tempdir, compounding the leak on
+# disk-bound hosts (round-12 advisor, minhash.py:437).
 _REGISTERED: list[dict[tuple[SparkSession, str], Any]] = []
 
 
@@ -56,8 +57,8 @@ def _cleanup_temp_datasets() -> None:
         for value in list(cache.values()):
             if isinstance(value, dict):
                 vals = list(value.values())
-            elif isinstance(value, list):
-                vals = value
+            elif isinstance(value, (list, tuple)):
+                vals = list(value)
             else:
                 vals = [value]
             for v in vals:
@@ -120,12 +121,13 @@ def _evict(
             ):
                 continue
             value = cache.pop(key)
-            # A cache entry may hold one DataFrame, a LIST of them (a
-            # deferred RoundLoop's superseded rounds), or a DICT of
-            # them (per-variant feature tables, e.g. the PPJoin
-            # postings keyed by prefix expression).
-            if isinstance(value, list):
-                frames = value
+            # A cache entry may hold one DataFrame, a LIST/TUPLE of
+            # values (a deferred RoundLoop's superseded rounds; the
+            # streaming upsert's (store, checkpoint) path pair), or a
+            # DICT of them (per-variant feature tables, e.g. the
+            # PPJoin postings keyed by prefix expression).
+            if isinstance(value, (list, tuple)):
+                frames = list(value)
             elif isinstance(value, dict):
                 frames = list(value.values())
             else:

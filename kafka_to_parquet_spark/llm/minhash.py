@@ -33,7 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_to_parquet_spark.cache import TempDataset, register_cache
+from kafka_to_parquet_spark.cache import register_cache
 from kafka_to_parquet_spark.functions.hashes import H31_P, duck_h31, spark_h31
 from kafka_to_parquet_spark.functions.rounding import floor_round, floor_round_sql
 from kafka_to_parquet_spark.llm.dedup import (
@@ -230,6 +230,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREFIX_TAU = 0.5  # Jaccard threshold; ceil(tau*n) == (n+1) DIV 2 — pure integer
 
+# Prefix extension / required match count for the COUNTING form of the
+# prefix filter (round 14, both PPJoin-family queries): each side's
+# prefix extends K-1 tokens past the minimal share-one-token prefix
+# and a candidate pair must share >= min(K, ceil(tau*n) per side) of
+# them. Measured at sf0.1 (124,980 share-one-token candidates, 256
+# verified): K=2 -> 13,375 candidates, K=3 -> 840 (+9% match rows) —
+# answer-sized, which is what lets verification run over AQE
+# broadcasts and the whole operator drop the r12/r13 auto-sharding.
+PREFIX_K = 3
+
 # Memoized+persisted hashed shingle sets — the verification stage reads
 # them from two subtrees and bench sweeps re-call the query; the same
 # keying discipline as dedup.py's _SHINGLE_CACHE.
@@ -270,10 +280,9 @@ _POSTINGS_CACHE: dict[tuple[SparkSession, str], dict[str, DataFrame]] = (
 
 def _posting_plans(spark: SparkSession, sf_dir: str, prefix_len_sql: str):
     """Un-materialized (full, prefix) posting plans off the hashed-
-    shingle table — the single definition both PPJoin queries and both
-    materialization regimes (persist / parquet-shard) build from, so
-    the canonical (df, h) ordering and df computation can never
-    drift."""
+    shingle table — the single definition every PPJoin-family caller
+    builds from, so the canonical (df, h) ordering and df computation
+    can never drift."""
     from pyspark.sql import Window
 
     hsh = _hashed_shingles(spark, sf_dir)
@@ -326,18 +335,16 @@ def _prefix_postings(spark: SparkSession, sf_dir: str, prefix_len_sql: str):
     return _hashed_shingles(spark, sf_dir), frames["full"], frames["prefix"]
 
 
-# Per-pass posting budget for the auto-selected shard count. Sized
-# from the sf≈100 stress: the 260M-posting pair corpus single-pass was
-# spill-bound (392-416 s, ~65 GB scratch — the array-attached
-# verification intermediate is the footprint, ~1 KB/candidate pair
-# scaling with the per-pass posting mass); a round-13 controlled
-# same-session comparison measured S=3 at 277 s vs S=4 at 212 s
-# (r12 recorded 203 s for S=4), so the budget is set to land the
-# selection on the measured optimum ~65M postings/pass: at 80M/pass
-# this corpus selects S=4 with NO env var, while every fixture decade
-# (≤26M postings at sf≈10p) stays single-pass. On a real cluster the
-# budget is per-executor; the env knob re-tunes it without code
-# changes.
+# Per-pass posting budget behind :func:`ppjoin_shards` — retained as
+# the capacity measure ``q_shard_balance`` certifies (its oracle
+# re-derives ceil(postings / budget) in SQL). Historically (r12/r13)
+# this selected the PPJoin shard-loop pass count; the round-14
+# counting prefix filter removed the shard loop itself (see
+# ppjoin_shards docstring). Sized from the r13 sf≈100 stress: the
+# 260M-posting pair corpus ran measured-optimal at ~65M postings/pass
+# (S=4: 212 s vs the 392-416 s single-pass cliff under the OLD
+# share-one-token plan whose verification scratch scaled with posting
+# mass). The env knob re-tunes it without code changes.
 PPJOIN_TARGET_POSTINGS = 80_000_000
 
 # Memoized per-(session, sf_dir) posting count — sum over docs of
@@ -361,32 +368,25 @@ def _posting_count(spark: SparkSession, sf_dir: str) -> int:
 def ppjoin_shards(
     spark: SparkSession | None = None, sf_dir: str | None = None
 ) -> int:
-    """Posting-universe shard count for the PPJoin candidate joins —
-    SELF-SELECTED from the corpus's measured posting count (round-12
-    verdict item 2: the manual ``$KTPS_PPJOIN_SHARDS`` knob defaulted
-    to the S=1 cliff plan at the third decade), overridable via
-    ``$KTPS_PPJOIN_SHARDS`` for stress-control cells.
+    """Posting-universe shard count the r12/r13 PPJoin shard loop
+    WOULD select for this corpus — S = ceil(posting_count /
+    ``PPJOIN_TARGET_POSTINGS``), clamped to [1, 64], pinnable via
+    ``$KTPS_PPJOIN_SHARDS`` / re-budgeted via
+    ``$KTPS_PPJOIN_TARGET_POSTINGS``.
 
-    Why sharding exists: the sf≈100 stress measured the prefix join
-    spill-bound — candidates and output stayed exactly LINEAR (the
-    lossless filters hold), but the ~450M-row posting tables plus the
-    array-attached verification scratch crossed the host's memory and
-    the cell ran 416 s / ~65 GB single-pass vs 203 s / 24 GB at S=4
-    (SCALING.md third-decade table). Sharding the token universe by
-    ``pmod(h, S)`` is an EXACT partition of the equi-join's match
-    space (both sides of a match carry the same ``h``), so running the
-    join once per shard and unioning verified rows is lossless — and
-    each pass carries only ~1/S of the postings, keeping the working
-    set under the memory cliff.
-
-    Selection: S = ceil(posting_count / ``PPJOIN_TARGET_POSTINGS``),
-    clamped to [1, 64] — every fixture decade (≤ ~26M postings at
-    sf≈10p) stays single-pass, the sf≈100 pair corpus (260M measured)
-    lands on the measured-optimal S=4 with NO env var set (round-13
-    controlled cells: S=1 cliff 392-416 s, S=3 277 s, S=4 212 s).
-    Read at call time so stress tools can still pin a regime per
-    cell; the per-pass budget is tunable via
-    ``$KTPS_PPJOIN_TARGET_POSTINGS``."""
+    Since round 14 NO query executes a shard loop: the counting form
+    of the prefix filter (q_dedup_jaccard_prefix /
+    q_dedup_containment) makes candidate sets answer-sized, which
+    removes the ~1 KB/candidate verification exchange that sharding
+    existed to bound (r12 measured it at ~50-60 GB / ~125M candidate
+    rows at sf≈100 — the spill cliff), and per-pair match COUNTING is
+    incompatible with pmod token sharding anyway (a pair's prefix
+    matches would split across passes and undercount). The selection
+    rule itself remains the per-pass posting-budget CAPACITY measure —
+    ``q_shard_balance`` reports it (its ``auto_shards`` column
+    re-derives this exact integer arithmetic in SQL, certified by the
+    driver's hash check) so an operator can still read how many
+    budget-sized passes a corpus' posting mass represents."""
     env = os.environ.get("KTPS_PPJOIN_SHARDS", "")
     if env:
         return max(1, int(env))
@@ -398,140 +398,6 @@ def ppjoin_shards(
         or PPJOIN_TARGET_POSTINGS,
     )
     return min(64, max(1, -(-_posting_count(spark, sf_dir) // target)))
-
-
-def _write_posting_parquet(
-    spark: SparkSession, sf_dir: str, prefix_len_sql: str, nm: str, path: str
-) -> None:
-    """Materialize one posting table to compressed parquet for the
-    shard loop — STAGED so no single job holds the whole pipeline's
-    shuffle files at once.
-
-    Shuffle files live until their JOB ends, so a one-job write of the
-    prefix pipeline (explode → df agg+join → per-doc window → size
-    join → sink) keeps ~4 posting-universe-sized exchanges on disk
-    simultaneously — measured at the sf≈100 cell to be the disk
-    footprint itself (~65 GB, the whole scratch budget of the stress
-    box), independent of the join it feeds. Splitting at the df-join
-    boundary bounds residency to ~2 exchanges per job, with the
-    intermediate parquet (columnar ints, well compressed) and a
-    shuffle reclaim between the jobs."""
-    import shutil
-
-    from kafka_to_parquet_spark.session import reclaim
-
-    hsh = _hashed_shingles(spark, sf_dir)
-    ex = hsh.select("doc_id", F.explode("hs").alias("h"))
-    sized = hsh.select("doc_id", F.size("hs").alias("n"))
-    if nm == "full":
-        ex.join(sized, "doc_id").write.mode("overwrite").parquet(path)
-        reclaim(spark)
-        return
-    from pyspark.sql import Window
-
-    stage1 = path + ".stage1"
-    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ex.join(dfreq, "h").write.mode("overwrite").parquet(stage1)
-    reclaim(spark)
-    w = Window.partitionBy("doc_id").orderBy("df", "h")
-    (
-        spark.read.parquet(stage1)
-        .withColumn("rk", F.row_number().over(w))
-        .join(sized, "doc_id")
-        .filter(F.col("rk") <= F.expr(prefix_len_sql))
-        .select("doc_id", "h", "n", "rk")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-    shutil.rmtree(stage1, ignore_errors=True)
-    reclaim(spark)
-
-
-def _sharded_ppjoin(
-    spark: SparkSession,
-    sf_dir: str,
-    prefix_len_sql: str,
-    names: tuple[str, ...],
-    pipeline,
-) -> DataFrame:
-    """PPJoin candidate-generation + verification, single-pass or
-    sharded.
-
-    ``pipeline`` receives a dict of the posting frames it reads
-    (subset of ``{"prefix", "full"}``, per ``names``) and returns the
-    VERIFIED result frame; with S=1 it gets the persisted
-    feature-cache tables — the unchanged single-pass plan. With S > 1
-    (auto-selected from the corpus posting count by
-    :func:`ppjoin_shards`, or pinned via ``$KTPS_PPJOIN_SHARDS``) the
-    posting tables are instead MATERIALIZED ONCE TO COMPRESSED PARQUET
-    (cached as a temp-dataset path in the postings cache; the dataset
-    is rmtree'd when the cache entry is evicted) and the WHOLE
-    pipeline — candidate join AND verification — runs once per
-    token-universe shard over pmod-filtered scans, SEQUENTIALLY.
-
-    EXECUTION-TIME CONTRACT (shard mode only): each shard's verified
-    slice is ``localCheckpoint(eager=True)``-ed so its scratch can be
-    reclaimed before the next pass — meaning the heavy work runs AT
-    DataFrame-CONSTRUCTION time, not at the caller's action. Timing
-    harnesses must therefore time the OPERATOR CALL through the action
-    (bench/stress/verify all do); timing only the action on the
-    returned frame would measure a union of checkpointed slices.
-
-    Why the whole pipeline shards, not just candidate generation (r12
-    stage-level measurement at sf≈100): candidate PAIRS are linear
-    but plentiful (~125M at the third decade), and verification must
-    exchange them WITH their shingle arrays attached (~1 KB/row) —
-    that array-attached intermediate, not the posting join, is the
-    dominant disk footprint (~50-60 GB, the whole scratch budget of
-    the stress box). Sharding the pipeline bounds it to 1/S per
-    sequential pass and releases it (eager ``localCheckpoint`` of the
-    tiny verified slice + session.reclaim) before the next shard.
-
-    Why parquet, not persist, for the shard-mode posting tables: a
-    deserialized MEMORY_AND_DISK spill sits in the block manager for
-    the whole loop; columnar-compressed int postings are ~1-2 GB at
-    the same scale and each shard filter-scans them.
-
-    Correctness of sharding: ``pmod(h, S)`` exactly partitions the
-    candidate join's match space (both sides of a match carry the
-    same ``h``), so every true pair appears in ≥1 shard; verification
-    is a deterministic function of the pair (arrays + integer/
-    floor-round arithmetic), so a pair surfacing in two shards yields
-    IDENTICAL verified rows and the final union ``distinct()``
-    (over verified rows — orders of magnitude smaller than
-    candidates) is exact."""
-    shards = ppjoin_shards(spark, sf_dir)
-    if shards <= 1:
-        return pipeline(_cached_postings(spark, sf_dir, prefix_len_sql, names))
-    import tempfile
-
-    from kafka_to_parquet_spark.session import reclaim
-
-    inner = _POSTINGS_CACHE.setdefault((spark, sf_dir), {})
-    paths: dict[str, str] = {}
-    for nm in names:
-        key = f"parquet:{nm}:{prefix_len_sql if nm == 'prefix' else ''}"
-        if key not in inner:
-            path = tempfile.mkdtemp(prefix=f"ktps_ppjoin_{nm}_")
-            _write_posting_parquet(spark, sf_dir, prefix_len_sql, nm, path)
-            # TempDataset marks the path as cache-OWNED: eviction (and
-            # the atexit sweep) rmtree the parquet with the entry.
-            inner[key] = TempDataset(path)
-        paths[nm] = inner[key]
-    parts: list[DataFrame] = []
-    for s in range(shards):
-        frames = {
-            nm: spark.read.parquet(p).filter(
-                F.pmod(F.col("h"), F.lit(shards)) == s
-            )
-            for nm, p in paths.items()
-        }
-        parts.append(pipeline(frames).localCheckpoint(eager=True))
-        reclaim(spark)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
 
 
 @query(
@@ -589,84 +455,80 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles on both sides, perturbing similarity by at most one
     shingle's weight, never inventing a false document identity).
 
-    Scale shape: candidate generation moves only prefix postings (the
-    rarest half at tau=0.5 — hot boilerplate shingles land OUTSIDE the
+    Scale shape (round-14: the COUNTING form of the lemma, both
+    sides): candidate generation moves only prefix postings, extended
+    by K-1 = 2 tokens past the minimal prefix (the rarest
+    ~half at tau=0.5 — hot boilerplate shingles land OUTSIDE the
     prefix, so no df cap is needed); the per-doc prefix selection is a
-    doc-keyed window; the PPJoin POSITIONAL filter then prunes
-    posting matches that cannot reach the required overlap
-    (alpha = ceil(tau/(1+tau)·(na+nb)) = ceil((na+nb)/3), reachable
-    overlap 1 + min(na-rk_a, nb-rk_b) — for a true pair its FIRST
-    common canonical token always survives, so the filter is lossless;
-    measured 310k → 125k candidates at sf0.1 on this fixture);
-    verification joins the int hash arrays onto the (far smaller)
-    candidate set only. When the posting universe outgrows the
-    per-pass budget (the sf≈100 stress's spill-bound 32.8× cell), the
-    pipeline AUTO-SHARDS itself per token universe — S is selected
-    from the measured posting count (see :func:`ppjoin_shards`;
-    ``$KTPS_PPJOIN_SHARDS`` pins a regime for stress-control cells),
-    and in shard mode the whole pipeline executes eagerly at the
-    operator call (see :func:`_sharded_ppjoin`'s execution-time
-    contract). Run exact dedup upstream first regardless, it shrinks
-    the universe for free."""
+    doc-keyed window. A pair with J >= tau has overlap >=
+    ceil(tau·max(nx, ny)), so at most m_s = n_s - ceil(tau·n_s) of
+    side s's shingles are missing from the other side, and the pair's
+    j-th common canonical token sits at rank <= m_s + j in EACH list —
+    its first min(K, overlap) common tokens therefore all land inside
+    BOTH extended prefixes. Aggregating the prefix match rows per pair
+    and requiring count >= min(K, ceil(tau·nx), ceil(tau·ny)) is thus
+    lossless (same oracle — the naive all-co-shingle-pairs join — so
+    the driver's value check proves it), and ~150× more selective than
+    the r13 share-one-token + positional form: measured at sf0.1,
+    124,980 candidates → 840 for 256 verified pairs, at +9% posting
+    match rows (K=2 gave 13,375). Verification joins the int hash
+    arrays onto that answer-sized candidate set only — AQE broadcasts
+    it into both joins, so the array table is never exchanged.
+
+    The counting form also removes the r12/r13 AUTO-SHARDING
+    (:func:`ppjoin_shards`) from this operator: the thing sharding
+    bounded — the ~1 KB/candidate verification exchange, ~125M rows /
+    50-60 GB at sf≈100 — no longer exists (candidates ≈ answers), and
+    counting is incompatible with pmod token sharding anyway (a
+    pair's prefix matches would split across passes and undercount).
+    Single-pass at every decade; the posting join moves narrow ints
+    and its per-pair aggregate combines map-side. Run exact dedup
+    upstream first regardless, it shrinks the universe for free."""
     hsh = _hashed_shingles(spark, sf_dir)
     inter = F.expr("CAST(size(array_intersect(sa.hs, sb.hs)) AS DOUBLE)")
     union = F.expr(
         "size(sa.hs) + size(sb.hs) - size(array_intersect(sa.hs, sb.hs))"
     )
-
-    def pipeline(frames: dict) -> DataFrame:
-        sliced = frames["prefix"]
-        x, y = sliced.alias("x"), sliced.alias("y")
-        cand = (
-            x.join(
-                y,
-                (F.col("x.h") == F.col("y.h"))
-                & (F.col("x.doc_id") < F.col("y.doc_id"))
-                # length filter: J >= 1/2 forces |a| <= 2|b|, |b| <= 2|a|
-                & (F.col("x.n") <= 2 * F.col("y.n"))
-                & (F.col("y.n") <= 2 * F.col("x.n"))
-                # positional filter: overlap reachable from this match's
-                # suffixes (1 + min remaining) must cover alpha =
-                # ceil((na+nb)/3); for integer ub that is 3*ub >= na+nb —
-                # pure integer cross-multiplication, no division anywhere
-                & (
-                    3
-                    * (
-                        1
-                        + F.least(
-                            F.col("x.n") - F.col("x.rk"),
-                            F.col("y.n") - F.col("y.rk"),
-                        )
-                    )
-                    >= F.col("x.n") + F.col("y.n")
-                ),
-            )
-            .select(
-                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-            )
-            .distinct()
+    # ceil(tau*n) = (n+1) DIV 2 at tau = 1/2.
+    frames = _cached_postings(
+        spark, sf_dir, f"n - ((n + 1) DIV 2) + {PREFIX_K}", ("prefix",)
+    )
+    x, y = frames["prefix"].alias("x"), frames["prefix"].alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            # length filter: J >= 1/2 forces |a| <= 2|b|, |b| <= 2|a|
+            & (F.col("x.n") <= 2 * F.col("y.n"))
+            & (F.col("y.n") <= 2 * F.col("x.n")),
         )
-        # SHUFFLE_HASH on the shingle-set side: SMJ would additionally
-        # SORT the array-attached pair intermediate; the shuffled hash
-        # join builds a per-partition map of the doc-keyed set table
-        # and streams the pairs — no sort spill.
-        return (
-            cand.join(
-                hsh.alias("sa").hint("shuffle_hash"),
-                F.col("doc_a") == F.col("sa.doc_id"),
-            )
-            .join(
-                hsh.alias("sb").hint("shuffle_hash"),
-                F.col("doc_b") == F.col("sb.doc_id"),
-            )
-            .select(
-                "doc_a", "doc_b", floor_round(inter / union, 6).alias("jaccard")
-            )
-            .filter(F.col("jaccard") >= PREFIX_TAU)
+        # count matches per pair (nx/ny are functionally dependent on
+        # the ids — kept in the key so the threshold can read them)
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n").alias("nx"),
+            F.col("y.n").alias("ny"),
         )
-
-    return _sharded_ppjoin(
-        spark, sf_dir, "n - ((n + 1) DIV 2) + 1", ("prefix",), pipeline
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(
+            F.expr(
+                f"c >= least({PREFIX_K}, (nx + 1) DIV 2, (ny + 1) DIV 2)"
+            )
+        )
+        .select("doc_a", "doc_b")
+    )
+    # no join hints: the candidate relation is ~answer-sized, so AQE
+    # broadcasts it into both verification joins (see
+    # q_dedup_containment — same shape, same reasoning).
+    return (
+        cand.join(hsh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(hsh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b", floor_round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= PREFIX_TAU)
     )
 
 

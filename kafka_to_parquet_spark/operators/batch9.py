@@ -1669,7 +1669,11 @@ def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(d, "documents.parquet"),
             target_is_directory=os.path.isdir(src),
         )
-        _DOC_STREAM_DIRS[key] = d
+        # TempDataset: the symlink dir is cache-owned — eviction
+        # removes it from disk with the entry instead of leaking it.
+        from kafka_to_parquet_spark.cache import TempDataset
+
+        _DOC_STREAM_DIRS[key] = TempDataset(d)
     src = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(src).schema
     where = os.path.join(d, "documents.parquet") if os.path.isdir(src) else d

@@ -312,10 +312,17 @@ CERTIFIED_THROUGH: int = 13
 #   construction, but the plan changed (single-pass now: counting and
 #   pmod token-sharding are mutually exclusive, and the counting form
 #   removes the verify footprint sharding bounded).
-# - q_dedup_jaccard_prefix / q_shard_balance: share the restructured
-#   posting-table accessor (_cached_postings — per-name lazy
-#   persists). Plans and values unchanged by construction, but the
-#   shared helper changed.
+# - q_dedup_jaccard_prefix: same counting form (each side's prefix
+#   extends K-1 tokens; pair must share >= min(K, ceil(tau*n) per
+#   side) of them) — 124,980 -> 840 candidates at sf0.1, verification
+#   over AQE broadcasts, the r12/r13 shard loop removed. Lossless by
+#   the two-sided missing-budget argument (adversarial corpus test);
+#   values unchanged, plan changed.
+# - q_lsh_recall: consumes q_dedup_jaccard_prefix's plan as its truth
+#   side — transitively re-certify.
+# - q_shard_balance: shares the restructured posting-table accessor
+#   (_cached_postings — per-name lazy persists). Plan and values
+#   unchanged by construction, but the shared helper changed.
 # - q_dedup_minhash_lsh: the MLlib approxSimilarityJoin sides are now
 #   projected to (doc_id, features) before the join (guide §2.3 —
 #   the datasetA/datasetB structs used to carry lang/source and the
@@ -331,7 +338,7 @@ CERTIFIED_THROUGH: int = 13
 #   changed.
 RECERTIFY: set[str] = {
     "q_dedup_containment", "q_dedup_jaccard_prefix", "q_shard_balance",
-    "q_dedup_minhash_lsh", "q_ngram_novelty",
+    "q_dedup_minhash_lsh", "q_ngram_novelty", "q_lsh_recall",
 }
 
 

@@ -396,7 +396,13 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = os.path.join(tempfile.gettempdir(), f"ktps_upsert_{digest}")
         shutil.rmtree(store, ignore_errors=True)
         ckpt = tempfile.mkdtemp(prefix="ktps_upsert_ckpt_")
-        _UPSERT_STORES[key] = (store, ckpt)
+        # TempDataset: store + checkpoint are cache-owned scratch —
+        # eviction frees the on-disk state with the entry (the next
+        # call rebuilds from scratch, the documented fresh-key path)
+        # instead of leaking both dirs.
+        from kafka_to_parquet_spark.cache import TempDataset
+
+        _UPSERT_STORES[key] = (TempDataset(store), TempDataset(ckpt))
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession

@@ -124,75 +124,51 @@ def test_containment_is_lossless_on_adversarial_corpus(spark, adversarial_dir):
         assert (small, large) in got
 
 
-def test_ppjoin_shard_mode_materializes_parquet_not_persist(
-    spark, adversarial_dir, monkeypatch
-):
-    """In shard mode the posting tables must land as compressed
-    parquet temp datasets, staged intermediate removed, path cached
-    for reuse — and the deserialized single-pass persists must NOT be
-    populated (their block-manager spill was what pushed the sf≈100
-    cell over the disk; see _sharded_ppjoin docstring)."""
-    import glob as _glob
-    import os as _os
+def test_ppjoin_count_filter_candidates_are_answer_sized(spark, adversarial_dir):
+    """Round-14: the counting form of the prefix filter must keep the
+    candidate set within a small multiple of the verified answer on
+    the adversarial corpus (the property that removed the r12/r13
+    shard loop — candidates ≈ answers means the 1 KB/row verification
+    exchange can never become the working set again)."""
+    from pyspark.sql import functions as F
 
-    from kafka_to_parquet_spark.cache import clear_caches
-    from kafka_to_parquet_spark.llm.minhash import _POSTINGS_CACHE
+    from kafka_to_parquet_spark.llm.minhash import (
+        PREFIX_K,
+        _posting_plans,
+    )
 
     registry.load_all()
-    clear_caches(spark, adversarial_dir)
-    monkeypatch.setenv("KTPS_PPJOIN_SHARDS", "3")
-    registry.QUERIES["q_dedup_jaccard_prefix"](spark, adversarial_dir).collect()
-    inner = _POSTINGS_CACHE[(spark, adversarial_dir)]
-    assert all(k.startswith("parquet:") for k in inner), sorted(inner)
-    (pq,) = [k for k in inner if k.startswith("parquet:prefix:")]
-    path = inner[pq]
-    assert _glob.glob(_os.path.join(path, "*.parquet"))
-    assert not _os.path.exists(path + ".stage1")
-    # second run reuses the materialized dataset (same cached path)
-    registry.QUERIES["q_dedup_jaccard_prefix"](spark, adversarial_dir).collect()
-    assert _POSTINGS_CACHE[(spark, adversarial_dir)][pq] == path
-    # eviction must FREE the on-disk dataset, not just drop the path
-    # string — orphaned tempdirs compounded per re-materialization on
-    # the disk-bound stress box (round-12 advisor item 1).
-    clear_caches(spark, adversarial_dir)
-    assert not _os.path.exists(path)
+    plen = f"n - ((n + 1) DIV 2) + {PREFIX_K}"
+    _, _, prefix = _posting_plans(spark, adversarial_dir, plen)
+    x, y = prefix.alias("x"), prefix.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col("x.n") <= 2 * F.col("y.n"))
+            & (F.col("y.n") <= 2 * F.col("x.n")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+            F.col("x.n").alias("nx"), F.col("y.n").alias("ny"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.expr(f"c >= least({PREFIX_K}, (nx + 1) DIV 2, (ny + 1) DIV 2)"))
+        .count()
+    )
+    verified = registry.QUERIES["q_dedup_jaccard_prefix"](
+        spark, adversarial_dir
+    ).count()
+    assert verified > 0
+    assert cand <= 10 * max(verified, 4), (cand, verified)
 
 
-@pytest.mark.parametrize(
-    "qname,keycols",
-    [
-        ("q_dedup_jaccard_prefix", ("doc_a", "doc_b", "jaccard")),
-        ("q_dedup_containment", ("doc_a", "doc_b", "containment")),
-    ],
-)
-def test_ppjoin_shard_knob_is_lossless(
-    spark, adversarial_dir, monkeypatch, qname, keycols
-):
-    """KTPS_PPJOIN_SHARDS partitions the candidate join by token-
-    universe shard (the sf≈100 spill-bound mitigation, round-11
-    verdict item 3); sharding must change ONLY the execution shape —
-    the verified pair set and similarity values are identical for any
-    S, including S larger than the number of distinct hashes hit."""
-    registry.load_all()
-
-    def rows(df):
-        return sorted(tuple(r[c] for c in keycols) for r in df.collect())
-
-    monkeypatch.delenv("KTPS_PPJOIN_SHARDS", raising=False)
-    base = rows(registry.QUERIES[qname](spark, adversarial_dir))
-    assert base  # the adversarial corpus produces pairs by design
-    for shards in (3, 7):
-        monkeypatch.setenv("KTPS_PPJOIN_SHARDS", str(shards))
-        assert rows(registry.QUERIES[qname](spark, adversarial_dir)) == base
-
-
-def test_ppjoin_shards_self_select(spark, adversarial_dir, monkeypatch):
-    """Round-12 verdict item 2: with NO env var set the shard count
-    derives from the measured posting count (ceil(postings/target),
-    clamped), so the third-decade corpus runs off-cliff by default;
-    $KTPS_PPJOIN_SHARDS still pins a regime for stress-control cells;
-    and the auto-selected plan returns the same verified rows."""
-    from kafka_to_parquet_spark.cache import clear_caches
+def test_ppjoin_shards_selection_arithmetic(spark, adversarial_dir, monkeypatch):
+    """ppjoin_shards survives as the posting-budget capacity measure
+    q_shard_balance certifies (since round 14 no query executes a
+    shard loop — the counting prefix filter removed it): the integer
+    selection rule and both env overrides must keep working."""
     from kafka_to_parquet_spark.llm import minhash
 
     registry.load_all()
@@ -200,7 +176,7 @@ def test_ppjoin_shards_self_select(spark, adversarial_dir, monkeypatch):
     monkeypatch.delenv("KTPS_PPJOIN_TARGET_POSTINGS", raising=False)
     n_post = minhash._posting_count(spark, adversarial_dir)
     assert n_post > 0
-    # tiny corpus, default budget: single-pass
+    # tiny corpus, default budget: one budget-sized pass
     assert minhash.ppjoin_shards(spark, adversarial_dir) == 1
     # pinned env wins over auto-selection
     monkeypatch.setenv("KTPS_PPJOIN_SHARDS", "5")
@@ -212,20 +188,6 @@ def test_ppjoin_shards_self_select(spark, adversarial_dir, monkeypatch):
     want = min(64, -(-n_post // target))
     assert minhash.ppjoin_shards(spark, adversarial_dir) == want
     assert want > 1
-    # the auto-sharded plan is lossless vs the single-pass result
-    def rows(df):
-        return sorted(
-            (r.doc_a, r.doc_b, r.jaccard)
-            for r in df.collect()
-        )
-
-    auto = rows(registry.QUERIES["q_dedup_jaccard_prefix"](spark, adversarial_dir))
-    monkeypatch.delenv("KTPS_PPJOIN_TARGET_POSTINGS", raising=False)
-    clear_caches(spark, adversarial_dir)
-    single = rows(
-        registry.QUERIES["q_dedup_jaccard_prefix"](spark, adversarial_dir)
-    )
-    assert auto == single and auto
 
 
 def test_containment_count_filter_at_exact_threshold(spark):

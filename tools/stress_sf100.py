@@ -95,9 +95,10 @@ QUERIES: list[tuple[str, str]] = [
     # round-13 addition (round-12 verdict item 8's cliff-class note):
     # containment shares PPJoin's posting topology — asymmetric
     # a-prefix × b-FULL join, a strictly LARGER probe side than the
-    # Jaccard cell — and now the same auto-sharding; measure the third
-    # decade so "same cliff class, same mitigation" is a row, not an
-    # inference.
+    # Jaccard cell. Since round 14 both family queries run the
+    # single-pass COUNTING prefix filter (answer-sized candidates, no
+    # shard loop); this cell re-measures that plan at the decade that
+    # used to need sharding.
     ("q_dedup_containment", "pairs"),
 ]
 
@@ -175,11 +176,6 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
     ap.add_argument("--sweeps", type=int, default=2)
-    ap.add_argument(
-        "--shard-control", action="store_true",
-        help="also re-measure the pinned S=1 PPJoin cliff cell "
-             "(~65 GB scratch — needs a cleaned /tmp to itself; the "
-             "figure is on record in SCALING.md, so default off)")
     args = ap.parse_args()
     queries = QUERIES
     if args.only:
@@ -278,54 +274,13 @@ def main() -> None:
             print(f"sweep{s} {name} @ {where}: "
                   f"{samples[(name, where)][-1]:.1f}s", flush=True)
 
-    # Single-pass PPJoin control cell (round-12 verdict item 2): the
-    # shard count now SELF-SELECTS from the measured posting count
-    # (minhash.ppjoin_shards — ~450M postings at this decade lands on
-    # S=4 with NO env var), so the MAIN sweeps above already run the
-    # off-cliff sharded plan and this cell pins S=1 to keep the cliff
-    # it avoids MEASURED (r12: 416 s / ~65 GB scratch vs 203 s /
-    # 24 GB). Each regime gets ONE UNTIMED warm run before its timed
-    # sweeps so one-time materialization (posting parquet for the
-    # sharded leg — built by the warm-up probe above; the persisted
-    # posting frames for this S=1 leg) never lands in a timed sample
-    # (round-12 advisor item 3).
-    shard_lines: list[str] = []
-    if args.shard_control and any(
-        n == "q_dedup_jaccard_prefix" for n, _ in queries
-    ):
-        _, hi = dirs_for("q_dedup_jaccard_prefix")
-        for S in (1,):
-            os.environ["KTPS_PPJOIN_SHARDS"] = str(S)
-            try:
-                run_once("q_dedup_jaccard_prefix", hi)  # untimed warm
-                ts = []
-                for _ in range(args.sweeps):
-                    clear_result_caches(spark)
-                    ts.append(run_once("q_dedup_jaccard_prefix", hi))
-                tS = statistics.median(ts)
-            except Exception as exc:  # noqa: BLE001 — control cell must
-                # never kill the table write (r12: it died on a disk
-                # pre-filled by the S=1 sweeps' scratch)
-                os.environ.pop("KTPS_PPJOIN_SHARDS", None)
-                shard_lines.append(
-                    f"- q_dedup_jaccard_prefix sf≈100 with "
-                    f"KTPS_PPJOIN_SHARDS={S}: FAILED "
-                    f"{type(exc).__name__}: {str(exc)[:100]}")
-                print(shard_lines[-1], flush=True)
-                continue
-            try:
-                base = samples.get(("q_dedup_jaccard_prefix", hi)) or []
-                t1 = statistics.median(base) if base else float("nan")
-                shard_lines.append(
-                    f"- q_dedup_jaccard_prefix sf≈100 pinned "
-                    f"KTPS_PPJOIN_SHARDS={S} (the cliff auto-selection "
-                    f"avoids): {tS:.2f}s vs {t1:.2f}s auto-sharded "
-                    f"({tS / t1:.2f}×)" if base else
-                    f"- q_dedup_jaccard_prefix sf≈100 pinned "
-                    f"KTPS_PPJOIN_SHARDS={S}: {tS:.2f}s")
-                print(shard_lines[-1], flush=True)
-            finally:
-                os.environ.pop("KTPS_PPJOIN_SHARDS", None)
+    # (The r12/r13 pinned-S=1 'shard-control' cliff cell is gone with
+    # the shard loop itself: since round 14 the counting prefix filter
+    # makes PPJoin candidates answer-sized and both family queries run
+    # single-pass at every decade — KTPS_PPJOIN_SHARDS no longer
+    # changes any query's execution. The historical cliff figures
+    # (S=1 392-416 s / ~65 GB vs S=4 212.5 s at sf≈100) stay on
+    # record in SCALING.md.)
 
     lines = [
         SECTION, "",
@@ -354,9 +309,6 @@ def main() -> None:
             f"| {name} | {c} | {t10:.2f}s | {t100:.2f}s | {t100 / t10:.1f}× |"
             f" {outs[(name, lo)]:,} | {outs[(name, hi)]:,} |")
         print(lines[-1], flush=True)
-    if shard_lines:
-        lines += [""] + shard_lines
-
     if args.only:
         # isolated re-measure (e.g. a cell that needs the whole disk to
         # itself): rows print above for hand-merging into the table —
