@@ -2187,7 +2187,8 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-keyed. TakeOrdered bounds the report."""
     from kafka_to_parquet_spark.operators.graph import _part_pairs
 
-    pp = _part_pairs(spark, sf_dir).persist()
+    # already persisted by the part_pairs_support edge_feature cache
+    pp = _part_pairs(spark, sf_dir)
     kq = pp.selectExpr(
         f"CAST(percentile_disc({CC_SUP_Q}) WITHIN GROUP (ORDER BY support)"
         " AS BIGINT) AS ks"

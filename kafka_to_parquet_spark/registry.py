@@ -336,9 +336,19 @@ CERTIFIED_THROUGH: int = 13
 #   localCheckpoint is removed. Values unchanged by construction
 #   (same novelty definition; oracle untouched), but the plan
 #   changed.
+# - q_copurchase_pairs / q_copurchase_pmi / q_graph_jaccard /
+#   q_graph_triangles / q_graph_clustering_coeff / q_link_adamic_adar /
+#   q_graph_modularity: the shared co-purchase pair projection
+#   (_part_pairs) now serves through the edge_feature cache (one
+#   build, seven consumers). Values unchanged by construction (same
+#   relation), but every consumer's plan now reads the persisted
+#   feature table.
 RECERTIFY: set[str] = {
     "q_dedup_containment", "q_dedup_jaccard_prefix", "q_shard_balance",
     "q_dedup_minhash_lsh", "q_ngram_novelty", "q_lsh_recall",
+    "q_copurchase_pairs", "q_copurchase_pmi", "q_graph_jaccard",
+    "q_graph_triangles", "q_graph_clustering_coeff", "q_link_adamic_adar",
+    "q_graph_modularity",
 }
 
 

@@ -100,6 +100,12 @@ QUERIES: list[tuple[str, str]] = [
     # shard loop); this cell re-measures that plan at the decade that
     # used to need sharding.
     ("q_dedup_containment", "pairs"),
+    # round-14 addition (round-13 verdict item 6): the MLlib rows-only
+    # near-dup variant was the one HEADLINE family member with no
+    # sf≈100 figure. Run it via --only (it is the riskiest cell —
+    # library-internal banding over 5M docs — so it gets its own
+    # invocation after the deterministic cells' disk is reclaimed).
+    ("q_dedup_minhash_lsh", "pairs"),
 ]
 
 SECTION = "## 1000× stress (sf≈100, built by tools/stress_sf100.py)"
