@@ -483,8 +483,10 @@ def main() -> None:
         # (first-sample overhang, see above) — NOT part of `value`.
         # Full key in BENCH_LOCAL.json; the stdout line carries it as
         # compact "fbt" (tail budget). fbt_top = the 5 largest
-        # per-query overhangs (BENCH_LOCAL-only — stdout budget), so a
-        # local-vs-driver fbt spread is attributable per feature.
+        # per-query overhangs, so a local-vs-driver fbt spread is
+        # attributable per feature; since round 15 the stdout line
+        # carries as many of them as the tail budget fits (see below),
+        # BENCH_LOCAL.json always all 5 at full precision.
         "feature_build_total": feature_build_total,
         "fbt_top": fbt_top,
     }
@@ -523,6 +525,15 @@ def main() -> None:
     # caller embedding bench in a longer-lived session doesn't inherit
     # executor storage pinned to this sf_dir.
     clear_caches(spark)
+    # Stop Spark BEFORE printing the stdout line: the driver's capture
+    # merges the JVM's log4j stderr (the WARN lines visible in every
+    # BENCH_r*.json tail), so a stray warning flushed AFTER the line
+    # would push its head past the 2000-char tail and kill the parse.
+    # With the JVM down and log4j flushed here, the JSON line is
+    # provably the last output (the atexit temp-dataset sweep is
+    # silent), which is what lets the budget below spend the headroom
+    # the old 1930 budget reserved for exactly that stray-warning risk.
+    spark.stop()
 
     # Full-precision copy on disk for humans/the judge — full q_ names,
     # 3-dp medians, raw sample lists for the resampled queries. The
@@ -549,17 +560,29 @@ def main() -> None:
     out["queries"] = {n: compact_val(t) for n, t in timings.items()}
     out.pop("iters", None)
     # feature_build_total -> compact "fbt" on stdout (the descriptive
-    # key stays in BENCH_LOCAL.json written above, as does fbt_top —
-    # 5 more q_* names would blow the tail budget for a diagnostic).
+    # key stays in BENCH_LOCAL.json written above).
     out.pop("feature_build_total", None)
-    out.pop("fbt_top", None)
     out["fbt"] = compact_val(feature_build_total)
+    # fbt_top on the stdout line (round-14 verdict item 2: the driver's
+    # fbt doubled to 105.3 s and its own record could not attribute
+    # it). Arithmetic constraint: the driver captures a 2000-char TAIL
+    # of merged stdout/stderr; the contract line is ~1915-1925 chars at
+    # the current 85-query set (the queries dict alone is ~1810), so
+    # the full 5-entry dict (~130 chars with canonical names) cannot
+    # ever fit — the shrink chain below keeps the LARGEST overhangs and
+    # pops from the smallest until the line fits (typically 2-3 entries
+    # — the heaviest builds, which is the attribution that matters).
+    # All 5 full-precision entries are always in BENCH_LOCAL.json.
+    out["fbt_top"] = {n: compact_val(v) for n, v in fbt_top.items()}
     if noisy:
         out["resampled"] = noisy
 
-    # The driver's tail capture is 2000 chars; leave headroom for the
-    # trailing newline and a possible stray warning line.
-    budget = 1930
+    # The driver's tail capture is 2000 chars. spark.stop() above makes
+    # the JSON line provably the last output, so the only overhead is
+    # the trailing newline — budget 1995 leaves 4 chars of slack. (The
+    # old 1930 reserved a full stray-warning line; that risk is closed
+    # at the source now, and the reclaimed 65 chars carry fbt_top.)
+    budget = 1995
     line = json.dumps(out, separators=(",", ":"))
     # Shrink the ERROR texts first: errors are up to 200 chars each
     # (bench's own cap) while timings are the benchmark's payload —
@@ -576,6 +599,15 @@ def main() -> None:
         # round record exists to carry, so it outlives them.
         out.pop("resampled", None)
         out.pop("iters", None)
+        line = json.dumps(out, separators=(",", ":"))
+    # fbt_top degrades from the smallest overhang up (see comment at
+    # its assembly): the heaviest feature builds — the attribution the
+    # round record needs — survive the longest.
+    while len(line) > budget and out.get("fbt_top"):
+        ft = out["fbt_top"]
+        del ft[min(ft, key=ft.get)]
+        if not ft:
+            out.pop("fbt_top", None)
         line = json.dumps(out, separators=(",", ":"))
     if len(line) > budget:
         out.pop("fbt", None)  # advisory; full value in BENCH_LOCAL

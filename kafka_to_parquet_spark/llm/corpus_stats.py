@@ -1067,7 +1067,16 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the post-join corpus-row aggregate (guide §2.4: the join-back and
     its exchanges carried information — which doc owns a unique hash
     — that the hash aggregate already had). Linear in corpus tokens,
-    no pairwise stage."""
+    no pairwise stage.
+
+    Deliberate tradeoff (round-14, documented round-15 per the
+    advisor): ``toks`` has TWO consumers (counts and tri) and Catalyst
+    has no cross-subtree CSE, so the corpus scan + regex tokenization
+    execute twice per call. Measured cheaper than the r13 alternative
+    (an eager localCheckpoint write of the posting table) at every
+    decade tried; if a future profile shows the double tokenize
+    dominating, derive n_ngrams from the tri aggregate instead of
+    re-adding a materialization boundary."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens_col(F.col("text")).alias("toks")).filter(
         F.size("toks") >= NOVELTY_N

@@ -94,18 +94,27 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     auto-sharding relies on, plus the selection arithmetic itself.
 
     Per shard of a fixed {S}-way ``pmod(h, {S})`` split of the tau=0.5
-    prefix postings (the exact relation q_dedup_jaccard_prefix joins):
-    posting rows, distinct tokens, the hottest token's posting count,
-    and the shard's share of posting mass in basis points. A healthy
-    split shows share_bp ≈ 10000/{S} per shard with no shard dominated
-    by one hot token — the precondition for "S passes of ~1/S working
-    set each". ``auto_shards`` recomputes ``ppjoin_shards``'s integer
-    selection (ceil(full postings / per-pass budget), clamped to
-    [1, 64]) in both engines, so the hash check certifies the Python
-    rule's arithmetic against SQL.
+    CLASSIC (1-extended) prefix postings — the posting-budget capacity
+    measure ``ppjoin_shards`` prices, pinned since this query was
+    certified. NOTE (round-15 doc fix): since round 14 the family
+    queries themselves join the K-extended prefix (+PREFIX_K-1 extra
+    tokens per doc) for the counting filter, so this audit relation is
+    a DIFFERENT, smaller posting table than the one
+    q_dedup_jaccard_prefix joins; a full-suite session persists both
+    (accepted — the +1 prefix is the quantity the certified capacity
+    arithmetic is defined over, and re-pointing the audit would change
+    the oracle-pinned output). Columns: posting rows, distinct tokens,
+    the hottest token's posting count, and the shard's share of
+    posting mass in basis points. A healthy split shows share_bp ≈
+    10000/{S} per shard with no shard dominated by one hot token — the
+    precondition for "S passes of ~1/S working set each".
+    ``auto_shards`` recomputes ``ppjoin_shards``'s integer selection
+    (ceil(full postings / per-pass budget), clamped to [1, 64]) in
+    both engines, so the hash check certifies the Python rule's
+    arithmetic against SQL.
 
-    Plan: reuses the persisted prefix-posting feature table (no new
-    corpus scan when the PPJoin family already ran); one (shard, h)
+    Plan: reuses the persisted +1-prefix posting feature table (shared
+    with any other consumer of the same prefix rule); one (shard, h)
     hash aggregate with map-side combine, one {S}-row shard aggregate,
     and two 1-row global reduces (prefix mass, full posting count)
     broadcast onto the report — the SinglePartition collapses are

@@ -216,7 +216,7 @@ CERTIFIED: set[str] = {
     # graph kernels — already listed above; entries cleared at
     # round-13 start), and rotation re-certifications.
     "q_quant_error_curve", "q_sample_hash_stratified",
-        # CORRECTNESS_r13.json: applied by tools/certify.py --apply.
+    # CORRECTNESS_r13.json: applied by tools/certify.py --apply.
     "q_shard_balance",
     # === certify-apply insertion point (tools/certify.py --apply) ===
 }
@@ -229,7 +229,7 @@ CERTIFIED: set[str] = {
 # pending rows and fails only on uncertified rows from rounds already
 # applied — run `make certify-apply` (or tools/certify.py --apply) to
 # append pending names and bump this.
-CERTIFIED_THROUGH: int = 13
+CERTIFIED_THROUGH: int = 14
 
 # Certified queries whose implementation (or a shared helper on their
 # path) changed since their last driver row — they jump the rotation
@@ -301,6 +301,14 @@ CERTIFIED_THROUGH: int = 13
 # q_sssp_weighted: auto-sharded PPJoin default + shuffle-free SSSP
 # seed — all landed green rows in CORRECTNESS_r13.json and were
 # cleared at round-14 start.)
+# (round-14 entries — q_dedup_containment, q_dedup_jaccard_prefix,
+# q_lsh_recall, q_shard_balance, q_dedup_minhash_lsh, q_ngram_novelty,
+# q_copurchase_pairs, q_copurchase_pmi, q_graph_jaccard,
+# q_graph_triangles, q_graph_clustering_coeff, q_link_adamic_adar,
+# q_graph_modularity: counting prefix filter, banded-join projection,
+# novelty join-back removal, _part_pairs edge-feature cache — all
+# landed green rows in CORRECTNESS_r14.json and were cleared at
+# round-15 start. Their change rationales, kept for the record:)
 # Round-14 entries:
 # - q_dedup_containment: candidate generation moved to the COUNTING
 #   form of the prefix filter (round-13 verdict item 2 — the
@@ -343,13 +351,7 @@ CERTIFIED_THROUGH: int = 13
 #   build, seven consumers). Values unchanged by construction (same
 #   relation), but every consumer's plan now reads the persisted
 #   feature table.
-RECERTIFY: set[str] = {
-    "q_dedup_containment", "q_dedup_jaccard_prefix", "q_shard_balance",
-    "q_dedup_minhash_lsh", "q_ngram_novelty", "q_lsh_recall",
-    "q_copurchase_pairs", "q_copurchase_pmi", "q_graph_jaccard",
-    "q_graph_triangles", "q_graph_clustering_coeff", "q_link_adamic_adar",
-    "q_graph_modularity",
-}
+RECERTIFY: set[str] = set()
 
 
 def _round_number() -> int:

@@ -192,10 +192,27 @@ def test_bench_stdout_line_fits_driver_tail():
         "fbt": 99.9,  # stdout's compact feature_build_total key
     }
     line = json.dumps(out, separators=(",", ":"))
+    # bench.py's stdout budget is 1995 (the line is provably the last
+    # output since round 15 — spark.stop() precedes the print — so only
+    # the trailing newline is reserved out of the driver's 2000-char
+    # tail). The base line must leave >= 65 chars so the fbt_top shrink
+    # chain can keep at least its two largest entries (scaffold 12 +
+    # 2 x ~27-char worst-case entries) — round-14 verdict item 2.
     assert len(line) <= 1930, (
         f"bench stdout line would be {len(line)} chars at "
         f"{len(HEADLINE)} headline queries — retire entries or shrink "
         "the encoding before adding more (bench.py docstring)"
+    )
+    worst5 = sorted(HEADLINE, key=len, reverse=True)[:5]
+    out["fbt_top"] = {n: 9.9 for n in worst5}
+    full = json.dumps(out, separators=(",", ":"))
+    while len(full) > 1995 and out["fbt_top"]:
+        ft = out["fbt_top"]
+        del ft[min(ft, key=ft.get)]
+        full = json.dumps(out, separators=(",", ":"))
+    assert len(out["fbt_top"]) >= 2, (
+        "fbt_top degradation would drop below 2 entries even in the "
+        "worst case — the driver record loses its fbt attribution"
     )
 
 

@@ -102,9 +102,10 @@ QUERIES: list[tuple[str, str]] = [
     ("q_dedup_containment", "pairs"),
     # round-14 addition (round-13 verdict item 6): the MLlib rows-only
     # near-dup variant was the one HEADLINE family member with no
-    # sf≈100 figure. Run it via --only (it is the riskiest cell —
-    # library-internal banding over 5M docs — so it gets its own
-    # invocation after the deterministic cells' disk is reclaimed).
+    # sf≈100 figure. OPT-IN ONLY (round-14 advisor item 2): excluded
+    # from the default sweep in main() — run it via --only in its own
+    # invocation after the deterministic cells' disk is reclaimed (it
+    # is the riskiest cell: library-internal banding over 5M docs).
     ("q_dedup_minhash_lsh", "pairs"),
 ]
 
@@ -183,7 +184,12 @@ def main() -> None:
     ap.add_argument("--only", default=None)
     ap.add_argument("--sweeps", type=int, default=2)
     args = ap.parse_args()
-    queries = QUERIES
+    # Opt-in-only cells (round-14 advisor item 2): isolation-intent
+    # cells that must NOT ride the shared default sweep — a failure or
+    # disk blow-up there would take the whole table write with it. Run
+    # them via --only in their own invocation.
+    opt_in = {"q_dedup_minhash_lsh"}
+    queries = [(n, c) for n, c in QUERIES if n not in opt_in]
     if args.only:
         only = set(args.only.split(","))
         unknown = only - {n for n, _ in QUERIES}
