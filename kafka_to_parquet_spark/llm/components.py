@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_to_parquet_spark.cache import register_cache
+from kafka_to_parquet_spark.cache import park_frame, register_cache
 from kafka_to_parquet_spark.llm.dedup import SIMHASH_PAIRS_CTE, q_dedup_simhash_pairs
 from kafka_to_parquet_spark.registry import query
 from kafka_to_parquet_spark.tables import load
@@ -54,6 +54,14 @@ def near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _EDGE_CACHE:
         pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        # (A doc_a-repartition before the checkpoint was tried in
+        # round 15 and REMOVED: under AQE the LogicalRDD that
+        # localCheckpoint plans does not advertise the repartition's
+        # hashpartitioning — the runtime plan re-exchanged edges
+        # anyway, so the build-time exchange bought nothing. The
+        # per-round edge exchange is instead eliminated by the
+        # shrinking frontier below: AQE broadcasts the frontier side,
+        # measured at sf0.1 — see plans/r15/q_dedup_components_*.)
         _EDGE_CACHE[key] = pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         ).localCheckpoint()
@@ -118,51 +126,71 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
-    prev_sum = None
+    # Shrinking frontier (round 15, guide §2.4 — the r14 verdict's
+    # q_dedup_components item): only nodes whose label CHANGED last
+    # round need to send messages. A neighbor u outside the frontier
+    # already delivered its (unchanged) label in the round it last
+    # changed, and labels only decrease, so
+    # min(self, min over frontier neighbors) equals
+    # min(self, min over ALL neighbors) — per-round label values are
+    # IDENTICAL to the old all-edges form, round for round. Real
+    # near-dup graphs converge most nodes in round 1-2, so rounds 3+
+    # join a near-empty frontier against the edge table (AQE
+    # broadcasts it) instead of re-scanning every edge; combined with
+    # the doc_a-partitioned edge checkpoint the edge relation is never
+    # exchanged after its build.
+    frontier = labels
     converged = False
     max_rounds = 64
     for _ in range(max_rounds):
-        # 1-hop propagation: each node takes the min label over itself
-        # and its neighbors.
-        msgs = edges.join(labels, edges.doc_a == labels.doc_id).select(
-            F.col("doc_b").alias("doc_id"), "component"
+        # 1-hop propagation from the frontier only.
+        msgs = edges.join(
+            frontier.select("doc_id", "component"),
+            edges.doc_a == F.col("doc_id"),
+        ).select(F.col("doc_b").alias("doc_id"), "component")
+        magg = msgs.groupBy("doc_id").agg(F.min("component").alias("cand"))
+        stepped = labels.join(magg, "doc_id", "left").select(
+            "doc_id",
+            F.col("component").alias("prev"),
+            F.least(
+                F.col("component"), F.coalesce("cand", "component")
+            ).alias("mid"),
         )
-        hop = (
-            labels.unionByName(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
-        )
-        # Pointer jump: component values are doc_ids, so a label chain
-        # can be contracted by looking the label up in the label table
-        # — doubling the distance covered per round. The lookup side is
-        # the PREVIOUS round's labels (already checkpointed): joining
-        # hop with itself would recompute the whole propagation subtree
-        # twice (no cross-operator CSE in Catalyst), and prev labels
-        # give the same fixpoint — labels only decrease, and at the
-        # fixpoint every component value m has labels[m] = m, so the
-        # jump is the identity there; an unchanged convergence sum
-        # still certifies convergence.
+        # Pointer jump (unchanged from the pre-r15 form, applied to
+        # EVERY node): component values are doc_ids, so a label chain
+        # contracts by looking the stepped value up in the PREVIOUS
+        # round's labels — joining against the current round would
+        # recompute the propagation subtree (no cross-operator CSE in
+        # Catalyst), and prev labels give the same fixpoint: labels
+        # only decrease, and at the fixpoint labels[m] = m so the jump
+        # is the identity there.
         jump = labels.select(
-            F.col("doc_id").alias("component"), F.col("component").alias("_c2")
+            F.col("doc_id").alias("mid"), F.col("component").alias("_c2")
         )
-        # Lazy checkpoint: the convergence-sum collect right below is
-        # the materializing action, so each round schedules ONE Spark
-        # job (previously two: eager checkpoint + sum). The iteration
-        # is scheduling-overhead-bound (SCALING exp 0.12), so job
-        # count per round is the cost that matters.
-        labels = (
-            hop.join(jump, "component", "left")
+        # Lazy checkpoint: the frontier count right below is the
+        # materializing action, so each round schedules ONE Spark job.
+        # The chg flag marks this round's frontier; its count doubles
+        # as the convergence test (0 changes == the old unchanged-sum
+        # criterion — labels are monotone).
+        new_labels = (
+            stepped.join(jump, "mid", "left")
             .select(
                 "doc_id",
-                F.coalesce("_c2", "component").alias("component"),
+                F.coalesce("_c2", "mid").alias("component"),
+                (F.coalesce("_c2", "mid") != F.col("prev")).alias("chg"),
             )
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
+        n_changed = new_labels.filter("chg").count()
+        # Superseded round: parked for deterministic release at the
+        # next cache boundary (cache.py LogicalRDD unpersist) instead
+        # of waiting on JVM GC + ContextCleaner.
+        park_frame(labels, spark, sf_dir)
+        labels = new_labels
+        frontier = labels.filter("chg")
+        if n_changed == 0:
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         # Never return partially-propagated labels silently: a diameter
         # > max_rounds graph (ultra-long near-dup chains) must fail
@@ -178,7 +206,11 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons = docs.join(labels.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("component")
     )
-    labels = labels.unionByName(singletons).localCheckpoint()
+    labels = (
+        labels.select("doc_id", "component")
+        .unionByName(singletons)
+        .localCheckpoint()
+    )
     _LABELS_CACHE[key] = labels
     return labels
 

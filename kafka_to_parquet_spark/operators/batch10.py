@@ -502,8 +502,20 @@ def q_dup_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     |DW_WIDTHS| rows. Linear in corpus tokens per leg, no pairwise
     stage anywhere.
 
-    Reference: extension tier (SURVEY §2 X3); Lee et al. 2022 §3
-    window-length calibration."""
+    Round-15 change (guide §2.3 — the round-14 SCALING table flagged
+    this query as the pair-corpus outlier, 8.5× on the second decade
+    vs 2.8-4.9× for its siblings): the per-leg aggregate asked
+    count_distinct(doc_id), which Catalyst plans as a TWO-PHASE
+    distinct aggregate — two corpus-window-sized exchanges per leg,
+    keyed (wh, doc_id) then (wh), the first of which cannot combine
+    map-side (windows are mostly unique per doc). The test only ever
+    needs nd >= 2, which is exactly min(doc_id) != max(doc_id) — the
+    q_ngram_novelty identity — so each leg collapses to ONE
+    (wh)-keyed exchange with ordinary map-side partials (plan: 24 →
+    16 Exchange), leaving the four independent per-width legs alone
+    (a single-scan struct-explode variant was measured 2× SLOWER at
+    sf0.1 — per-row struct allocation beat the saved tokenizes — and
+    was discarded, §1.1)."""
     t = load(spark, sf_dir, "documents").select(
         "doc_id", tokens_col(F.col("text")).alias("toks")
     )
@@ -523,17 +535,20 @@ def q_dup_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         g = win.groupBy("wh").agg(
-            F.count("*").alias("c"), F.countDistinct("doc_id").alias("nd")
+            F.count("*").alias("c"),
+            F.min("doc_id").alias("dmin"),
+            F.max("doc_id").alias("dmax"),
         )
+        dup = F.col("dmin") != F.col("dmax")
         legs.append(
             g.agg(
                 F.lit(w).cast("long").alias("w"),
                 F.sum("c").cast("long").alias("n_windows"),
                 F.count("*").cast("long").alias("n_fp"),
-                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                F.sum(F.when(dup, 1).otherwise(0))
                 .cast("long")
                 .alias("n_fp_dup"),
-                F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
+                F.sum(F.when(dup, F.col("c")).otherwise(0))
                 .cast("long")
                 .alias("n_dup_windows"),
             ).select(

@@ -1516,35 +1516,51 @@ def q_cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over CELLS — bounded by the grid extent, not the corpus.
     Border/noise assignment is a 9-offset broadcast equi-join, never a
     theta join."""
-    e = load(spark, sf_dir, "embeddings")
-    u = e.select(
-        F.expr(_db_micro(1, "element_at")).alias("u1"),
-        F.expr(_db_micro(2, "element_at")).alias("u2"),
-    )
-    fx = _fdiv("u1", DB_CELL, "DIV")
-    fy = _fdiv("u2", DB_CELL, "DIV")
-    cell = (
-        u.select(F.expr(fx).alias("cx"), F.expr(fy).alias("cy"))
-        .groupBy("cx", "cy")
-        .agg(F.count("*").cast("long").alias("n"))
-        .persist()
-    )
-    core = cell.filter(F.col("n") >= DB_MINPTS).select(
-        "cx", "cy", "n",
-        F.expr(f"(cx + {DB_OFF}) * {DB_SPAN} + (cy + {DB_OFF})").alias("id"),
-    ).persist()
+    # cell/core/adj are FEATURE-level per (session, dataset): the grid
+    # histogram and core adjacency derive from the embeddings table
+    # alone and every sample re-reads them (before round 15 this
+    # happened implicitly — the raw per-invocation .persist() calls
+    # hit the CacheManager's identical-plan match, logging "Asked to
+    # cache already cached data" WARNs with NO owner able to evict
+    # them). The registered cache keeps the same warm-sample timing
+    # semantics (build lands in the bench's fbt, like every feature
+    # table) with an explicit lifecycle: clear_caches frees all three
+    # at teardown/dataset switches.
+    key = (spark, sf_dir)
+    # 9-row local relation, broadcast wherever used — needed by the
+    # border/noise joins below whether or not the grid cache is warm.
     offs = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], ["dx", "dy"]
     )
-    nbr = core.crossJoin(F.broadcast(offs)).select(
-        F.col("id").alias("e_u"),
-        (F.col("cx") + F.col("dx")).alias("nx"),
-        (F.col("cy") + F.col("dy")).alias("ny"),
-    )
-    core_k = core.select(
-        F.col("cx").alias("nx"), F.col("cy").alias("ny"), F.col("id").alias("e_v")
-    )
-    adj = nbr.join(core_k, ["nx", "ny"]).select("e_u", "e_v").persist()
+    if key not in _DBSCAN_GRID_CACHE:
+        e = load(spark, sf_dir, "embeddings")
+        u = e.select(
+            F.expr(_db_micro(1, "element_at")).alias("u1"),
+            F.expr(_db_micro(2, "element_at")).alias("u2"),
+        )
+        fx = _fdiv("u1", DB_CELL, "DIV")
+        fy = _fdiv("u2", DB_CELL, "DIV")
+        cell_b = (
+            u.select(F.expr(fx).alias("cx"), F.expr(fy).alias("cy"))
+            .groupBy("cx", "cy")
+            .agg(F.count("*").cast("long").alias("n"))
+            .persist()
+        )
+        core_b = cell_b.filter(F.col("n") >= DB_MINPTS).select(
+            "cx", "cy", "n",
+            F.expr(f"(cx + {DB_OFF}) * {DB_SPAN} + (cy + {DB_OFF})").alias("id"),
+        ).persist()
+        nbr = core_b.crossJoin(F.broadcast(offs)).select(
+            F.col("id").alias("e_u"),
+            (F.col("cx") + F.col("dx")).alias("nx"),
+            (F.col("cy") + F.col("dy")).alias("ny"),
+        )
+        core_k = core_b.select(
+            F.col("cx").alias("nx"), F.col("cy").alias("ny"), F.col("id").alias("e_v")
+        )
+        adj_b = nbr.join(core_k, ["nx", "ny"]).select("e_u", "e_v").persist()
+        _DBSCAN_GRID_CACHE[key] = (cell_b, core_b, adj_b)
+    cell, core, adj = _DBSCAN_GRID_CACHE[key]
     # localCheckpoint, not persist, as the round boundary: each round
     # references `labels` TWICE (hop join + pointer jump), so a
     # persisted-but-still-chained logical plan doubles per round and
@@ -1553,9 +1569,12 @@ def q_cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round a leaf; the convergence collect right below is the
     # materializing action, so each round schedules ONE job — the
     # llm/components.py pointer-jumping pattern exactly. Superseded
-    # rounds' blocks are reclaimed by the ContextCleaner as the
-    # references drop (the RoundLoop storage discipline, checkpoint
-    # form).
+    # rounds PARK in the RoundLoop registry (round 15, per the r14
+    # verdict): before, their checkpoint blocks waited for JVM GC +
+    # ContextCleaner, which in a storage-busy session let rounds
+    # linger and samples drift 2.8-5.6 s on unchanged code; parked
+    # frames are now released deterministically by the next cache
+    # boundary (cache.py's LogicalRDD unpersist).
     labels = (
         core.select(F.col("id").alias("node"), F.col("id").alias("lab"))
         .localCheckpoint()
@@ -1572,18 +1591,23 @@ def q_cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         jump = labels.select(
             F.col("node").alias("lab"), F.col("lab").alias("lab2")
         )
-        labels = (
+        new_labels = (
             hop.join(jump, "lab", "left")
             .select("node", F.coalesce("lab2", "lab").alias("lab"))
             .localCheckpoint(eager=False)
         )
-        cur = labels.agg(F.sum("lab")).collect()[0][0]
+        cur = new_labels.agg(F.sum("lab")).collect()[0][0]
+        park_frame(labels, spark, sf_dir)  # superseded round
+        labels = new_labels
         if cur == prev_sum:
             converged = True
             break
         prev_sum = cur
     if not converged:
         raise RuntimeError("q_cluster_dbscan_grid: CC did not converge")
+    # The returned plan reads the final round — park it for the next
+    # cache boundary (the RoundLoop.finish discipline).
+    park_frame(labels, spark, sf_dir)
     lab = labels.select(F.col("node").alias("id"), F.col("lab").alias("cluster"))
     ccore = (
         core.join(lab, "id")
@@ -1653,6 +1677,12 @@ q_cluster_dbscan_grid.__doc__ = (
 from kafka_to_parquet_spark.cache import register_cache  # noqa: E402
 
 _DOC_STREAM_DIRS: dict = register_cache({})
+
+# (SparkSession, sf_dir) -> (cell, core, adj) persisted grid features
+# for q_cluster_dbscan_grid (round 15 — see the in-function comment).
+# Feature-level: stays warm across timed samples like every shared
+# feature table; clear_caches frees it.
+_DBSCAN_GRID_CACHE: dict = register_cache({})
 
 
 def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

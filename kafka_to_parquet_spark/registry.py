@@ -351,7 +351,23 @@ CERTIFIED_THROUGH: int = 14
 #   build, seven consumers). Values unchanged by construction (same
 #   relation), but every consumer's plan now reads the persisted
 #   feature table.
-RECERTIFY: set[str] = set()
+# Round-15 entries:
+# - q_dup_width_curve: each per-width leg's two-phase-planned
+#   count_distinct(doc_id) (two window-sized exchanges per leg) is
+#   replaced by min/max (nd >= 2 is min(doc_id) != max(doc_id) — the
+#   q_ngram_novelty identity), leaving one map-side-combinable
+#   exchange per leg (24 -> 16 Exchange). Values unchanged by
+#   construction (same per-wh counts and dup test; oracle untouched),
+#   but the plan changed.
+# - q_cluster_dbscan_grid: cell/core/adj move into a registered
+#   feature cache (was: raw per-invocation persists deduped only by
+#   the CacheManager's identical-plan match) and superseded CC rounds
+#   park in the RoundLoop registry with deterministic localCheckpoint
+#   block release (cache.py LogicalRDD unpersist). Values and plan
+#   unchanged by construction; lifecycle changed.
+RECERTIFY: set[str] = {
+    "q_dup_width_curve", "q_cluster_dbscan_grid",
+}
 
 
 def _round_number() -> int:

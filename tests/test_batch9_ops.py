@@ -246,3 +246,22 @@ def test_suffix_lrs_corner_corpora(spark, tmp_path, monkeypatch):
     sf4 = write_docs([(1, seq + " u1"), (2, seq + " u2")], "lrs17")
     got = {(r.lrs_len, r.phrase, r.n_occ) for r in q_suffix_lrs(spark, sf4).collect()}
     assert got == {(17, seq, 2)}
+
+
+def test_dbscan_grid_warm_cache_second_invocation(run, spark, sf_dir):
+    """Round-15 regression guard: cell/core/adj live in a registered
+    feature cache, so a SECOND same-session invocation takes the
+    warm-cache path — which must still build the border/noise joins
+    (the first r15 cut left ``offs`` defined only inside the cold
+    branch and the warm path raised UnboundLocalError). Rows must be
+    identical run-over-run."""
+    first = sorted(map(tuple, run("q_cluster_dbscan_grid").collect()))
+    second = sorted(map(tuple, run("q_cluster_dbscan_grid").collect()))
+    assert first == second
+    from kafka_to_parquet_spark.cache import clear_result_caches
+
+    # the result-level boundary (bench protocol) must not break the
+    # warm feature path either
+    clear_result_caches(spark, sf_dir)
+    third = sorted(map(tuple, run("q_cluster_dbscan_grid").collect()))
+    assert first == third

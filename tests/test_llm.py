@@ -267,3 +267,43 @@ def test_embedding_dim_guard_raises(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         q_dedup_embedding_lsh(spark, str(tmp_path)).collect()
     assert "EMBED_DIM" in str(ei.value)
+
+
+def test_component_labels_delta_frontier_long_chain(spark, sf_dir):
+    """Round-15 delta-frontier guard: inject a 20-node chain as the
+    near-dup edge set (diameter 19 — forces several rounds of frontier
+    shrink/re-expansion plus pointer jumping) and require the exact
+    min-reachable-label fixpoint. The shrinking-frontier form must
+    converge to the same labels as all-edges propagation — a frontier
+    bug (a changed node failing to re-message) would stall a chain at
+    a non-minimal label."""
+    from kafka_to_parquet_spark.llm import components as C
+
+    key = (spark, sf_dir)
+    C._EDGE_CACHE.pop(key, None)
+    C._LABELS_CACHE.pop(key, None)
+    chain = spark.createDataFrame(
+        [(a, a + 1) for a in range(19)], "doc_a long, doc_b long"
+    )
+    C._EDGE_CACHE[key] = (
+        chain.unionByName(
+            chain.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .repartition(F.col("doc_a"))
+        .localCheckpoint()
+    )
+    try:
+        labels = {
+            r["doc_id"]: r["component"]
+            for r in C.component_labels(spark, sf_dir).collect()
+        }
+    finally:
+        C._EDGE_CACHE.pop(key, None)
+        C._LABELS_CACHE.pop(key, None)
+    assert all(labels[i] == 0 for i in range(20)), "chain must collapse to 0"
+    others = {d: c for d, c in labels.items() if d >= 20}
+    assert others and all(c == d for d, c in others.items()), (
+        "non-chain docs must be singletons labeling themselves"
+    )

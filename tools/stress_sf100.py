@@ -258,9 +258,24 @@ def main() -> None:
         return dt
 
     cells = [(n, w) for n, _ in queries for w in dirs_for(n)]
-    clear_result_caches(spark)
     outs: dict[tuple[str, str], int] = {}
-    for name, where in cells:  # warm-up pass doubles as the n_out probe
+    samples: dict[tuple[str, str], list[float]] = {c: [] for c in cells}
+    # CELL-MAJOR protocol (round-15, per the r14 verdict item 3): the
+    # old sweep-major interleave let heavy cells evict each other's
+    # persisted posting features mid-sweep — block-manager churn put
+    # the jaccard sf≈100p per-sample spread at 59-192 s, making
+    # third-decade medians incomparable round-over-round beyond ±40%.
+    # Each cell now gets a clean slate (clear_caches — every other
+    # cell's features dropped), ONE untimed feature rebuild (the count
+    # warm-up, which doubles as the n_out probe — the bench fbt
+    # discipline applied to the cache dimension, guide §1.4), then its
+    # timed sweeps back-to-back with only the result-level boundary
+    # between samples.
+    from kafka_to_parquet_spark.cache import clear_caches
+
+    for name, where in cells:
+        clear_caches(spark)
+        reclaim()
         t0 = time.time()
         try:
             outs[(name, where)] = registry.QUERIES[name](spark, where).count()
@@ -270,13 +285,11 @@ def main() -> None:
             outs[(name, where)] = -1
             print(f"warm {name} @ {where}: FAILED "
                   f"{type(exc).__name__}: {str(exc)[:100]}", flush=True)
+            reclaim()
+            continue
         reclaim()
-    samples: dict[tuple[str, str], list[float]] = {c: [] for c in cells}
-    for s in range(args.sweeps):
-        clear_result_caches(spark)
-        for name, where in cells:
-            if outs[(name, where)] < 0:
-                continue
+        for s in range(args.sweeps):
+            clear_result_caches(spark)
             try:
                 samples[(name, where)].append(run_once(name, where))
             except Exception as exc:  # noqa: BLE001
@@ -285,6 +298,10 @@ def main() -> None:
                 continue
             print(f"sweep{s} {name} @ {where}: "
                   f"{samples[(name, where)][-1]:.1f}s", flush=True)
+        ts = samples[(name, where)]
+        if len(ts) >= 2 and min(ts) > 0:
+            print(f"cell {name} @ {where}: spread {max(ts) / min(ts):.2f}×",
+                  flush=True)
 
     # (The r12/r13 pinned-S=1 'shard-control' cliff cell is gone with
     # the shard loop itself: since round 14 the counting prefix filter
@@ -301,10 +318,14 @@ def main() -> None:
         "mass). q_suffix_lrs rides the pair corpus at this decade (the",
         "post-exact-dedup axis; plain 1000-way replication held ~33 GB",
         "of corpus-sized level checkpoints before the retention fix —",
-        f"tool docstring). Median of {args.sweeps} interleaved noop-sink",
-        "sweeps after a count warm-up; the t(sf≈10) columns re-measure",
-        "the same cells as the second-decade table for a like-for-like",
-        "ratio on current code.", "",
+        f"tool docstring). Median of {args.sweeps} CELL-MAJOR noop-sink",
+        "sweeps: each cell runs isolated — clear_caches slate, one",
+        "untimed feature rebuild (the count warm-up), then its timed",
+        "sweeps back-to-back (round-15 protocol; the old interleave's",
+        "cross-cell feature eviction spread jaccard samples 59-192 s).",
+        "The t(sf≈10) columns re-measure the same cells as the",
+        "second-decade table for a like-for-like ratio on current",
+        "code.", "",
         "| query | class | t(sf≈10) | t(sf≈100) | ratio | n_out sf≈10 | n_out sf≈100 |",
         "|---|---|---|---|---|---|---|",
     ]
